@@ -1,0 +1,58 @@
+"""Pillar voxelization as dense XLA segment ops (static shapes).
+
+TPU-native replacement for the reference CUDA pillar pipeline
+(pcdet/ops/pillar_ops/src/pillar_ops_gpu.cu:13-134 — point->cell masks,
+cumsum compaction, indice pairs — and scatter_ops_gpu.cu:13-74 scatter-max).
+Instead of compacting occupied pillars into a sparse M-row tensor (dynamic
+M), we scatter directly into the dense (B, ny, nx) BEV grid: the grids here
+are small (VoD 320x320, TJ4D 248x216) and dense convs on the MXU beat sparse
+bookkeeping. Empty cells read as 0, matching the reference where the
+scatter-max output buffer is zero-initialized (scatter_utils.py:24) and
+absent pillars densify to 0.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def points_to_pillar_ids(xyz_rel, valid, pillar_size: float, nx: int, ny: int):
+    """Point -> flat BEV cell id, (B, N) int32; invalid/out-of-grid -> ny*nx.
+
+    xyz_rel are range-relative coordinates (x - x_min, y - y_min, ...), as in
+    dynamic_pillar_encoder.absl_to_relative:46-53. Cell index is trunc
+    division (pillar_ops_gpu.cu uses int casts on non-negative relatives).
+    Flat id = iy * nx + ix, i.e. BEV rows are y (grid layout (B, ny, nx, C)).
+    """
+    ix = jnp.floor(xyz_rel[..., 0] / pillar_size).astype(jnp.int32)
+    iy = jnp.floor(xyz_rel[..., 1] / pillar_size).astype(jnp.int32)
+    in_grid = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & valid
+    flat = iy * nx + ix
+    return jnp.where(in_grid, flat, nx * ny), in_grid
+
+
+def scatter_max_dense(features, ids, num_cells: int):
+    """Per-batch scatter-max of point features into dense cells.
+
+    Args:
+      features: (B, N, C) point features (post-MLP).
+      ids: (B, N) int32 cell ids in [0, num_cells]; num_cells is a dump slot.
+    Returns:
+      (B, num_cells, C) max-pooled features, 0 where a cell is empty
+      (matching the reference zero-init scatter-max, scatter_utils.py:24).
+    """
+    def one(f, i):
+        out = jax.ops.segment_max(f, i, num_segments=num_cells + 1)
+        return jnp.maximum(out[:num_cells], 0.0)
+
+    return jax.vmap(one)(features, ids)
+
+
+def scatter_any_dense(ids, num_cells: int):
+    """(B, N) ids -> (B, num_cells) bool occupancy."""
+    def one(i):
+        ones = jnp.ones_like(i, dtype=jnp.int32)
+        cnt = jax.ops.segment_sum(ones, i, num_segments=num_cells + 1)
+        return cnt[:num_cells] > 0
+
+    return jax.vmap(one)(ids)

@@ -1,0 +1,266 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hgsfusion_tpu.ops import rotated_iou, nms, grid_sample, voxelize, points_in_boxes
+from hgsfusion_tpu.utils.box_utils import boxes_to_corners_bev
+
+
+def _mc_intersection(box_a, box_b, n=400):
+    """Rasterized intersection area of two rotated BEV boxes (ground truth)."""
+    lo = np.minimum(box_a[:2] - box_a[3:5].max(), box_b[:2] - box_b[3:5].max()) - 1
+    hi = np.maximum(box_a[:2] + box_a[3:5].max(), box_b[:2] + box_b[3:5].max()) + 1
+    xs = np.linspace(lo[0], hi[0], n)
+    ys = np.linspace(lo[1], hi[1], n)
+    xx, yy = np.meshgrid(xs, ys)
+    pts = np.stack([xx.ravel(), yy.ravel()], axis=1)
+
+    def inside(box):
+        rel = pts - box[:2]
+        c, s = np.cos(-box[6]), np.sin(-box[6])
+        lx = rel[:, 0] * c - rel[:, 1] * s
+        ly = rel[:, 0] * s + rel[:, 1] * c
+        return (np.abs(lx) <= box[3] / 2) & (np.abs(ly) <= box[4] / 2)
+
+    cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+    return np.sum(inside(box_a) & inside(box_b)) * cell
+
+
+def _box7(x, y, dx, dy, heading):
+    return np.array([x, y, 0.0, dx, dy, 1.0, heading], dtype=np.float32)
+
+
+class TestRotatedIoU:
+    def test_identical_boxes(self):
+        a = _box7(0, 0, 2, 1, 0.3)[None]
+        inter = np.asarray(rotated_iou.boxes_overlap_bev(jnp.array(a), jnp.array(a)))
+        np.testing.assert_allclose(inter, [[2.0]], atol=1e-4)
+        iou = np.asarray(rotated_iou.boxes_iou_bev(jnp.array(a), jnp.array(a)))
+        np.testing.assert_allclose(iou, [[1.0]], atol=1e-4)
+
+    def test_disjoint(self):
+        a = _box7(0, 0, 2, 1, 0.0)[None]
+        b = _box7(10, 10, 2, 1, 1.0)[None]
+        inter = np.asarray(rotated_iou.boxes_overlap_bev(jnp.array(a), jnp.array(b)))
+        np.testing.assert_allclose(inter, [[0.0]], atol=1e-6)
+
+    def test_axis_aligned_partial(self):
+        a = _box7(0, 0, 2, 2, 0.0)[None]
+        b = _box7(1, 1, 2, 2, 0.0)[None]
+        inter = np.asarray(rotated_iou.boxes_overlap_bev(jnp.array(a), jnp.array(b)))
+        np.testing.assert_allclose(inter, [[1.0]], atol=1e-4)
+
+    def test_45deg_cross(self):
+        # unit square vs same square rotated 45 deg: octagon area 2*(sqrt(2)-1)
+        a = _box7(0, 0, 1, 1, 0.0)[None]
+        b = _box7(0, 0, 1, 1, np.pi / 4)[None]
+        inter = np.asarray(rotated_iou.boxes_overlap_bev(jnp.array(a), jnp.array(b)))
+        np.testing.assert_allclose(inter, [[2 * (np.sqrt(2) - 1)]], atol=1e-4)
+
+    def test_containment(self):
+        a = _box7(0, 0, 4, 4, 0.2)[None]
+        b = _box7(0.3, -0.1, 1, 1, 1.1)[None]
+        inter = np.asarray(rotated_iou.boxes_overlap_bev(jnp.array(a), jnp.array(b)))
+        np.testing.assert_allclose(inter, [[1.0]], atol=1e-4)
+
+    def test_random_vs_rasterized(self, rng):
+        boxes_a = np.stack(
+            [
+                _box7(
+                    rng.uniform(-2, 2), rng.uniform(-2, 2),
+                    rng.uniform(0.5, 3), rng.uniform(0.5, 3),
+                    rng.uniform(-np.pi, np.pi),
+                )
+                for _ in range(12)
+            ]
+        )
+        boxes_b = np.stack(
+            [
+                _box7(
+                    rng.uniform(-2, 2), rng.uniform(-2, 2),
+                    rng.uniform(0.5, 3), rng.uniform(0.5, 3),
+                    rng.uniform(-np.pi, np.pi),
+                )
+                for _ in range(7)
+            ]
+        )
+        got = np.asarray(
+            rotated_iou.boxes_overlap_bev(jnp.array(boxes_a), jnp.array(boxes_b))
+        )
+        for i in range(len(boxes_a)):
+            for j in range(len(boxes_b)):
+                want = _mc_intersection(boxes_a[i], boxes_b[j])
+                assert abs(got[i, j] - want) < 0.05, (i, j, got[i, j], want)
+
+    def test_blocked_matches_dense(self, rng):
+        boxes = np.stack(
+            [
+                _box7(rng.uniform(-5, 5), rng.uniform(-5, 5), 2, 1, rng.uniform(0, 3))
+                for _ in range(40)
+            ]
+        )
+        dense = np.asarray(rotated_iou.boxes_iou_bev(jnp.array(boxes), jnp.array(boxes)))
+        blocked = np.asarray(
+            rotated_iou.boxes_iou_bev_blocked(jnp.array(boxes), jnp.array(boxes), row_block=16)
+        )
+        np.testing.assert_allclose(dense, blocked, atol=1e-5)
+
+    def test_iou3d_height(self):
+        a = np.array([[0, 0, 0.0, 2, 2, 2, 0.0]], dtype=np.float32)
+        b = np.array([[0, 0, 1.0, 2, 2, 2, 0.0]], dtype=np.float32)
+        iou = np.asarray(rotated_iou.boxes_iou3d(jnp.array(a), jnp.array(b)))
+        # overlap volume 2*2*1=4; union 8+8-4=12
+        np.testing.assert_allclose(iou, [[4.0 / 12.0]], atol=1e-4)
+
+
+class TestNMS:
+    def test_greedy_basic(self):
+        boxes = np.array(
+            [
+                [0, 0, 0, 2, 2, 1, 0.0],
+                [0.1, 0, 0, 2, 2, 1, 0.0],   # overlaps box 0
+                [10, 10, 0, 2, 2, 1, 0.0],   # disjoint
+            ],
+            dtype=np.float32,
+        )
+        scores = np.array([0.9, 0.8, 0.7], dtype=np.float32)
+        keep = np.asarray(nms.rotated_nms(jnp.array(boxes), jnp.array(scores), 0.1))
+        np.testing.assert_array_equal(keep, [True, False, True])
+
+    def test_class_agnostic_fixed_shapes(self):
+        boxes = np.array(
+            [
+                [0, 0, 0, 2, 2, 1, 0.0],
+                [0.1, 0, 0, 2, 2, 1, 0.0],
+                [10, 10, 0, 2, 2, 1, 0.0],
+                [20, 20, 0, 2, 2, 1, 0.0],
+            ],
+            dtype=np.float32,
+        )
+        scores = np.array([0.9, 0.8, 0.7, 0.05], dtype=np.float32)
+        idx, valid = nms.class_agnostic_nms(
+            jnp.array(scores), jnp.array(boxes),
+            score_thresh=0.1, nms_thresh=0.1, pre_max_size=4, post_max_size=3,
+        )
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        assert valid.tolist() == [True, True, False]  # box 3 below score thresh
+        assert idx[0] == 0 and idx[1] == 2
+
+    def test_nms_greedy_matches_numpy_reference(self, rng):
+        n = 64
+        boxes = np.concatenate(
+            [
+                rng.uniform(-10, 10, (n, 2)),
+                np.zeros((n, 1)),
+                rng.uniform(1, 4, (n, 2)),
+                np.ones((n, 1)),
+                rng.uniform(-np.pi, np.pi, (n, 1)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        scores = rng.uniform(0, 1, (n,)).astype(np.float32)
+        iou = np.asarray(rotated_iou.boxes_iou_bev(jnp.array(boxes), jnp.array(boxes)))
+        # numpy greedy reference
+        order = np.argsort(-scores)
+        suppressed = np.zeros(n, bool)
+        keep_ref = np.zeros(n, bool)
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep_ref[i] = True
+            for j in order:
+                if scores[j] < scores[i] and iou[i, j] > 0.2:
+                    suppressed[j] = True
+        keep = np.asarray(nms.rotated_nms(jnp.array(boxes), jnp.array(scores), 0.2))
+        np.testing.assert_array_equal(keep, keep_ref)
+
+
+class TestGridSample:
+    def test_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        b, h, w, c = 2, 9, 13, 5
+        feats = rng.randn(b, h, w, c).astype(np.float32)
+        coords = rng.uniform(-1.4, 1.4, (b, 17, 2)).astype(np.float32)
+
+        got = np.asarray(grid_sample.grid_sample_2d(jnp.array(feats), jnp.array(coords)))
+
+        t_feats = torch.from_numpy(feats).permute(0, 3, 1, 2)  # NCHW
+        t_grid = torch.from_numpy(coords).reshape(b, 17, 1, 2)
+        want = F.grid_sample(
+            t_feats, t_grid, mode="bilinear", padding_mode="zeros", align_corners=True
+        )  # (B, C, 17, 1)
+        want = want.squeeze(-1).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_depth_plane_collapse_matches_torch_3d(self, rng):
+        """The reference samples (B,C,1,H,W) with a 3-D grid; our 2-D sample of
+        (u, v) must match torch's 5-D grid_sample with D=1 for any depth coord."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        b, h, w, c = 1, 8, 12, 3
+        feats = rng.randn(b, h, w, c).astype(np.float32)
+        uv = rng.uniform(-1.3, 1.3, (b, 25, 2)).astype(np.float32)
+        depth = rng.uniform(-3, 3, (b, 25, 1)).astype(np.float32)  # arbitrary
+
+        got = np.asarray(grid_sample.grid_sample_2d(jnp.array(feats), jnp.array(uv)))
+
+        t_feats = torch.from_numpy(feats).permute(0, 3, 1, 2).unsqueeze(2)  # (B,C,1,H,W)
+        grid3d = torch.from_numpy(np.concatenate([uv, depth], axis=-1)).reshape(
+            b, 25, 1, 1, 3
+        )
+        want = F.grid_sample(
+            t_feats, grid3d, mode="bilinear", padding_mode="zeros", align_corners=True
+        )  # (B, C, 25, 1, 1)
+        want = want.squeeze(-1).squeeze(-1).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestVoxelize:
+    def test_pillar_ids_and_scatter(self):
+        pillar = 1.0
+        nx, ny = 4, 3
+        xyz = np.array(
+            [[[0.5, 0.5, 0.0], [0.6, 0.4, 0.0], [3.5, 2.5, 0.0], [9.0, 0.5, 0.0]]],
+            dtype=np.float32,
+        )
+        valid = np.array([[True, True, True, True]])
+        ids, in_grid = voxelize.points_to_pillar_ids(
+            jnp.array(xyz), jnp.array(valid), pillar, nx, ny
+        )
+        ids = np.asarray(ids)
+        assert ids[0, 0] == 0 and ids[0, 1] == 0
+        assert ids[0, 2] == 2 * 4 + 3
+        assert ids[0, 3] == nx * ny  # out of grid -> dump
+        feats = np.array([[[1.0, -2.0], [3.0, 5.0], [2.0, 2.0], [9.0, 9.0]]], dtype=np.float32)
+        out = np.asarray(voxelize.scatter_max_dense(jnp.array(feats), ids, nx * ny))
+        np.testing.assert_allclose(out[0, 0], [3.0, 5.0])
+        np.testing.assert_allclose(out[0, 11], [2.0, 2.0])
+        np.testing.assert_allclose(out[0, 1], [0.0, 0.0])  # empty cell -> 0
+        occ = np.asarray(voxelize.scatter_any_dense(ids, nx * ny))
+        assert occ[0, 0] and occ[0, 11] and not occ[0, 1]
+
+    def test_scatter_max_grad_flows_to_argmax(self):
+        ids = jnp.array([[0, 0, 1]])
+        feats = jnp.array([[[1.0], [3.0], [2.0]]])
+
+        def f(x):
+            return jnp.sum(voxelize.scatter_max_dense(x, ids, 2))
+
+        g = np.asarray(jax.grad(f)(feats))
+        np.testing.assert_allclose(g[0, :, 0], [0.0, 1.0, 1.0])
+
+
+class TestPointsInBoxes:
+    def test_basic(self):
+        boxes = np.array([[0, 0, 0, 2, 2, 2, np.pi / 4]], dtype=np.float32)
+        pts = np.array(
+            [[0, 0, 0], [1.2, 0, 0], [0.9, 0.9, 0], [0, 0, 1.5]], dtype=np.float32
+        )
+        mask = np.asarray(points_in_boxes.points_in_boxes(jnp.array(pts), jnp.array(boxes)))
+        # rotated 45deg: (1.2, 0) is inside (corner reach sqrt(2) along axes);
+        # (0.9, 0.9) is outside (local |x| = 0.9*sqrt(2) > 1); z=1.5 outside
+        assert mask[0].tolist() == [True, True, False, False]
