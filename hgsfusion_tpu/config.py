@@ -1,0 +1,167 @@
+"""YAML config system: _BASE_CONFIG_ inheritance + CLI overrides.
+
+Keeps the reference's two-level YAML schema and field names
+(pcdet/config.py:16-85) so reference configs port 1:1, but uses a plain
+attribute-dict (no global mutable singleton).
+"""
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+import yaml
+
+
+class ConfigDict(dict):
+    """dict with attribute access, recursively wrapping nested dicts."""
+
+    def __init__(self, d=None):
+        super().__init__()
+        for k, v in (d or {}).items():
+            self[k] = self._wrap(v)
+
+    @classmethod
+    def _wrap(cls, v):
+        if isinstance(v, dict) and not isinstance(v, ConfigDict):
+            return cls(v)
+        if isinstance(v, list):
+            return [cls._wrap(x) for x in v]
+        return v
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = self._wrap(value)
+
+    def get(self, key, default=None):
+        return super().get(key, default)
+
+    def copy(self):
+        return ConfigDict({k: v for k, v in self.items()})
+
+
+def _merge(base: dict, new: dict) -> dict:
+    """Recursive merge: `new` wins; nested dicts merge (pcdet/config.py:51-66)."""
+    out = dict(base)
+    for k, v in new.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(path, root_dir=None) -> ConfigDict:
+    """Load a YAML config, resolving _BASE_CONFIG_ inheritance recursively.
+
+    Base paths are resolved relative to `root_dir` (default: repo root =
+    two levels above this file) first, then relative to the config file.
+    """
+    path = Path(path)
+    if root_dir is None:
+        root_dir = Path(__file__).resolve().parent.parent
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+
+    def resolve_bases(node, cfg_dir):
+        if not isinstance(node, dict):
+            return node
+        base_rel = node.pop("_BASE_CONFIG_", None)
+        node = {k: resolve_bases(v, cfg_dir) for k, v in node.items()}
+        if base_rel is not None:
+            cand = Path(root_dir) / base_rel
+            if not cand.exists():
+                cand = cfg_dir / base_rel
+            base = load_config(cand, root_dir=root_dir)
+            node = _merge(base, node)
+        return node
+
+    cfg = resolve_bases(cfg, path.parent)
+    out = ConfigDict(cfg)
+    out["TAG"] = path.stem
+    return out
+
+
+def cfg_from_list(cfg: ConfigDict, kv_list):
+    """Apply 'KEY.SUBKEY value' CLI overrides with literal-eval type coercion
+    (pcdet/config.py:16-48)."""
+    assert len(kv_list) % 2 == 0, "override list must be key/value pairs"
+    for key, value in zip(kv_list[0::2], kv_list[1::2]):
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            if p not in node:
+                node[p] = ConfigDict()
+            node = node[p]
+        leaf = parts[-1]
+        if leaf in node and node[leaf] is not None and not isinstance(
+            node[leaf], (dict, list)
+        ):
+            value = type(node[leaf])(value) if not isinstance(value, type(node[leaf])) else value
+        node[leaf] = ConfigDict._wrap(value)
+    return cfg
+
+
+def model_config_from_yaml(cfg: ConfigDict):
+    """Build the static HGSFusionConfig dataclass from a reference-schema YAML."""
+    from .models.detector import HGSFusionConfig
+
+    model = cfg.MODEL
+    data = cfg.DATA_CONFIG
+    fusion_vfe = model.FusionVFE
+    image_vfe = fusion_vfe.ImageVFE
+    radar = fusion_vfe.RadarBackbone
+    occ = fusion_vfe.RadarOccupancy
+    fuse = model.FUSION_AFTER_BEV
+    head = model.DENSE_HEAD
+
+    pc_range = tuple(data.POINT_CLOUD_RANGE)
+    voxel_size = tuple(
+        next(
+            p["VOXEL_SIZE"]
+            for p in data.DATA_PROCESSOR
+            if p["NAME"] == "calculate_grid_size"
+        )
+    )
+    disc = image_vfe.FFN.DISCRETIZE
+    n_anchor = sum(
+        len(c["anchor_rotations"]) * len(c["anchor_sizes"]) * len(c["anchor_bottom_heights"])
+        for c in head.ANCHOR_GENERATOR_CONFIG
+    )
+    num_pt_feats = len(data.POINT_FEATURE_ENCODING.used_feature_list)
+    return HGSFusionConfig(
+        class_names=tuple(cfg.CLASS_NAMES),
+        pc_range=pc_range,
+        voxel_size=voxel_size,
+        image_backbone=image_vfe.FFN.DDN.BACKBONE_NAME,
+        channel_reduce_out=image_vfe.FFN.CHANNEL_REDUCE.out_channels,
+        f2v_out_channels=image_vfe.F2V.OUT_CHANNELS,
+        disc_mode=disc["mode"],
+        disc_num_bins=disc["num_bins"],
+        disc_depth_min=disc["depth_min"],
+        disc_depth_max=disc["depth_max"],
+        bev_aug=image_vfe.F2V.get("BEV_AUG", False),
+        image_size=tuple(data.get("IMAGE_SIZE", (516, 1936))),
+        num_point_features=num_pt_feats,
+        reader_num_input=radar.READER.NUM_INPUT_FEATURES,
+        backbone_out_indices=tuple(radar.BACKBONE.get("OUT_INDICES", (0, 1, 2))),
+        neck_out_channels=tuple(radar.NECK.OUT_CHANNELS),
+        radar_input_channels=occ.RADAR_INPUT_CHANNELS,
+        aspp_dilation=occ.get("ASPP_SHAPE", 6),
+        use_aspp=occ.get("USE_ASPP", False),
+        occ_fuse_mode=occ.get("FUSE_MODE", "MUL"),
+        fusion_image_out=fuse.IMAGE_OUT_CHANNELS,
+        fusion_radar_out=fuse.RADAR_OUT_CHANNELS,
+        num_anchors_per_location=n_anchor,
+        num_dir_bins=head.get("NUM_DIR_BINS", 2),
+        dir_offset=head.get("DIR_OFFSET", 0.78539),
+        dir_limit_offset=head.get("DIR_LIMIT_OFFSET", 0.0),
+    )

@@ -1,0 +1,241 @@
+"""HGSFusion detector: camera + radar branches, DSM fusion, anchor head.
+
+Assembles the active model path of the shipped configs
+(tools/cfgs/hgsfusion/hgsfusion_vod.yaml MODEL section; module topology
+fusion_vfe -> fusion_after_bev -> dense_head, detector3d_template.py:23-26):
+
+  images --DDN backbone--> 4 taps --1x1 reduce--> frustum sample -> voxel
+  points --pillar encode--> sparse-equiv BEV encoder --FPN--> radar BEV
+  voxel --collapse--> image BEV --x occupancy(radar BEV)--> spatial sync
+  concat+SE --> fused BEV --> anchor head
+
+This module is a pure function of (params, batch); losses and NMS are
+separate pure functions so the train step and the inference step compose
+freely under jit/pjit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .anchor_head import AnchorHeadSingle, generate_predicted_boxes
+from .bev_encoder import PillarNetRadar
+from .frustum import FrustumGridGenerator, FrustumToVoxelMultiScale
+from .fusion_bev import FusionAfterBEVSE
+from .layers import ConvBNReLU
+from .occupancy import Conv2DCollapse, RadarOccupancy2D
+from .pillar_encoder import PillarFeatureNet
+from .resnet import preprocess_images, resnet50_deeplab, resnet101_deeplab
+
+
+@dataclasses.dataclass(frozen=True)
+class HGSFusionConfig:
+    """Static model configuration (mirrors the reference YAML semantics)."""
+
+    class_names: Tuple[str, ...] = ("Car", "Pedestrian", "Cyclist")
+    pc_range: Tuple[float, ...] = (0.0, -25.6, -3.0, 51.2, 25.6, 2.0)
+    voxel_size: Tuple[float, ...] = (0.16, 0.16, 0.16)
+    # image branch
+    image_backbone: str = "ResNet101"
+    channel_reduce_out: int = 64
+    f2v_out_channels: int = 128
+    disc_mode: str = "LID"
+    disc_num_bins: int = 80
+    disc_depth_min: float = 1.0
+    disc_depth_max: float = 51.2
+    bev_aug: bool = True
+    image_size: Tuple[int, int] = (516, 1936)  # static padded (H, W)
+    # radar branch
+    num_point_features: int = 17  # encoded point columns (VoD 17, TJ4D 18)
+    reader_num_input: int = 29  # split-encoded width (VoD 29, TJ4D 31)
+    backbone_out_indices: Tuple[int, ...] = (0, 1, 2)
+    neck_out_channels: Tuple[int, ...] = (128, 128)
+    # occupancy / fusion
+    radar_input_channels: int = 128
+    aspp_dilation: int = 6
+    use_aspp: bool = True
+    occ_fuse_mode: str = "MUL"
+    fusion_image_out: int = 128
+    fusion_radar_out: int = 128
+    # head
+    num_anchors_per_location: int = 6
+    num_dir_bins: int = 2
+    dir_offset: float = 0.78539
+    dir_limit_offset: float = 0.0
+    code_size: int = 7
+
+    @property
+    def grid_size(self) -> Tuple[int, int, int]:
+        return (
+            int(round((self.pc_range[3] - self.pc_range[0]) / self.voxel_size[0])),
+            int(round((self.pc_range[4] - self.pc_range[1]) / self.voxel_size[1])),
+            int(round((self.pc_range[5] - self.pc_range[2]) / self.voxel_size[2])),
+        )
+
+    @property
+    def num_class(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def disc_cfg(self) -> Dict[str, Any]:
+        return dict(
+            mode=self.disc_mode,
+            depth_min=self.disc_depth_min,
+            depth_max=self.disc_depth_max,
+            num_bins=self.disc_num_bins,
+        )
+
+
+class HGSFusionModel(nn.Module):
+    """End-to-end HGSFusion forward (images + radar points -> head outputs)."""
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        cfg = self.cfg
+        nx, ny, nz = cfg.grid_size
+
+        # ---- camera branch: DDN backbone + per-scale channel reduce
+        images = preprocess_images(batch["images"])  # (B, H, W, 3)
+        backbone = (
+            resnet101_deeplab() if cfg.image_backbone == "ResNet101"
+            else resnet50_deeplab()
+        )
+        taps = nn.remat(lambda mdl, x: mdl(x, train))(
+            backbone.bind if False else backbone, images
+        ) if False else backbone(images, train)
+        feats = [
+            ConvBNReLU(
+                cfg.channel_reduce_out, kernel_size=(1, 1), use_bias=False,
+                name=f"channel_reduce_{i}",
+            )(t, train)
+            for i, t in enumerate(taps)
+        ]
+
+        # ---- frustum view transform (pure geometry + fused reduce)
+        grid_gen = FrustumGridGenerator(
+            grid_size=cfg.grid_size, pc_range=cfg.pc_range, disc_cfg=cfg.disc_cfg,
+            bev_aug=cfg.bev_aug,
+        )
+        grid = grid_gen(
+            batch["trans_lidar_to_cam"], batch["trans_cam_to_img"],
+            cfg.image_size, bda=batch.get("lidar_aug_matrix"),
+        )
+        voxel = FrustumToVoxelMultiScale(
+            out_channels=cfg.f2v_out_channels, name="f2v"
+        )(feats, grid, train)  # (B, Y, X, Z, C)
+
+        # ---- radar branch
+        pillar_bev, occ_mask = PillarFeatureNet(
+            num_input_features=cfg.reader_num_input,
+            pillar_size=cfg.voxel_size[0],
+            pc_range=cfg.pc_range,
+            name="pillar_net",
+        )(batch["points"], batch["points_valid"], train)
+        radar_bev = PillarNetRadar(
+            out_indices=cfg.backbone_out_indices,
+            neck_out_channels=cfg.neck_out_channels,
+            name="radar_backbone",
+        )(pillar_bev, occ_mask, train)
+
+        # ---- DSM spatial sync: collapse + occupancy gate
+        image_bev = Conv2DCollapse(
+            num_bev_features=cfg.radar_input_channels, name="map_to_bev"
+        )(voxel, train)
+        gated, occupancy = RadarOccupancy2D(
+            radar_input_channels=cfg.radar_input_channels,
+            use_aspp=cfg.use_aspp,
+            aspp_dilation=cfg.aspp_dilation,
+            fuse_mode=cfg.occ_fuse_mode,
+            name="radar_occupancy",
+        )(image_bev, radar_bev, train)
+
+        # ---- DSM modality sync: SE fusion
+        fused = FusionAfterBEVSE(
+            image_out_channels=cfg.fusion_image_out,
+            radar_out_channels=cfg.fusion_radar_out,
+            name="fusion_after_bev",
+        )(gated, radar_bev, train)
+
+        # ---- head
+        preds = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(fused)
+        preds["occupancy"] = occupancy
+        return preds
+
+
+class RadarOnlyModel(nn.Module):
+    """Radar-only pillar detector (BASELINE.json config 1: pillar encoder ->
+    BEV encoder -> anchor head), the minimum end-to-end slice."""
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        cfg = self.cfg
+        pillar_bev, occ_mask = PillarFeatureNet(
+            num_input_features=cfg.reader_num_input,
+            pillar_size=cfg.voxel_size[0],
+            pc_range=cfg.pc_range,
+            name="pillar_net",
+        )(batch["points"], batch["points_valid"], train)
+        radar_bev = PillarNetRadar(
+            out_indices=cfg.backbone_out_indices,
+            neck_out_channels=cfg.neck_out_channels,
+            name="radar_backbone",
+        )(pillar_bev, occ_mask, train)
+        return AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(radar_bev)
+
+
+def post_process(preds: Dict[str, jnp.ndarray], anchors, box_coder, cfg,
+                 score_thresh: float = 0.1, nms_thresh: float = 0.01,
+                 pre_max_size: int = 4096, post_max_size: int = 500):
+    """Decode + sigmoid + class-agnostic rotated NMS, fixed-shape outputs.
+
+    detector3d_template.post_processing:273-379 with MULTI_CLASSES_NMS False:
+    per-anchor max class score, NMS over all classes jointly.
+    Returns dict of (B, post_max, ...) arrays + validity mask.
+    """
+    from ..ops.nms import class_agnostic_nms
+
+    batch_cls, batch_box = generate_predicted_boxes(
+        preds["cls_preds"], preds["box_preds"], preds.get("dir_cls_preds"),
+        anchors, box_coder, cfg.num_class,
+        dir_offset=cfg.dir_offset, dir_limit_offset=cfg.dir_limit_offset,
+        num_dir_bins=cfg.num_dir_bins,
+    )
+    scores = jax.nn.sigmoid(batch_cls)
+    cls_scores = jnp.max(scores, axis=-1)
+    labels = jnp.argmax(scores, axis=-1) + 1
+
+    def one(s, b):
+        idx, valid = class_agnostic_nms(
+            s, b, score_thresh=score_thresh, nms_thresh=nms_thresh,
+            pre_max_size=pre_max_size, post_max_size=post_max_size,
+        )
+        return idx, valid
+
+    idx, valid = jax.vmap(one)(cls_scores, batch_box)
+    take = jax.vmap(lambda arr, i: arr[i])
+    return {
+        "boxes": take(batch_box, idx),
+        "scores": take(cls_scores, idx),
+        "labels": take(labels, idx),
+        "valid": valid,
+    }

@@ -1,0 +1,135 @@
+"""Image -> BEV frustum view transform (multi-scale grid sampling).
+
+TPU-native equivalent of FrustumGridGenerator + FrustumToVoxelMultiScale
+(pcdet/.../f2v/frustum_grid_generator.py:41-180,
+frustum_to_voxel_multi_scale.py:8-109, sampler.py:8-37).
+
+Geometry (transform_grid:106-145): voxel-center grid (ix+.5, iy+.5, iz+.5)
+-> lidar via the diag(voxel) + pc_min unprojection -> optional inverse BEV
+augmentation matrix -> camera -> pinhole projection to (u, v) + depth; depth
+binned with LID/UD/SID (transform_utils.bin_depths:63-96); all three coords
+normalized to [-1, 1] against (W_img-1, H_img-1, D-1) (normalize_coords:
+44-60); non-finite -> -2 (out of bounds).
+
+With USE_DEPTH False the reference samples a D=1 volume, where
+align_corners=True collapses ANY depth coordinate to plane 0 — the depth
+coordinate is dead and the transform reduces to per-voxel 2-D bilinear
+sampling of (u, v) (verified against torch in tests/test_ops.py). We sample
+2-D directly and fuse concat + 1x1x1 reduce as a Dense over the
+concatenated-scale channel axis.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def bin_depths(depth, mode: str, depth_min: float, depth_max: float, num_bins: int):
+    """Continuous depth-bin index (transform_utils.bin_depths:63-96, target=False)."""
+    if mode == "UD":
+        bin_size = (depth_max - depth_min) / num_bins
+        return (depth - depth_min) / bin_size
+    if mode == "LID":
+        bin_size = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
+        return -0.5 + 0.5 * jnp.sqrt(1 + 8 * (depth - depth_min) / bin_size)
+    if mode == "SID":
+        return (
+            num_bins
+            * (jnp.log(1 + depth) - math.log(1 + depth_min))
+            / (math.log(1 + depth_max) - math.log(1 + depth_min))
+        )
+    raise NotImplementedError(mode)
+
+
+class FrustumGridGenerator:
+    """Builds the (B, Y, X, Z, 3) normalized frustum sampling grid.
+
+    Output layout is (y, x, z) spatial order with last dim (u, v, depth_bin)
+    in [-1, 1] — same data as the reference's (B, X, Y, Z, 3) grid, laid out
+    to produce BEV-major tensors directly.
+    """
+
+    def __init__(self, grid_size, pc_range, disc_cfg, bev_aug: bool = False):
+        self.nx, self.ny, self.nz = (int(g) for g in grid_size)
+        self.pc_min = jnp.asarray(pc_range[:3], jnp.float32)
+        pc_max = jnp.asarray(pc_range[3:], jnp.float32)
+        self.voxel_size = (pc_max - self.pc_min) / jnp.asarray(
+            [self.nx, self.ny, self.nz], jnp.float32
+        )
+        self.disc_cfg = dict(disc_cfg)
+        self.bev_aug = bev_aug
+        # voxel-center lidar coordinates, layout (Y, X, Z, 3)
+        ix = jnp.arange(self.nx, dtype=jnp.float32) + 0.5
+        iy = jnp.arange(self.ny, dtype=jnp.float32) + 0.5
+        iz = jnp.arange(self.nz, dtype=jnp.float32) + 0.5
+        gy, gx, gz = jnp.meshgrid(iy, ix, iz, indexing="ij")
+        grid = jnp.stack([gx, gy, gz], axis=-1)  # note: (Y, X, Z, [x_idx, y_idx, z_idx])
+        self.lidar_grid = grid * self.voxel_size + self.pc_min
+
+    def __call__(self, lidar_to_cam, cam_to_img, image_shape, bda=None):
+        """lidar_to_cam (B,4,4), cam_to_img (B,3,4), image_shape (2,) static
+        (H, W), bda (B,4,4) lidar augmentation matrix. Returns (B,Y,X,Z,3)."""
+        b = lidar_to_cam.shape[0]
+        pts = jnp.broadcast_to(
+            self.lidar_grid[None], (b,) + self.lidar_grid.shape
+        )  # (B, Y, X, Z, 3)
+        if self.bev_aug and bda is not None:
+            inv_bda = jnp.linalg.inv(bda)  # (B, 4, 4)
+            rot = inv_bda[:, :3, :3]
+            trans = inv_bda[:, :3, 3]
+            pts = (
+                jnp.einsum("byxzi,bji->byxzj", pts, rot)
+                + trans[:, None, None, None, :]
+            )
+        # lidar -> camera
+        rot = lidar_to_cam[:, :3, :3]
+        trans = lidar_to_cam[:, :3, 3]
+        cam = jnp.einsum("byxzi,bji->byxzj", pts, rot) + trans[:, None, None, None, :]
+        # pinhole projection (transform_utils.project_to_image:16-37)
+        proj = cam_to_img  # (B, 3, 4)
+        p = (
+            jnp.einsum("byxzi,bji->byxzj", cam, proj[:, :, :3])
+            + proj[:, None, None, None, :, 3]
+        )
+        depth = p[..., 2] - proj[:, 2, 3][:, None, None, None]
+        uv = p[..., 0:2] / p[..., 2:3]
+        dbin = bin_depths(depth, **self.disc_cfg)
+
+        num_bins = self.disc_cfg["num_bins"]
+        h, w = image_shape
+        norm = jnp.asarray([w - 1, h - 1, num_bins - 1], jnp.float32)
+        grid = jnp.concatenate([uv, dbin[..., None]], axis=-1) / norm * 2.0 - 1.0
+        return jnp.where(jnp.isfinite(grid), grid, -2.0)
+
+
+class FrustumToVoxelMultiScale(nn.Module):
+    """Sample per-scale image features into the voxel grid and reduce.
+
+    frustum_to_voxel_multi_scale.py:47-109 with FUSE_MODE 'CONCAT' and
+    USE_DEPTH False: 4x 2-D bilinear samples -> concat (256ch) -> 1x1x1
+    Conv3d + BN3d + ReLU -> (B, Y, X, Z, out_channels). The 1x1x1 conv is a
+    Dense over the channel axis; BN3d reduces over (B, Y, X, Z).
+    """
+
+    out_channels: int = 128
+    fuse_mode: str = "CONCAT"
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], grid, train: bool):
+        """features: list of (B, Hi, Wi, C) image feature maps;
+        grid: (B, Y, X, Z, 3) normalized sampling grid."""
+        from ..ops.grid_sample import grid_sample_2d
+
+        uv = grid[..., 0:2]
+        sampled = [grid_sample_2d(f, uv) for f in features]  # (B,Y,X,Z,C) each
+        if self.fuse_mode == "ADD":
+            return sum(sampled)
+        vox = jnp.concatenate(sampled, axis=-1)
+        vox = nn.Dense(self.out_channels, use_bias=True, name="reduce")(vox)
+        vox = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(vox)
+        return nn.relu(vox)

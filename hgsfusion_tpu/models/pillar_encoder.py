@@ -1,0 +1,117 @@
+"""Radar pillar feature net: split virtual/real encoding -> MLP -> scatter-max.
+
+TPU-native equivalent of DynamicPillarFeatureNet + PillarMaxPooling
+(pcdet/models/backbones_3d/vfe/pillarnet_modules/dynamic_pillar_encoder.py:9-121,
+pcdet/ops/pillar_ops/pillar_modules.py:12-83). Differences by design:
+
+- static shapes: points come padded to (B, N, D) with a validity mask instead
+  of ragged per-sample lists;
+- output is the dense (B, ny, nx, C) BEV grid + occupancy mask instead of a
+  compacted SparseConvTensor (the downstream encoder runs dense on the MXU);
+- scatter-max is jax.ops.segment_max (deterministic) instead of atomicMax
+  with a fuzzy second-pass argmax (scatter_ops_gpu.cu:61-74).
+
+Feature layout reproduced exactly (SURVEY.md Appendix A):
+  input points (VoD): [xyz 3 | radar 4 | label one-hot 8 | idf 2] = 17
+  split re-encoding:  [xyz 3 | real 12 | virtual 12 | idf 2] = 29
+  (TJ4D: 18 in, 13-wide real/virtual slots, 31 out)
+  MLP input: [encoded | xyz_rel 3 | xyz_rel - pillar_center 3]
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.voxelize import points_to_pillar_ids, scatter_any_dense, scatter_max_dense
+from .layers import MaskedBatchNorm
+
+
+class PillarFeatureNet(nn.Module):
+    num_input_features: int = 29  # 29 VoD / 31 TJ4D (hgsfusion_vod.yaml:104)
+    num_filters: Sequence[int] = (32,)
+    pillar_size: float = 0.16
+    pc_range: Sequence[float] = (0, -25.6, -3, 51.2, 25.6, 2)
+    use_virtual: bool = True
+    encoding_type: str = "split"
+
+    @property
+    def grid_shape(self) -> Tuple[int, int]:
+        """(ny, nx); nx = round(x-extent / pillar), pillar_utils.bev_spatial_shape:16-19."""
+        nx = int(round((self.pc_range[3] - self.pc_range[0]) / self.pillar_size))
+        ny = int(round((self.pc_range[4] - self.pc_range[1]) / self.pillar_size))
+        return ny, nx
+
+    def _split_encode(self, points):
+        """Split-encode raw (B, N, D) points to (B, N, num_input_features).
+
+        dynamic_pillar_encoder.py:64-86: a point's feature block (cols 3:3+k)
+        lands in the "real" slot when idf1 >= 0.5 and in the "virtual" slot
+        otherwise ((1,1)=raw real, (0,0)=gt-box real, (0,1)=virtual).
+        """
+        b, n, d = points.shape
+        k = d - 5  # feature block width: 12 for VoD (17 cols), 13 for TJ4D (18)
+        assert self.num_input_features == 3 + 2 * k + 2, (
+            f"num_input_features {self.num_input_features} inconsistent with "
+            f"point dim {d}"
+        )
+        xyz = points[..., 0:3]
+        feats = points[..., 3 : 3 + k]
+        idf = points[..., -2:]
+        is_virtual = (points[..., -2:-1] < 0.5).astype(points.dtype)
+        real_slot = feats * (1 - is_virtual)
+        virtual_slot = feats * is_virtual
+        return jnp.concatenate([xyz, real_slot, virtual_slot, idf], axis=-1)
+
+    @nn.compact
+    def __call__(self, points, points_valid, train: bool):
+        """points: (B, N, D) raw encoded points; points_valid: (B, N) bool.
+
+        Returns (bev (B, ny, nx, C), occupancy mask (B, ny, nx, 1)).
+        """
+        ny, nx = self.grid_shape
+
+        if self.use_virtual and self.encoding_type == "split":
+            pt_features = self._split_encode(points)
+        elif self.encoding_type == "direct":
+            pt_features = points[..., :-2]
+        else:  # 'mixed' / non-virtual: raw features as-is
+            pt_features = points
+
+        # range-relative coordinates (dynamic_pillar_encoder.absl_to_relative:46-53)
+        pc_min = jnp.asarray(self.pc_range[:3], points.dtype)
+        xyz_rel = points[..., 0:3] - pc_min
+
+        ids, in_grid = points_to_pillar_ids(
+            xyz_rel, points_valid, self.pillar_size, nx, ny
+        )
+        # pillar centers in relative frame; z-center is the *absolute* range
+        # midpoint, an inherited quirk of gen_indice_pairs (pillar_utils.py:
+        # pillar_centers z = (pcr[5]+pcr[2])/2 while xyz is relative).
+        ix = (ids % nx).astype(points.dtype)
+        iy = (ids // nx).astype(points.dtype)
+        center = jnp.stack(
+            [
+                (ix + 0.5) * self.pillar_size,
+                (iy + 0.5) * self.pillar_size,
+                jnp.full_like(ix, (self.pc_range[5] + self.pc_range[2]) / 2),
+            ],
+            axis=-1,
+        )
+        group = jnp.concatenate([pt_features, xyz_rel, xyz_rel - center], axis=-1)
+
+        mask = in_grid[..., None]
+        x = group
+        for i, width in enumerate(self.num_filters):
+            x = nn.Dense(width, use_bias=False, name=f"mlp_{i}")(x)
+            x = MaskedBatchNorm(width, eps=1e-3, momentum=0.01, name=f"bn_{i}")(
+                x, mask, use_running_average=not train
+            )
+            x = nn.relu(x)
+        x = x * mask.astype(x.dtype)  # zero contributions from dumped points
+
+        bev = scatter_max_dense(x, ids, ny * nx)
+        bev = bev.reshape(bev.shape[0], ny, nx, x.shape[-1])
+        occ = scatter_any_dense(ids, ny * nx).reshape(bev.shape[0], ny, nx, 1)
+        return bev, occ

@@ -1,0 +1,123 @@
+"""ResNet-101 backbone with DeepLabV3 dilation, flax.linen NHWC.
+
+Reimplements the torchvision `deeplabv3_resnet101` backbone used by the
+reference DDN (pcdet/.../ffn/ddn/ddn_deeplabv3.py:9-24, ddn_template.py:16-210):
+ResNet-101 with replace_stride_with_dilation=[False, True, True], i.e.
+layer3/layer4 keep stride 8 with dilations 2/4 (first block of a dilated
+stage uses the previous stage's dilation, matching torchvision _make_layer).
+Only the backbone is needed: with USE_DEPTH False the DeepLab classifier head
+never runs (ddn_template.py:163-167).
+
+Multi-scale taps: returns layer1..layer4 feature maps (strides 4, 8, 8, 8).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def preprocess_images(images):
+    """ImageNet-normalize, keeping zero-padded pixels at exactly 0.
+
+    ddn_template.preprocess:191-210: mask = (x == 0) before normalize, then
+    x[mask] = 0 (so collate padding stays neutral).
+    """
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
+    std = jnp.asarray(IMAGENET_STD, images.dtype)
+    mask = images == 0
+    x = (images - mean) / std
+    return jnp.where(mask, 0.0, x)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=1.0 - self.bn_momentum,
+                epsilon=1e-5, name=name,
+            )
+
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        pad = self.dilation
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.strides, self.strides),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False, name="conv2",
+        )(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetDeepLabBackbone(nn.Module):
+    """ResNet with [3,4,23,3] (101) or [3,4,6,3] (50) bottleneck stages."""
+
+    stage_sizes: Sequence[int] = (3, 4, 23, 3)
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=1.0 - self.bn_momentum,
+            epsilon=1e-5, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        taps = []
+        # (planes, stride, stage_dilation); dilated stages follow torchvision:
+        # first block uses previous dilation, the rest the new one.
+        stage_cfg = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]
+        prev_dilation = 1
+        for si, ((planes, stride, dilation), blocks) in enumerate(
+            zip(stage_cfg, self.stage_sizes)
+        ):
+            for bi in range(blocks):
+                if bi == 0:
+                    x = Bottleneck(
+                        planes, strides=stride, dilation=prev_dilation,
+                        downsample=True, bn_momentum=self.bn_momentum,
+                        name=f"layer{si + 1}_block0",
+                    )(x, train)
+                else:
+                    x = Bottleneck(
+                        planes, dilation=dilation, bn_momentum=self.bn_momentum,
+                        name=f"layer{si + 1}_block{bi}",
+                    )(x, train)
+            prev_dilation = dilation
+            taps.append(x)
+        return taps  # [layer1 (C=256, /4), layer2 (512, /8), layer3 (1024, /8), layer4 (2048, /8)]
+
+
+def resnet101_deeplab(bn_momentum: float = 0.1):
+    return ResNetDeepLabBackbone(stage_sizes=(3, 4, 23, 3), bn_momentum=bn_momentum)
+
+
+def resnet50_deeplab(bn_momentum: float = 0.1):
+    return ResNetDeepLabBackbone(stage_sizes=(3, 4, 6, 3), bn_momentum=bn_momentum)

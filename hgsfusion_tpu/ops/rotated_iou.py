@@ -37,6 +37,13 @@ def _edges(corners):
     return starts, ends
 
 
+# Containment margin: corners of touching/identical boxes land exactly on the
+# other box's edges, where f32 rounding can push the cross product slightly
+# negative (order-of-evaluation dependent). 1e-4 m^2 is far below any
+# detection-relevant overlap but absorbs that rounding.
+_EPS_INSIDE = 1e-4
+
+
 def _points_in_quad(points, quad):
     """points (..., P, 2) inside convex CCW quad (..., 4, 2) -> (..., P) bool."""
     s, e = _edges(quad)  # (..., 4, 2)
@@ -44,7 +51,7 @@ def _points_in_quad(points, quad):
     d = e - s  # (..., 4, 2)
     rel = points[..., :, None, :] - s[..., None, :, :]  # (..., P, 4, 2)
     cross = d[..., None, :, 0] * rel[..., 1] - d[..., None, :, 1] * rel[..., 0]
-    return jnp.all(cross >= -_EPS, axis=-1)
+    return jnp.all(cross >= -_EPS_INSIDE, axis=-1)
 
 
 def _edge_intersections(ca, cb):
