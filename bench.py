@@ -1,0 +1,81 @@
+"""End-to-end inference benchmark on the real TPU chip.
+
+Measures frames/sec of the full HGSFusion VoD pipeline — image backbone,
+frustum view transform, radar pillar branch, DSM fusion, anchor head, box
+decode, and rotated NMS — all inside one jitted graph (nothing leaves the
+device until the final fixed-shape detections).
+
+Baseline note: the reference repo publishes no FPS numbers (BASELINE.md).
+The target from BASELINE.json is >=3x the reference's A100 end-to-end FPS on
+one v5e chip. Until the reference is measured, we anchor on an estimate of
+REF_A100_FPS = 10.0 (CaDDN-family detectors with a ResNet-101 on ~0.5Mpx
+images run ~5-15 FPS on data-center GPUs; the hook in tools/test.py:142-143
+measures per-frame ms with CUDA_LAUNCH_BLOCKING). vs_baseline = fps /
+(3 * REF_A100_FPS), so 1.0 == target met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+REF_A100_FPS = 10.0  # documented estimate; see module docstring
+TARGET_MULTIPLIER = 3.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _vod_flagship
+    from hgsfusion_tpu.models.anchors import TargetAssigner
+    from hgsfusion_tpu.config import load_config
+    from hgsfusion_tpu.models.detector import post_process
+
+    model, cfg, batch = _vod_flagship()
+    yaml_cfg = load_config("configs/hgsfusion_vod.yaml")
+    anchor_cfg = [dict(c) for c in yaml_cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG]
+    assigner = TargetAssigner(
+        anchor_cfg, cfg.grid_size, cfg.pc_range, class_names=cfg.class_names
+    )
+    post_cfg = yaml_cfg.MODEL.POST_PROCESSING
+
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(batch)
+
+    @jax.jit
+    def infer(variables, batch):
+        preds = model.apply(variables, batch, False)
+        return post_process(
+            preds, assigner.flat_anchors, assigner.box_coder, cfg,
+            score_thresh=post_cfg.SCORE_THRESH,
+            nms_thresh=post_cfg.NMS_CONFIG.NMS_THRESH,
+            pre_max_size=post_cfg.NMS_CONFIG.NMS_PRE_MAXSIZE,
+            post_max_size=post_cfg.NMS_CONFIG.NMS_POST_MAXSIZE,
+        )
+
+    # warmup / compile
+    out = infer(variables, batch)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = iters * batch["images"].shape[0] / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "hgsfusion_vod_e2e_inference",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / (TARGET_MULTIPLIER * REF_A100_FPS), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

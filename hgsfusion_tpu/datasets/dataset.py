@@ -1,0 +1,199 @@
+"""Dataset template: prepare_data pipeline + static-shape batch collation.
+
+Reference: pcdet/datasets/dataset.py:14-325. TPU-first differences:
+- every batch has *static* shapes (points padded to MAX_POINTS with a
+  validity mask, gt boxes padded to MAX_GT_BOXES, images padded to the
+  configured IMAGE_SIZE) so the jitted graph compiles once;
+- collation returns plain numpy dicts ready for device_put / sharding.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.common import rotation_matrix_z
+from .augmentor import DataAugmentor
+from .processor import DataProcessor, PointFeatureEncoder
+
+
+class DatasetTemplate:
+    def __init__(self, dataset_cfg=None, class_names=None, training=True,
+                 root_path=None, logger=None):
+        self.dataset_cfg = dataset_cfg
+        self.training = training
+        self.class_names = class_names
+        self.logger = logger
+        self.root_path = Path(
+            root_path if root_path is not None else dataset_cfg.DATA_PATH
+        )
+        if dataset_cfg is None or class_names is None:
+            return
+
+        self.point_cloud_range = np.asarray(
+            dataset_cfg.POINT_CLOUD_RANGE, np.float32
+        )
+        self.max_points = int(dataset_cfg.get("MAX_POINTS", 16384))
+        self.max_gt_boxes = int(dataset_cfg.get("MAX_GT_BOXES", 64))
+        self.image_size = tuple(dataset_cfg.get("IMAGE_SIZE", (516, 1936)))
+
+        self.point_feature_encoder = PointFeatureEncoder(
+            dataset_cfg.POINT_FEATURE_ENCODING,
+            point_cloud_range=self.point_cloud_range,
+        )
+        self.data_augmentor = (
+            DataAugmentor(
+                self.root_path, dataset_cfg.DATA_AUGMENTOR, class_names, logger
+            )
+            if training
+            else None
+        )
+        self.data_processor = DataProcessor(
+            dataset_cfg.DATA_PROCESSOR,
+            point_cloud_range=self.point_cloud_range,
+            training=training,
+            num_point_features=self.point_feature_encoder.num_point_features,
+        )
+        self.grid_size = self.data_processor.grid_size
+        self.voxel_size = self.data_processor.voxel_size
+        self._merge_all_iters_to_one_epoch = False
+        self.total_epochs = 0
+
+    @property
+    def mode(self):
+        return "train" if self.training else "test"
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, index):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def set_lidar_aug_matrix(self, data_dict):
+        """Record the composed flip/rot/scale as a 4x4 (dataset.py:134-156),
+        used to undo BEV augmentation in the frustum grid (BEV_AUG)."""
+        m = np.eye(4, dtype=np.float32)
+        if data_dict.get("flip_x", False):
+            m[:3, :3] = np.diag([1.0, -1.0, 1.0]).astype(np.float32) @ m[:3, :3]
+        if data_dict.get("flip_y", False):
+            m[:3, :3] = np.diag([-1.0, 1.0, 1.0]).astype(np.float32) @ m[:3, :3]
+        if "noise_rot" in data_dict:
+            # angle2matrix: active rotation taking original points to
+            # augmented points (x toward y)
+            a = data_dict["noise_rot"]
+            rot = np.array(
+                [
+                    [np.cos(a), -np.sin(a), 0],
+                    [np.sin(a), np.cos(a), 0],
+                    [0, 0, 1],
+                ],
+                dtype=np.float32,
+            )
+            m[:3, :3] = rot @ m[:3, :3]
+        if "noise_scale" in data_dict:
+            m[:3, :3] *= data_dict["noise_scale"]
+        data_dict["lidar_aug_matrix"] = m
+        return data_dict
+
+    def prepare_data(self, data_dict):
+        """augment -> aug-matrix -> class filter -> encode -> process
+        (dataset.py:158-218). Returns None for empty-gt training frames so the
+        caller can resample (the reference re-draws a random index)."""
+        if self.training:
+            assert "gt_boxes" in data_dict
+            gt_boxes_mask = np.array(
+                [n in self.class_names for n in data_dict["gt_names"]], dtype=bool
+            )
+            calib = data_dict.get("calib")
+            data_dict = self.data_augmentor.forward(
+                {**data_dict, "gt_boxes_mask": gt_boxes_mask}
+            )
+            if calib is not None:
+                data_dict["calib"] = calib
+
+        data_dict = self.set_lidar_aug_matrix(data_dict)
+
+        if data_dict.get("gt_boxes", None) is not None:
+            selected = [
+                i for i, n in enumerate(data_dict["gt_names"])
+                if n in self.class_names
+            ]
+            data_dict["gt_boxes"] = data_dict["gt_boxes"][selected]
+            data_dict["gt_names"] = data_dict["gt_names"][selected]
+            gt_classes = np.array(
+                [self.class_names.index(n) + 1 for n in data_dict["gt_names"]],
+                dtype=np.float32,
+            )
+            data_dict["gt_boxes"] = np.concatenate(
+                [data_dict["gt_boxes"], gt_classes.reshape(-1, 1)], axis=1
+            ).astype(np.float32)
+            if data_dict.get("gt_boxes2d", None) is not None:
+                data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][selected]
+
+        if data_dict.get("points", None) is not None:
+            data_dict = self.point_feature_encoder.forward(data_dict)
+        data_dict = self.data_processor.forward(data_dict)
+
+        if self.training and len(data_dict.get("gt_boxes", [])) == 0:
+            return None  # caller resamples (dataset.py:212-214)
+
+        data_dict.pop("gt_names", None)
+        return data_dict
+
+    # ------------------------------------------------------------------
+    def pad_to_static(self, data_dict):
+        """Pad a prepared sample to the static shapes the TPU graph expects."""
+        out = dict(data_dict)
+        pts = data_dict["points"].astype(np.float32)
+        n = min(len(pts), self.max_points)
+        points = np.zeros((self.max_points, pts.shape[1]), np.float32)
+        points[:n] = pts[:n]
+        valid = np.zeros((self.max_points,), bool)
+        valid[:n] = True
+        out["points"] = points
+        out["points_valid"] = valid
+
+        if data_dict.get("gt_boxes", None) is not None:
+            gt = data_dict["gt_boxes"]
+            m = min(len(gt), self.max_gt_boxes)
+            boxes = np.zeros((self.max_gt_boxes, gt.shape[1]), np.float32)
+            boxes[:m] = gt[:m]
+            out["gt_boxes"] = boxes
+
+        if data_dict.get("gt_boxes2d", None) is not None:
+            b2 = np.asarray(data_dict["gt_boxes2d"], np.float32).reshape(-1, 4)
+            m = min(len(b2), self.max_gt_boxes)
+            boxes2d = np.zeros((self.max_gt_boxes, 4), np.float32)
+            boxes2d[:m] = b2[:m]
+            out["gt_boxes2d"] = boxes2d
+
+        if data_dict.get("images", None) is not None:
+            img = data_dict["images"]
+            h, w = self.image_size
+            padded = np.zeros((h, w, 3), np.float32)
+            ch, cw = min(img.shape[0], h), min(img.shape[1], w)
+            padded[:ch, :cw] = img[:ch, :cw]
+            out["images"] = padded
+
+        if "lidar_aug_matrix" not in out:
+            out["lidar_aug_matrix"] = np.eye(4, dtype=np.float32)
+        return out
+
+    @staticmethod
+    def collate_batch(batch_list):
+        """Stack static-shape samples into a batch dict of numpy arrays."""
+        stack_keys = [
+            "points", "points_valid", "gt_boxes", "gt_boxes2d", "images",
+            "trans_lidar_to_cam", "trans_cam_to_img", "lidar_aug_matrix",
+            "image_shape",
+        ]
+        out = {}
+        for key in batch_list[0]:
+            vals = [s[key] for s in batch_list]
+            if key in stack_keys:
+                out[key] = np.stack(vals, axis=0)
+            else:
+                out[key] = vals  # metadata (frame_id, calib objects, ...)
+        out["batch_size"] = len(batch_list)
+        return out

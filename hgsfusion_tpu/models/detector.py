@@ -102,13 +102,13 @@ class HGSFusionModel(nn.Module):
 
         # ---- camera branch: DDN backbone + per-scale channel reduce
         images = preprocess_images(batch["images"])  # (B, H, W, 3)
-        backbone = (
-            resnet101_deeplab() if cfg.image_backbone == "ResNet101"
-            else resnet50_deeplab()
-        )
-        taps = nn.remat(lambda mdl, x: mdl(x, train))(
-            backbone.bind if False else backbone, images
-        ) if False else backbone(images, train)
+        from .resnet import ResNetDeepLabBackbone
+
+        stage_sizes = (3, 4, 23, 3) if cfg.image_backbone == "ResNet101" else (3, 4, 6, 3)
+        # named "ddn_backbone" so the optimizer's freeze mask can target it
+        # (reference freezes it: ddn_template.freeze_backbone_func:72-75)
+        backbone = ResNetDeepLabBackbone(stage_sizes=stage_sizes, name="ddn_backbone")
+        taps = backbone(images, train)
         feats = [
             ConvBNReLU(
                 cfg.channel_reduce_out, kernel_size=(1, 1), use_bias=False,

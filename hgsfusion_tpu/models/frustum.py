@@ -124,11 +124,26 @@ class FrustumToVoxelMultiScale(nn.Module):
         from ..ops.grid_sample import grid_sample_2d
 
         uv = grid[..., 0:2]
-        sampled = [grid_sample_2d(f, uv) for f in features]  # (B,Y,X,Z,C) each
         if self.fuse_mode == "ADD":
-            return sum(sampled)
-        vox = jnp.concatenate(sampled, axis=-1)
-        vox = nn.Dense(self.out_channels, use_bias=True, name="reduce")(vox)
+            return sum(grid_sample_2d(f, uv) for f in features)
+        # Dense(concat(samples)) computed as a sum of per-scale matmuls so the
+        # (B, Y, X, Z, sum_C) concat volume (GBs at full VoD scale) is never
+        # materialized; the kernel is stored concatenated for ckpt parity.
+        c_per = [f.shape[-1] for f in features]
+        kernel = self.param(
+            "reduce_kernel",
+            nn.initializers.lecun_normal(),
+            (sum(c_per), self.out_channels),
+        )
+        bias = self.param("reduce_bias", nn.initializers.zeros, (self.out_channels,))
+        vox = bias
+        off = 0
+        for f, c in zip(features, c_per):
+            sampled = grid_sample_2d(f, uv)  # (B, Y, X, Z, c)
+            vox = vox + jnp.einsum(
+                "byxzc,co->byxzo", sampled, kernel[off : off + c]
+            )
+            off += c
         vox = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(vox)

@@ -1,0 +1,45 @@
+"""Checkpointing: orbax save/restore + auto-resume.
+
+Reference: tools/train_utils/train_utils.py:197-254 (torch pickle ckpts,
+max-keep pruning, periodic 'latest') and tools/train.py:146-158 (auto-resume
+from the newest loadable checkpoint). Orbax gives atomic, async-capable,
+sharding-aware checkpoints instead of CPU-tensor pickles.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir, max_to_keep: int = 30):
+        self.ckpt_dir = Path(ckpt_dir).absolute()
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            str(self.ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state, wait: bool = False):
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Restore into the structure of `state_template` (auto-resume when
+        step is None; returns None if no checkpoint exists)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None, None
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+        return restored, step

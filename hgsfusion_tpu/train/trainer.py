@@ -1,0 +1,141 @@
+"""Train/eval step factories and the training loop.
+
+Reference: tools/train_utils/train_utils.py:11-143 (per-step LR schedule,
+grad clip, AMP) and tools/train.py. TPU-first: the whole step — forward,
+target assignment, losses, grad, optimizer — is one jitted graph over global
+(sharded) arrays; gradient all-reduce is inserted by XLA. Loss scaling / AMP
+is unnecessary in bf16-on-TPU; mixed precision is a dtype policy instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.anchor_head import anchor_head_loss
+from ..models.anchors import TargetAssigner
+from ..models.detector import post_process
+from ..models.occupancy import occupancy_loss
+from ..utils.box_coder import ResidualCoder
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+MODEL_BATCH_KEYS = (
+    "points", "points_valid", "images", "trans_lidar_to_cam",
+    "trans_cam_to_img", "lidar_aug_matrix", "gt_boxes",
+)
+
+
+def model_inputs(batch: Dict) -> Dict:
+    """Strip host-side metadata (frame ids, calib objects) from a batch."""
+    return {k: batch[k] for k in MODEL_BATCH_KEYS if k in batch}
+
+
+def create_train_state(model, tx, example_batch, rng) -> TrainState:
+    variables = model.init(rng, model_inputs(example_batch), False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model, assigner: TargetAssigner, tx,
+                    loss_weights: Dict, cfg, use_occ_loss: bool = True,
+                    occ_max_half_extent: int = 32) -> Callable:
+    """One jitted training step: loss = rpn (cls+loc+dir) + occupancy focal.
+
+    Mirrors CaDDN.get_training_loss (caddn.py:58-99) with USE_DEPTH False.
+    """
+    anchors = assigner.flat_anchors
+
+    def loss_fn(params, batch_stats, batch):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), True, mutable=["batch_stats"],
+        )
+        targets = assigner(batch["gt_boxes"])
+        rpn_loss, tb = anchor_head_loss(
+            preds, targets, anchors, cfg.num_class, loss_weights,
+            dir_offset=cfg.dir_offset, num_dir_bins=cfg.num_dir_bins,
+        )
+        total = rpn_loss
+        if use_occ_loss and "occupancy" in preds:
+            occ = occupancy_loss(
+                preds["occupancy"], batch["gt_boxes"], cfg.grid_size,
+                cfg.pc_range, cfg.voxel_size, occ_max_half_extent,
+            )
+            tb = {**tb, "loss_occ": occ}
+            total = total + occ
+        tb = {**tb, "loss": total}
+        return total, (tb, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch):
+        (_, (tb, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, step=state.step + 1,
+        )
+        return new_state, tb
+
+    return train_step
+
+
+def make_eval_step(model, assigner: TargetAssigner, cfg, post_cfg: Dict) -> Callable:
+    """One jitted inference step: forward + decode + NMS, fixed shapes."""
+    anchors = assigner.flat_anchors
+    coder = assigner.box_coder
+
+    def eval_step(params, batch_stats, batch):
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), False,
+        )
+        return post_process(
+            preds, anchors, coder, cfg,
+            score_thresh=post_cfg.get("SCORE_THRESH", 0.1),
+            nms_thresh=post_cfg["NMS_CONFIG"]["NMS_THRESH"],
+            pre_max_size=post_cfg["NMS_CONFIG"]["NMS_PRE_MAXSIZE"],
+            post_max_size=post_cfg["NMS_CONFIG"]["NMS_POST_MAXSIZE"],
+        )
+
+    return eval_step
+
+
+def detections_to_pred_dicts(out: Dict, batch: Dict) -> list:
+    """Fixed-shape device outputs -> per-frame variable-length numpy dicts."""
+    import numpy as np
+
+    boxes = np.asarray(out["boxes"])
+    scores = np.asarray(out["scores"])
+    labels = np.asarray(out["labels"])
+    valid = np.asarray(out["valid"])
+    pred_dicts = []
+    for i in range(boxes.shape[0]):
+        m = valid[i]
+        pred_dicts.append(
+            {
+                "pred_boxes": boxes[i][m],
+                "pred_scores": scores[i][m],
+                "pred_labels": labels[i][m].astype(np.int64),
+            }
+        )
+    return pred_dicts

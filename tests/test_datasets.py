@@ -1,0 +1,171 @@
+import numpy as np
+import pytest
+
+from hgsfusion_tpu.config import ConfigDict, load_config, model_config_from_yaml
+from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+from hgsfusion_tpu.datasets.vod import VODDataset
+from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+
+
+def _small_vod_cfg(root, with_images=True):
+    items = ["points"]
+    if with_images:
+        items += ["images", "calib_matricies", "gt_boxes2d"]
+    feats = ["x", "y", "z", "rcs", "v_r", "v_r_comp", "time"] + [
+        f"label{i}" for i in range(1, 9)
+    ] + ["idf1", "idf2"]
+    return ConfigDict(
+        {
+            "DATASET": "VODDataset",
+            "DATA_PATH": str(root),
+            "POINT_CLOUD_RANGE": [0, -25.6, -3, 51.2, 25.6, 2],
+            "DATA_SPLIT": {"train": "train", "test": "val"},
+            "INFO_PATH": {
+                "train": ["kitti_infos_train.pkl"],
+                "test": ["kitti_infos_val.pkl"],
+            },
+            "GET_ITEM_LIST": items,
+            "FOV_POINTS_ONLY": True,
+            "USE_VIRTUAL_POINTS": True,
+            "VIRTUAL_POINT_PREFIX": "virtual_points",
+            "MAX_POINTS": 1024,
+            "MAX_GT_BOXES": 16,
+            "IMAGE_SIZE": [128, 256],
+            "POINT_FEATURE_ENCODING": {
+                "encoding_type": "absolute_coordinates_encoding",
+                "used_feature_list": feats,
+                "src_feature_list": feats,
+            },
+            "DATA_PROCESSOR": [
+                {"NAME": "mask_points_and_boxes_outside_range",
+                 "REMOVE_OUTSIDE_BOXES": True},
+                {"NAME": "calculate_grid_size", "VOXEL_SIZE": [0.16, 0.16, 0.16]},
+                {"NAME": "shuffle_points",
+                 "SHUFFLE_ENABLED": {"train": True, "test": False}},
+            ],
+            "DATA_AUGMENTOR": {
+                "DISABLE_AUG_LIST": ["gt_sampling"],
+                "AUG_CONFIG_LIST": [
+                    {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
+                    {"NAME": "random_image_flip_fusion",
+                     "ALONG_AXIS_LIST": ["horizontal"]},
+                    {"NAME": "random_world_rotation",
+                     "WORLD_ROT_ANGLE": [-0.3926, 0.3926]},
+                    {"NAME": "random_world_scaling",
+                     "WORLD_SCALE_RANGE": [0.95, 1.05]},
+                ],
+            },
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vod_synth")
+    make_synthetic_kitti(root, num_frames=3)
+    return root
+
+
+def _make_dataset(root, training, with_images=True):
+    cfg = _small_vod_cfg(root, with_images)
+    ds = VODDataset(cfg, class_names=["Car", "Pedestrian", "Cyclist"],
+                    training=training)
+    if not ds.infos:
+        ds.create_infos(splits=("train", "val"))
+        ds.load_infos()
+    return ds
+
+
+class TestSyntheticPipeline:
+    def test_infos_and_getitem_train(self, synthetic_root):
+        np.random.seed(0)
+        ds = _make_dataset(synthetic_root, training=True)
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["points"].shape == (1024, 17)
+        assert item["points_valid"].shape == (1024,)
+        assert item["points_valid"].sum() > 0
+        assert item["gt_boxes"].shape == (16, 8)
+        assert item["gt_boxes"][:, -1].max() >= 1
+        assert item["images"].shape == (128, 256, 3)
+        assert item["trans_lidar_to_cam"].shape == (4, 4)
+        assert item["trans_cam_to_img"].shape == (3, 4)
+        assert item["lidar_aug_matrix"].shape == (4, 4)
+        # indicator flags present: both raw-real (1) and virtual (0) idf1
+        valid_pts = item["points"][item["points_valid"]]
+        assert set(np.unique(valid_pts[:, 15])) <= {0.0, 1.0}
+
+    def test_getitem_eval_and_collate(self, synthetic_root):
+        ds = _make_dataset(synthetic_root, training=False)
+        batch = DatasetTemplate.collate_batch([ds[0], ds[1]])
+        assert batch["points"].shape == (2, 1024, 17)
+        assert batch["images"].shape == (2, 128, 256, 3)
+        assert batch["batch_size"] == 2
+        assert len(batch["frame_id"]) == 2
+
+    def test_aug_matrix_consistency_no_flip(self, synthetic_root):
+        """Without a flip, lidar_aug_matrix maps un-augmented gt centers to
+        the augmented ones (this is what BEV_AUG inverts in the frustum grid).
+        With a flip, the reference additionally re-maps boxes through image
+        space (random_image_flip_fusion), intentionally breaking this
+        invariant — see test_flip_image_remap_quirk."""
+        ds = _make_dataset(synthetic_root, training=True)
+        for seed in range(20):
+            np.random.seed(seed)
+            raw = ds.compose_input_dict(0)
+            raw_centers = raw["gt_boxes"][:, :3].copy()
+            np.random.seed(seed)
+            item_dict = ds.prepare_data(ds.compose_input_dict(0))
+            if item_dict is None or item_dict.get("flip_x", False):
+                continue
+            m = item_dict["lidar_aug_matrix"]
+            aug_centers = item_dict["gt_boxes"][:, :3]
+            if len(aug_centers) != len(raw_centers):
+                continue  # a box was dropped by the range mask
+            mapped = (m[:3, :3] @ raw_centers.T).T + m[:3, 3]
+            np.testing.assert_allclose(mapped, aug_centers, atol=1e-4)
+            return
+        raise AssertionError("no flip-free augmentation draw in 20 seeds")
+
+    def test_flip_image_remap_quirk(self, synthetic_root):
+        """Reference parity: when flip_x fires, random_image_flip_fusion maps
+        the already-flipped boxes through image space, landing them ~back at
+        their ORIGINAL y (verified against the reference's own calibration
+        code; augmentor_utils.py:137-146). Points stay flipped."""
+        ds = _make_dataset(synthetic_root, training=True)
+        raw = ds.compose_input_dict(0)
+        raw_y = raw["gt_boxes"][:, 1].copy()
+        for seed in range(20):
+            np.random.seed(seed)
+            d = ds.compose_input_dict(0)
+            mask = np.ones(len(d["gt_boxes"]), bool)
+            out = ds.data_augmentor.queue[0][0](d, ds.data_augmentor.queue[0][1])
+            if not out["flip_x"]:
+                continue
+            out = ds.data_augmentor.queue[1][0](out, ds.data_augmentor.queue[1][1])
+            # boxes ~back at original y (small offset from camera extrinsics)
+            np.testing.assert_allclose(out["gt_boxes"][:, 1], raw_y, atol=0.8)
+            return
+        raise AssertionError("flip never fired in 20 seeds")
+
+
+class TestConfig:
+    def test_load_vod_yaml(self):
+        cfg = load_config("/root/repo/configs/hgsfusion_vod.yaml")
+        assert cfg.CLASS_NAMES == ["Car", "Pedestrian", "Cyclist"]
+        assert cfg.DATA_CONFIG.DATASET == "VODDataset"  # from base config
+        assert cfg.MODEL.DENSE_HEAD.NAME == "AnchorHeadSingle"
+        mc = model_config_from_yaml(cfg)
+        assert mc.grid_size == (320, 320, 31)
+        assert mc.num_anchors_per_location == 6
+        assert mc.reader_num_input == 29
+        assert mc.aspp_dilation == 6
+
+    def test_load_tj4d_yaml(self):
+        cfg = load_config("/root/repo/configs/hgsfusion_tj4d.yaml")
+        mc = model_config_from_yaml(cfg)
+        assert mc.grid_size == (216, 248, 19)
+        assert mc.reader_num_input == 31
+        assert mc.aspp_dilation == 3
+        assert mc.num_class == 4
+        assert mc.num_anchors_per_location == 8

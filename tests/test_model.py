@@ -1,0 +1,238 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hgsfusion_tpu.models.detector import (
+    HGSFusionConfig,
+    HGSFusionModel,
+    RadarOnlyModel,
+    post_process,
+)
+from hgsfusion_tpu.models.anchors import TargetAssigner, generate_anchors, flatten_anchors
+from hgsfusion_tpu.models.anchor_head import anchor_head_loss
+from hgsfusion_tpu.models.occupancy import occupancy_loss, rasterize_gt_boxes_bev
+from hgsfusion_tpu.utils.box_coder import ResidualCoder
+
+TINY = HGSFusionConfig(
+    pc_range=(0.0, -8.0, -3.0, 16.0, 8.0, 2.0),
+    voxel_size=(0.5, 0.5, 0.5),
+    image_size=(64, 96),
+    disc_num_bins=16,
+    disc_depth_max=16.0,
+    image_backbone="ResNet50",
+)
+
+ANCHOR_CFG = [
+    dict(class_name="Car", anchor_sizes=[[3.9, 1.6, 1.56]],
+         anchor_rotations=[0, 1.57], anchor_bottom_heights=[-1.78],
+         align_center=False, feature_map_stride=1,
+         matched_threshold=0.6, unmatched_threshold=0.45),
+    dict(class_name="Pedestrian", anchor_sizes=[[0.8, 0.6, 1.73]],
+         anchor_rotations=[0, 1.57], anchor_bottom_heights=[-0.6],
+         align_center=False, feature_map_stride=1,
+         matched_threshold=0.5, unmatched_threshold=0.35),
+    dict(class_name="Cyclist", anchor_sizes=[[1.76, 0.6, 1.73]],
+         anchor_rotations=[0, 1.57], anchor_bottom_heights=[-0.6],
+         align_center=False, feature_map_stride=1,
+         matched_threshold=0.5, unmatched_threshold=0.35),
+]
+
+
+def make_tiny_batch(rng, b=1, n=128):
+    pts = np.zeros((b, n, 17), np.float32)
+    pts[..., 0] = rng.uniform(0.5, 15.5, (b, n))
+    pts[..., 1] = rng.uniform(-7.5, 7.5, (b, n))
+    pts[..., 2] = rng.uniform(-2.5, 1.5, (b, n))
+    pts[..., 3:15] = rng.randn(b, n, 12).astype(np.float32)
+    pts[..., 15] = (rng.rand(b, n) > 0.5).astype(np.float32)
+    pts[..., 16] = 1.0
+    images = rng.rand(b, 64, 96, 3).astype(np.float32)
+    l2c = np.tile(
+        np.array(
+            [[0, -1, 0, 0.1], [0, 0, -1, -0.2], [1, 0, 0, 0.3], [0, 0, 0, 1]],
+            np.float32,
+        ),
+        (b, 1, 1),
+    )
+    c2i = np.tile(
+        np.array([[80.0, 0, 48, 0], [0, 80, 32, 0], [0, 0, 1, 0]], np.float32),
+        (b, 1, 1),
+    )
+    gt = np.zeros((b, 8, 8), np.float32)
+    gt[:, 0] = [6.0, 1.0, -0.8, 3.9, 1.6, 1.56, 0.3, 1]
+    gt[:, 1] = [10.0, -2.0, -0.5, 0.8, 0.6, 1.73, -0.5, 2]
+    return {
+        "points": jnp.array(pts),
+        "points_valid": jnp.ones((b, n), bool),
+        "images": jnp.array(images),
+        "trans_lidar_to_cam": jnp.array(l2c),
+        "trans_cam_to_img": jnp.array(c2i),
+        "lidar_aug_matrix": jnp.tile(jnp.eye(4), (b, 1, 1)),
+        "gt_boxes": jnp.array(gt),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_vars(rng=np.random.RandomState(0)):
+    batch = make_tiny_batch(rng)
+    model = HGSFusionModel(cfg=TINY)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch, False)
+    )()
+    return model, variables, batch
+
+
+class TestFullModel:
+    def test_forward_shapes(self, tiny_model_and_vars):
+        model, variables, batch = tiny_model_and_vars
+        preds, _ = jax.jit(
+            lambda v, b: model.apply(v, b, False, mutable=["batch_stats"])
+        )(variables, batch)
+        nx, ny, nz = TINY.grid_size
+        assert nx == 32 and ny == 32 and nz == 10
+        assert preds["cls_preds"].shape == (1, ny, nx, 6 * 3)
+        assert preds["box_preds"].shape == (1, ny, nx, 6 * 7)
+        assert preds["dir_cls_preds"].shape == (1, ny, nx, 6 * 2)
+        assert preds["occupancy"].shape == (1, ny, nx, 1)
+        for v in preds.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_train_losses_and_grads(self, tiny_model_and_vars):
+        model, variables, batch = tiny_model_and_vars
+        assigner = TargetAssigner(
+            ANCHOR_CFG, TINY.grid_size, TINY.pc_range,
+            class_names=TINY.class_names,
+        )
+        loss_weights = {
+            "cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+            "code_weights": [1.0] * 7,
+        }
+
+        def loss_fn(params):
+            preds, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, True, mutable=["batch_stats"],
+            )
+            targets = assigner(batch["gt_boxes"])
+            rpn, tb = anchor_head_loss(
+                preds, targets, assigner.flat_anchors, TINY.num_class, loss_weights
+            )
+            occ = occupancy_loss(
+                preds["occupancy"], batch["gt_boxes"], TINY.grid_size,
+                TINY.pc_range, TINY.voxel_size,
+            )
+            return rpn + occ, tb
+
+        (loss, tb), grads = jax.jit(
+            lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p)
+        )(variables["params"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        # the head must receive gradient
+        g_head = grads["dense_head"]["conv_cls"]["kernel"]
+        assert float(jnp.abs(g_head).max()) > 0
+
+    def test_post_process_fixed_shapes(self, tiny_model_and_vars):
+        model, variables, batch = tiny_model_and_vars
+        preds, _ = model.apply(variables, batch, False, mutable=["batch_stats"])
+        assigner = TargetAssigner(
+            ANCHOR_CFG, TINY.grid_size, TINY.pc_range, class_names=TINY.class_names
+        )
+        out = jax.jit(
+            lambda p: post_process(
+                p, assigner.flat_anchors, ResidualCoder(), TINY,
+                score_thresh=0.0, nms_thresh=0.3, pre_max_size=256,
+                post_max_size=32,
+            )
+        )(preds)
+        assert out["boxes"].shape == (1, 32, 7)
+        assert out["scores"].shape == (1, 32)
+        assert out["labels"].shape == (1, 32)
+        assert out["valid"].shape == (1, 32)
+
+
+class TestRadarOnly:
+    def test_forward(self, rng):
+        batch = make_tiny_batch(rng)
+        model = RadarOnlyModel(cfg=TINY)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        preds, _ = model.apply(variables, batch, False, mutable=["batch_stats"])
+        assert preds["cls_preds"].shape == (1, 32, 32, 18)
+
+
+class TestTargetAssigner:
+    def test_exact_anchor_match(self):
+        """A gt equal to an anchor must label that anchor fg with zero
+        residuals; distant anchors are background."""
+        assigner = TargetAssigner(
+            ANCHOR_CFG, TINY.grid_size, TINY.pc_range, class_names=TINY.class_names
+        )
+        anchors = np.asarray(assigner.flat_anchors)
+        # pick the Car rot-0 anchor at some location
+        idx = np.flatnonzero(
+            (np.abs(anchors[:, 3] - 3.9) < 1e-4) & (np.abs(anchors[:, 6]) < 1e-4)
+        )[200]
+        gt = np.zeros((1, 4, 8), np.float32)
+        gt[0, 0, :7] = anchors[idx]
+        gt[0, 0, 7] = 1  # Car
+        targets = jax.jit(assigner)(jnp.array(gt))
+        labels = np.asarray(targets["box_cls_labels"])[0]
+        assert labels[idx] == 1
+        np.testing.assert_allclose(
+            np.asarray(targets["box_reg_targets"])[0, idx], 0.0, atol=1e-5
+        )
+        assert (labels == 1).sum() >= 1
+        assert (labels == 0).sum() > labels.size * 0.9  # mostly background
+
+    def test_no_gt_all_background(self):
+        assigner = TargetAssigner(
+            ANCHOR_CFG, TINY.grid_size, TINY.pc_range, class_names=TINY.class_names
+        )
+        gt = np.zeros((1, 4, 8), np.float32)
+        targets = assigner(jnp.array(gt))
+        labels = np.asarray(targets["box_cls_labels"])[0]
+        assert np.all(labels == 0)
+
+    def test_anchor_count_matches_reference_formula(self):
+        all_anchors, num_per_loc = generate_anchors(
+            ANCHOR_CFG, (320, 320, 31), (0, -25.6, -3, 51.2, 25.6, 2)
+        )
+        flat = flatten_anchors(all_anchors)
+        assert flat.shape == (320 * 320 * 6, 7)  # 614,400 (SURVEY.md App. A)
+        assert sum(num_per_loc) == 6
+        # anchor x coverage spans the full range inclusive
+        assert np.isclose(flat[:, 0].min(), 0.0) and np.isclose(flat[:, 0].max(), 51.2)
+
+
+class TestOccupancyRaster:
+    def test_box_rasterized(self):
+        gt = np.zeros((1, 2, 8), np.float32)
+        gt[0, 0] = [8.0, 0.0, -0.5, 4.0, 2.0, 1.5, 0.0, 1]
+        target = np.asarray(
+            rasterize_gt_boxes_bev(
+                jnp.array(gt), TINY.grid_size, TINY.pc_range, TINY.voxel_size
+            )
+        )
+        assert target.shape == (1, 32, 32)
+        # center voxel: ix = 8/0.5 = 16, iy = (0+8)/0.5 = 16
+        assert target[0, 16, 16] == 1.0
+        # approximately dims/voxel cells set
+        assert 10 < target[0].sum() < 80
+        # far corner empty
+        assert target[0, 0, 0] == 0.0
+
+    def test_focal_loss_decreases_with_match(self):
+        gt = np.zeros((1, 1, 8), np.float32)
+        gt[0, 0] = [8.0, 0.0, -0.5, 4.0, 2.0, 1.5, 0.0, 1]
+        tgt = rasterize_gt_boxes_bev(
+            jnp.array(gt), TINY.grid_size, TINY.pc_range, TINY.voxel_size
+        )
+        good = tgt[..., None] * 0.98 + 0.01
+        bad = (1 - tgt[..., None]) * 0.98 + 0.01
+        l_good = occupancy_loss(good, jnp.array(gt), TINY.grid_size, TINY.pc_range,
+                                TINY.voxel_size)
+        l_bad = occupancy_loss(bad, jnp.array(gt), TINY.grid_size, TINY.pc_range,
+                               TINY.voxel_size)
+        assert float(l_good) < float(l_bad)
