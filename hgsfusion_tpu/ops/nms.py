@@ -68,13 +68,16 @@ def class_agnostic_nms(box_scores, box_preds, score_thresh: float,
     order), but with static shapes: returns (indices (post_max,), valid mask
     (post_max,)) where indices point into the input arrays.
     """
+    from .topk import exact_top_k
+
     n = box_scores.shape[0]
     ok = box_scores >= score_thresh
     if valid is not None:
         ok = ok & valid
     masked_scores = jnp.where(ok, box_scores, NEG_INF)
     k = min(pre_max_size, n)
-    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    # lax.top_k is pathologically slow on TPU for large k (see ops/topk.py)
+    top_scores, top_idx = exact_top_k(masked_scores, k)
     top_valid = top_scores > NEG_INF / 2
     top_boxes = box_preds[top_idx]
 

@@ -1,0 +1,162 @@
+"""Evaluation CLI: run a checkpoint over the val split and compute official AP.
+
+Reference: tools/test.py + tools/eval_utils/eval_utils.py:315-429 (per-batch
+inference, recall stats, result.pkl, dataset.evaluation). The distributed
+pickle-tmpdir merge becomes a plain gather (single host) / process_allgather
+(multi-host). --infer_time reports per-frame ms with block_until_ready (the
+TPU analog of CUDA_LAUNCH_BLOCKING timing, tools/test.py:142-143).
+"""
+from __future__ import annotations
+
+import argparse
+import pickle
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_file", required=True)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--ckpt_dir", default=None, help="orbax checkpoint dir")
+    p.add_argument("--ckpt_step", type=int, default=None)
+    p.add_argument("--extra_tag", default="default")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--infer_time", action="store_true")
+    p.add_argument("--save_to_file", action="store_true")
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
+    return p.parse_args()
+
+
+def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
+             batch_size=1, infer_time=False, max_frames=None,
+             result_dir=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hgsfusion_tpu.models.anchors import TargetAssigner
+    from hgsfusion_tpu.models.detector import HGSFusionModel
+    from hgsfusion_tpu.ops.rotated_iou import boxes_iou3d
+    from hgsfusion_tpu.train.trainer import (
+        detections_to_pred_dicts, make_eval_step,
+    )
+
+    model = HGSFusionModel(cfg=model_cfg)
+    assigner = TargetAssigner(
+        [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+        model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,
+    )
+    eval_step = jax.jit(
+        make_eval_step(model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
+    )
+    recall_fn = jax.jit(lambda a, b: boxes_iou3d(a, b))
+
+    det_annos = []
+    recall_thresh = list(cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST)
+    recall = {t: 0 for t in recall_thresh}
+    total_gt = 0
+    n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
+    times = []
+    for i0 in range(0, n, batch_size):
+        idxs = list(range(i0, min(i0 + batch_size, n)))
+        samples = [dataset[j] for j in idxs]
+        batch = dataset.collate_batch(samples)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not isinstance(v, list) and k != "batch_size"}
+        t0 = time.perf_counter()
+        out = eval_step(params, batch_stats, jb)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / len(idxs))
+        pred_dicts = detections_to_pred_dicts(out, batch)
+        # recall records (detector3d_template.generate_recall_record:381-423)
+        gt = np.asarray(batch["gt_boxes"])
+        for bi, pd in enumerate(pred_dicts):
+            gt_i = gt[bi][gt[bi][:, -1] > 0]
+            total_gt += len(gt_i)
+            if len(gt_i) and len(pd["pred_boxes"]):
+                iou = np.asarray(
+                    recall_fn(jnp.asarray(gt_i[:, :7]),
+                              jnp.asarray(pd["pred_boxes"][:, :7]))
+                )
+                best = iou.max(axis=1)
+                for t in recall_thresh:
+                    recall[t] += int((best > t).sum())
+        det_annos += dataset.generate_prediction_dicts(
+            batch, pred_dicts, dataset.class_names,
+            output_path=result_dir if result_dir else None,
+        )
+        if (i0 // batch_size) % 50 == 0:
+            logger.info(f"eval {i0}/{n}")
+
+    if infer_time and times:
+        steady = times[2:] or times
+        logger.info(f"inference: {np.mean(steady) * 1000:.1f} ms/frame "
+                    f"({1.0 / np.mean(steady):.2f} FPS)")
+    for t in recall_thresh:
+        logger.info(
+            f"recall@{t}: {recall[t] / max(total_gt, 1):.4f} ({recall[t]}/{total_gt})"
+        )
+    result_str, result_dict = dataset.evaluation(det_annos, dataset.class_names)
+    logger.info("\n" + result_str)
+    return det_annos, result_dict
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hgsfusion_tpu.config import cfg_from_list, load_config, model_config_from_yaml
+    from hgsfusion_tpu.datasets import build_dataset
+    from hgsfusion_tpu.models.detector import HGSFusionModel
+    from hgsfusion_tpu.train.checkpoint import CheckpointManager
+    from hgsfusion_tpu.utils.common import create_logger
+
+    args = parse_args()
+    cfg = load_config(args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(cfg, args.set_cfgs)
+    model_cfg = model_config_from_yaml(cfg)
+
+    out_dir = Path(args.output_dir) / cfg.TAG / args.extra_tag / "eval"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(out_dir / "eval.log")
+
+    dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
+                            logger=logger)
+    sample = dataset[0]
+    batch = dataset.collate_batch([sample])
+    model = HGSFusionModel(cfg=model_cfg)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(
+        {k: jnp.asarray(v) for k, v in batch.items()
+         if not isinstance(v, list) and k != "batch_size"}
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if args.ckpt_dir:
+        # restore params/batch_stats leniently from the saved TrainState
+        mgr = CheckpointManager(args.ckpt_dir)
+        step = args.ckpt_step or mgr.latest_step()
+        raw = mgr.manager.restore(step)
+        params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+        batch_stats = jax.tree_util.tree_map(jnp.asarray, raw["batch_stats"])
+        logger.info(f"loaded checkpoint step {step}")
+
+    result_dir = out_dir / "final_result" if args.save_to_file else None
+    if result_dir:
+        result_dir.mkdir(parents=True, exist_ok=True)
+    det_annos, result_dict = run_eval(
+        cfg, model_cfg, dataset, params, batch_stats, logger,
+        batch_size=args.batch_size, infer_time=args.infer_time,
+        max_frames=args.max_frames, result_dir=result_dir,
+    )
+    with open(out_dir / "result.pkl", "wb") as f:
+        pickle.dump(det_annos, f)
+    logger.info(f"results saved to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

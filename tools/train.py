@@ -1,0 +1,142 @@
+"""Training CLI.
+
+Reference: tools/train.py + tools/train_utils/train_utils.py of the upstream
+repo (arg surface kept close: --cfg_file, --batch_size, --epochs, --ckpt,
+--extra_tag, --set overrides). TPU-native loop: one jitted train step over a
+data mesh; auto-resume from the newest orbax checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_file", required=True)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--extra_tag", default="default")
+    p.add_argument("--ckpt", default=None, help="explicit checkpoint to resume")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--max_ckpt_save_num", type=int, default=30)
+    p.add_argument("--fix_random_seed", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="cap total steps (smoke tests)")
+    p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hgsfusion_tpu.config import cfg_from_list, load_config, model_config_from_yaml
+    from hgsfusion_tpu.datasets import build_dataset
+    from hgsfusion_tpu.models.anchors import TargetAssigner
+    from hgsfusion_tpu.models.detector import HGSFusionModel
+    from hgsfusion_tpu.parallel.mesh import make_mesh, shard_batch
+    from hgsfusion_tpu.train.checkpoint import CheckpointManager
+    from hgsfusion_tpu.train.optim import build_optimizer
+    from hgsfusion_tpu.train.trainer import (
+        TrainState, make_train_step,
+    )
+    from hgsfusion_tpu.utils.common import create_logger
+
+    args = parse_args()
+    cfg = load_config(args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(cfg, args.set_cfgs)
+    model_cfg = model_config_from_yaml(cfg)
+
+    out_dir = Path(args.output_dir) / cfg.TAG / args.extra_tag
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(out_dir / "train.log")
+    logger.info(f"devices: {jax.devices()}")
+
+    if args.fix_random_seed:
+        np.random.seed(666)
+
+    n_dev = len(jax.devices())
+    per_dev_bs = args.batch_size or int(cfg.OPTIMIZATION.get("BATCH_SIZE_PER_DEVICE", 1))
+    batch_size = per_dev_bs * n_dev
+    epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
+
+    dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=True,
+                            logger=logger)
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    total_steps = steps_per_epoch * epochs
+    logger.info(
+        f"dataset {len(dataset)} frames, batch {batch_size}, "
+        f"{steps_per_epoch} steps/epoch, {total_steps} total"
+    )
+
+    model = HGSFusionModel(cfg=model_cfg)
+    assigner = TargetAssigner(
+        [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+        model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,
+    )
+    loss_weights = dict(cfg.MODEL.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS)
+
+    mesh = make_mesh()
+
+    def batches():
+        while True:
+            order = np.random.permutation(len(dataset))
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                samples = [dataset[j] for j in order[i : i + batch_size]]
+                yield dataset.collate_batch(samples)
+
+    batch_iter = batches()
+    example = next(batch_iter)
+
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, False)
+    )({k: jnp.asarray(v) for k, v in example.items() if not isinstance(v, list)
+       and k != "batch_size"})
+    tx, lr_schedule = build_optimizer(
+        cfg.OPTIMIZATION, total_steps, variables["params"]
+    )
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]), step=jnp.zeros((), jnp.int32),
+    )
+
+    ckpt = CheckpointManager(out_dir / "ckpt", max_to_keep=args.max_ckpt_save_num)
+    restored, step0 = ckpt.restore(state, step=args.ckpt and int(args.ckpt))
+    if restored is not None:
+        state = restored
+        logger.info(f"auto-resumed from step {step0}")
+
+    train_step = jax.jit(make_train_step(model, assigner, tx, loss_weights, model_cfg))
+
+    start_step = int(state.step)
+    t_start = time.time()
+    for step in range(start_step, total_steps):
+        if args.max_steps is not None and step - start_step >= args.max_steps:
+            break
+        batch = shard_batch(next(batch_iter), mesh)
+        state, tb = train_step(state, batch)
+        if step % 50 == 0 or step == total_steps - 1:
+            tb = {k: float(v) for k, v in tb.items()}
+            lr = float(lr_schedule(step))
+            logger.info(
+                f"step {step}/{total_steps} loss {tb['loss']:.4f} "
+                f"(cls {tb.get('rpn_loss_cls', 0):.4f} loc "
+                f"{tb.get('rpn_loss_loc', 0):.4f} occ {tb.get('loss_occ', 0):.4f}) "
+                f"lr {lr:.2e} {(time.time() - t_start):.0f}s"
+            )
+        if (step + 1) % steps_per_epoch == 0:
+            ckpt.save(step + 1, jax.device_get(state))
+            logger.info(f"saved checkpoint at step {step + 1}")
+    ckpt.save(int(state.step), jax.device_get(state), wait=True)
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
