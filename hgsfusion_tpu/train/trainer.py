@@ -42,6 +42,17 @@ def model_inputs(batch: Dict) -> Dict:
     return {k: batch[k] for k in MODEL_BATCH_KEYS if k in batch}
 
 
+def device_batch(batch: Dict) -> Dict:
+    """Keep only the array leaves a jitted step can consume."""
+    import numpy as np
+
+    return {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, (np.ndarray, jnp.ndarray)) and k != "batch_size"
+    }
+
+
 def create_train_state(model, tx, example_batch, rng) -> TrainState:
     variables = model.init(rng, model_inputs(example_batch), False)
     params = variables["params"]

@@ -43,7 +43,7 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     from hgsfusion_tpu.models.detector import HGSFusionModel
     from hgsfusion_tpu.ops.rotated_iou import boxes_iou3d
     from hgsfusion_tpu.train.trainer import (
-        detections_to_pred_dicts, make_eval_step,
+        detections_to_pred_dicts, device_batch, make_eval_step,
     )
 
     model = HGSFusionModel(cfg=model_cfg)
@@ -66,8 +66,7 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
         idxs = list(range(i0, min(i0 + batch_size, n)))
         samples = [dataset[j] for j in idxs]
         batch = dataset.collate_batch(samples)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if not isinstance(v, list) and k != "batch_size"}
+        jb = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
         t0 = time.perf_counter()
         out = eval_step(params, batch_stats, jb)
         jax.block_until_ready(out)

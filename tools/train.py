@@ -44,7 +44,7 @@ def main():
     from hgsfusion_tpu.train.checkpoint import CheckpointManager
     from hgsfusion_tpu.train.optim import build_optimizer
     from hgsfusion_tpu.train.trainer import (
-        TrainState, make_train_step,
+        TrainState, device_batch, make_train_step,
     )
     from hgsfusion_tpu.utils.common import create_logger
 
@@ -69,6 +69,11 @@ def main():
 
     dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=True,
                             logger=logger)
+    if len(dataset) == 0:
+        raise SystemExit(
+            f"dataset is empty — generate info files first: "
+            f"python tools/create_infos.py --cfg_file {args.cfg_file}"
+        )
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     total_steps = steps_per_epoch * epochs
     logger.info(
@@ -120,7 +125,7 @@ def main():
     for step in range(start_step, total_steps):
         if args.max_steps is not None and step - start_step >= args.max_steps:
             break
-        batch = shard_batch(next(batch_iter), mesh)
+        batch = shard_batch(device_batch(next(batch_iter)), mesh)
         state, tb = train_step(state, batch)
         if step % 50 == 0 or step == total_steps - 1:
             tb = {k: float(v) for k, v in tb.items()}
