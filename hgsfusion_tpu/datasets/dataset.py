@@ -70,7 +70,8 @@ class DatasetTemplate:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
-    def set_lidar_aug_matrix(self, data_dict):
+    @staticmethod
+    def set_lidar_aug_matrix(data_dict):
         """Record the composed flip/rot/scale as a 4x4 (dataset.py:134-156),
         used to undo BEV augmentation in the frustum grid (BEV_AUG)."""
         m = np.eye(4, dtype=np.float32)

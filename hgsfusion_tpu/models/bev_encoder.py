@@ -36,6 +36,7 @@ class _SubMConvBN(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
@@ -43,7 +44,7 @@ class _SubMConvBN(nn.Module):
         # sites, so the dense emulation must ignore anything stored there
         y = nn.Conv(
             self.features, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
-            use_bias=self.use_bias, name="conv",
+            use_bias=self.use_bias, dtype=self.dtype, name="conv",
         )(x * mask.astype(x.dtype))
         y = y * mask.astype(y.dtype)
         y = MaskedBatchNorm(self.features, eps=1e-3, momentum=0.01, name="bn")(
@@ -59,13 +60,18 @@ class SparseBasicBlockV(nn.Module):
     """
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        x = nn.relu(_SubMConvBN(self.features, name="conv0")(x, mask, train))
+        x = nn.relu(
+            _SubMConvBN(self.features, dtype=self.dtype, name="conv0")(x, mask, train)
+        )
         identity = x
-        out = nn.relu(_SubMConvBN(self.features, name="conv1")(x, mask, train))
-        out = _SubMConvBN(self.features, name="conv2")(out, mask, train)
+        out = nn.relu(
+            _SubMConvBN(self.features, dtype=self.dtype, name="conv1")(x, mask, train)
+        )
+        out = _SubMConvBN(self.features, dtype=self.dtype, name="conv2")(out, mask, train)
         return nn.relu(out + identity) * mask.astype(out.dtype)
 
 
@@ -76,12 +82,15 @@ class SparseBasicBlock(nn.Module):
     """
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         identity = x
-        out = nn.relu(_SubMConvBN(self.features, name="conv1")(x, mask, train))
-        out = _SubMConvBN(self.features, name="conv2")(out, mask, train)
+        out = nn.relu(
+            _SubMConvBN(self.features, dtype=self.dtype, name="conv1")(x, mask, train)
+        )
+        out = _SubMConvBN(self.features, dtype=self.dtype, name="conv2")(out, mask, train)
         return nn.relu(out + identity) * mask.astype(out.dtype)
 
 
@@ -89,12 +98,13 @@ class _Downsample(nn.Module):
     """SparseConv2d 3x3/2 (no bias) -> masked BN -> ReLU; grows the active set."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         y = nn.Conv(
             self.features, kernel_size=(3, 3), strides=(2, 2),
-            padding=((1, 1), (1, 1)), use_bias=False, name="conv",
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv",
         )(x)
         new_mask = _dilate_mask_3x3_s2(mask)
         y = y * new_mask.astype(y.dtype)
@@ -112,28 +122,32 @@ class PillarResNet18BEV(nn.Module):
 
     in_planes: int = 32
     out_indices: Sequence[int] = (0, 1, 2)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
         outs = []
         # stage 1 (stride 1, 32ch)
-        x = SparseBasicBlockV(32, name="conv1_block0")(x, mask, train)
-        x = SparseBasicBlock(32, name="conv1_block1")(x, mask, train)
+        x = SparseBasicBlockV(32, dtype=dt, name="conv1_block0")(x, mask, train)
+        x = SparseBasicBlock(32, dtype=dt, name="conv1_block1")(x, mask, train)
         outs.append((x, mask))
         # stage 2 (stride 2, 64ch)
-        x, mask = _Downsample(64, name="conv2_down")(x, mask, train)
-        x = SparseBasicBlock(64, name="conv2_block0")(x, mask, train)
-        x = SparseBasicBlock(64, name="conv2_block1")(x, mask, train)
+        x, mask = _Downsample(64, dtype=dt, name="conv2_down")(x, mask, train)
+        x = SparseBasicBlock(64, dtype=dt, name="conv2_block0")(x, mask, train)
+        x = SparseBasicBlock(64, dtype=dt, name="conv2_block1")(x, mask, train)
         outs.append((x, mask))
         # stage 3 (stride 4, 128ch)
-        x, mask = _Downsample(128, name="conv3_down")(x, mask, train)
-        x = SparseBasicBlock(128, name="conv3_block0")(x, mask, train)
-        x = SparseBasicBlock(128, name="conv3_block1")(x, mask, train)
+        x, mask = _Downsample(128, dtype=dt, name="conv3_down")(x, mask, train)
+        x = SparseBasicBlock(128, dtype=dt, name="conv3_block0")(x, mask, train)
+        x = SparseBasicBlock(128, dtype=dt, name="conv3_block1")(x, mask, train)
         outs.append((x, mask))
         # stage 4 (stride 8, 256ch)
-        x, mask = _Downsample(256, name="conv4_down")(x, mask, train)
-        x = SparseBasicBlock(256, name="conv4_block0")(x, mask, train)
-        x = SparseBasicBlock(256, name="conv4_block1")(x, mask, train)
+        x, mask = _Downsample(256, dtype=dt, name="conv4_down")(x, mask, train)
+        x = SparseBasicBlock(256, dtype=dt, name="conv4_block0")(x, mask, train)
+        x = SparseBasicBlock(256, dtype=dt, name="conv4_block1")(x, mask, train)
         outs.append((x, mask))
         return [outs[i][0] for i in self.out_indices]
 
@@ -142,17 +156,18 @@ class _ConvBNReLU2x(nn.Module):
     """Two (conv3x3 no-bias -> BN -> ReLU) stacks (lss_fpn conv34/conv23)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(2):
             x = nn.Conv(
                 self.features, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
-                use_bias=False, name=f"conv{i}",
+                use_bias=False, dtype=self.dtype, name=f"conv{i}",
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name=f"bn{i}",
+                dtype=self.dtype, name=f"bn{i}",
             )(x)
             x = nn.relu(x)
         return x
@@ -168,16 +183,19 @@ class FPNLSS(nn.Module):
 
     out_channels: Sequence[int] = (128, 128)
     scale_factor: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, train: bool):
         x1, x2, x3 = feats  # strides 1, 2, 4 (e.g. 32@320, 64@160, 128@80)
         up3 = upsample_bilinear_align_corners(x3, self.scale_factor)
         x34 = jnp.concatenate([x2, up3], axis=-1)
-        x34 = _ConvBNReLU2x(self.out_channels[1], name="conv34")(x34, train)
+        x34 = _ConvBNReLU2x(self.out_channels[1], dtype=self.dtype,
+                            name="conv34")(x34, train)
         x34 = upsample_bilinear_align_corners(x34, self.scale_factor)
         x23 = jnp.concatenate([x1, x34], axis=-1)
-        return _ConvBNReLU2x(self.out_channels[0], name="conv23")(x23, train)
+        return _ConvBNReLU2x(self.out_channels[0], dtype=self.dtype,
+                             name="conv23")(x23, train)
 
 
 class PillarNetRadar(nn.Module):
@@ -189,10 +207,12 @@ class PillarNetRadar(nn.Module):
 
     out_indices: Sequence[int] = (0, 1, 2)
     neck_out_channels: Sequence[int] = (128, 128)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, pillar_bev, occ_mask, train: bool):
-        feats = PillarResNet18BEV(out_indices=self.out_indices, name="backbone")(
-            pillar_bev, occ_mask.astype(pillar_bev.dtype), train
-        )
-        return FPNLSS(out_channels=self.neck_out_channels, name="neck")(feats, train)
+        feats = PillarResNet18BEV(
+            out_indices=self.out_indices, dtype=self.dtype, name="backbone"
+        )(pillar_bev, occ_mask.astype(pillar_bev.dtype), train)
+        return FPNLSS(out_channels=self.neck_out_channels, dtype=self.dtype,
+                      name="neck")(feats, train)

@@ -67,6 +67,9 @@ class HGSFusionConfig:
     dir_offset: float = 0.78539
     dir_limit_offset: float = 0.0
     code_size: int = 7
+    # compute dtype for the conv-heavy branches ("float32" | "bfloat16");
+    # params, BN statistics, geometry, and head outputs stay f32
+    compute_dtype: str = "float32"
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -79,6 +82,12 @@ class HGSFusionConfig:
     @property
     def num_class(self) -> int:
         return len(self.class_names)
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def disc_cfg(self) -> Dict[str, Any]:
@@ -107,12 +116,14 @@ class HGSFusionModel(nn.Module):
         stage_sizes = (3, 4, 23, 3) if cfg.image_backbone == "ResNet101" else (3, 4, 6, 3)
         # named "ddn_backbone" so the optimizer's freeze mask can target it
         # (reference freezes it: ddn_template.freeze_backbone_func:72-75)
-        backbone = ResNetDeepLabBackbone(stage_sizes=stage_sizes, name="ddn_backbone")
+        backbone = ResNetDeepLabBackbone(
+            stage_sizes=stage_sizes, dtype=cfg.dtype, name="ddn_backbone"
+        )
         taps = backbone(images, train)
         feats = [
             ConvBNReLU(
                 cfg.channel_reduce_out, kernel_size=(1, 1), use_bias=False,
-                name=f"channel_reduce_{i}",
+                dtype=cfg.dtype, name=f"channel_reduce_{i}",
             )(t, train)
             for i, t in enumerate(taps)
         ]
@@ -127,7 +138,7 @@ class HGSFusionModel(nn.Module):
             cfg.image_size, bda=batch.get("lidar_aug_matrix"),
         )
         voxel = FrustumToVoxelMultiScale(
-            out_channels=cfg.f2v_out_channels, name="f2v"
+            out_channels=cfg.f2v_out_channels, dtype=cfg.dtype, name="f2v"
         )(feats, grid, train)  # (B, Y, X, Z, C)
 
         # ---- radar branch
@@ -135,23 +146,27 @@ class HGSFusionModel(nn.Module):
             num_input_features=cfg.reader_num_input,
             pillar_size=cfg.voxel_size[0],
             pc_range=cfg.pc_range,
+            dtype=cfg.dtype,
             name="pillar_net",
         )(batch["points"], batch["points_valid"], train)
         radar_bev = PillarNetRadar(
             out_indices=cfg.backbone_out_indices,
             neck_out_channels=cfg.neck_out_channels,
+            dtype=cfg.dtype,
             name="radar_backbone",
         )(pillar_bev, occ_mask, train)
 
         # ---- DSM spatial sync: collapse + occupancy gate
         image_bev = Conv2DCollapse(
-            num_bev_features=cfg.radar_input_channels, name="map_to_bev"
+            num_bev_features=cfg.radar_input_channels, dtype=cfg.dtype,
+            name="map_to_bev",
         )(voxel, train)
         gated, occupancy = RadarOccupancy2D(
             radar_input_channels=cfg.radar_input_channels,
             use_aspp=cfg.use_aspp,
             aspp_dilation=cfg.aspp_dilation,
             fuse_mode=cfg.occ_fuse_mode,
+            dtype=cfg.dtype,
             name="radar_occupancy",
         )(image_bev, radar_bev, train)
 
@@ -159,6 +174,7 @@ class HGSFusionModel(nn.Module):
         fused = FusionAfterBEVSE(
             image_out_channels=cfg.fusion_image_out,
             radar_out_channels=cfg.fusion_radar_out,
+            dtype=cfg.dtype,
             name="fusion_after_bev",
         )(gated, radar_bev, train)
 

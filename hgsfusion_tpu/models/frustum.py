@@ -116,6 +116,7 @@ class FrustumToVoxelMultiScale(nn.Module):
 
     out_channels: int = 128
     fuse_mode: str = "CONCAT"
+    dtype: object = None  # compute dtype for the reduce matmul
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], grid, train: bool):
@@ -136,15 +137,19 @@ class FrustumToVoxelMultiScale(nn.Module):
             (sum(c_per), self.out_channels),
         )
         bias = self.param("reduce_bias", nn.initializers.zeros, (self.out_channels,))
-        vox = bias
+        cdt = self.dtype or jnp.float32
+        vox = bias.astype(jnp.float32)
         off = 0
         for f, c in zip(features, c_per):
-            sampled = grid_sample_2d(f, uv)  # (B, Y, X, Z, c)
+            sampled = grid_sample_2d(f.astype(cdt), uv)  # (B, Y, X, Z, c)
             vox = vox + jnp.einsum(
-                "byxzc,co->byxzo", sampled, kernel[off : off + c]
+                "byxzc,co->byxzo", sampled, kernel[off : off + c].astype(cdt),
+                preferred_element_type=jnp.float32,
             )
             off += c
+        vox = vox.astype(cdt)
         vox = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
         )(vox)
         return nn.relu(vox)

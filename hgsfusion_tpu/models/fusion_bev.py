@@ -21,18 +21,21 @@ class FusionAfterBEVSE(nn.Module):
 
     image_out_channels: int = 128
     radar_out_channels: int = 128
+    dtype: object = None
 
     @nn.compact
     def __call__(self, image_bev, radar_bev, train: bool):
         if image_bev.shape[1:3] != radar_bev.shape[1:3]:
             image_bev = resize_bilinear(image_bev, radar_bev.shape[1:3])
         c = self.image_out_channels + self.radar_out_channels
-        x = jnp.concatenate([image_bev, radar_bev], axis=-1)
+        x = jnp.concatenate(
+            [image_bev.astype(radar_bev.dtype), radar_bev], axis=-1
+        )
         x = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                    name="fuse_conv")(x)
+                    dtype=self.dtype, name="fuse_conv")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="fuse_bn",
+            dtype=self.dtype, name="fuse_bn",
         )(x)
         x = nn.relu(x)
         return SEBlock(c, name="se")(x)

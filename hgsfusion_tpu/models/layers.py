@@ -81,6 +81,7 @@ class ConvBNReLU(nn.Module):
     use_bias: bool = True
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1  # torch convention
+    dtype: object = None  # compute dtype (bf16 on TPU); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -93,6 +94,7 @@ class ConvBNReLU(nn.Module):
             padding=((pad[0], pad[0]), (pad[1], pad[1])),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(

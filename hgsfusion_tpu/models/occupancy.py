@@ -31,6 +31,7 @@ class Conv2DCollapse(nn.Module):
 
     num_bev_features: int = 128
     use_bias: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, voxel, train: bool):
@@ -38,10 +39,11 @@ class Conv2DCollapse(nn.Module):
         flat = voxel.transpose(0, 1, 2, 4, 3).reshape(b, y, x, c * z)
         out = nn.Conv(
             self.num_bev_features, kernel_size=(1, 1), use_bias=self.use_bias,
-            name="conv",
+            dtype=self.dtype, name="conv",
         )(flat)
         out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
         )(out)
         return nn.relu(out)
 
@@ -60,6 +62,7 @@ class RadarOccupancy2D(nn.Module):
     aspp_dilation: int = 6  # ASPP_SHAPE (6 VoD default, 3 TJ4D)
     occupancy_init: float = 0.01
     fuse_mode: str = "MUL"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, image_bev, radar_bev, train: bool):
@@ -72,22 +75,24 @@ class RadarOccupancy2D(nn.Module):
 
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name,
             )
 
         c = self.radar_input_channels
         h = radar_bev
         if self.use_aspp:
-            h = nn.Conv(c, (1, 1), use_bias=False, name="aspp_conv1")(h)
+            h = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="aspp_conv1")(h)
             h = nn.relu(bn("aspp_bn1")(h))
             d = self.aspp_dilation
             h = nn.Conv(
                 c, (3, 3), padding=((d, d), (d, d)), kernel_dilation=(d, d),
-                use_bias=False, name="aspp_conv2",
+                use_bias=False, dtype=self.dtype, name="aspp_conv2",
             )(h)
             h = nn.relu(bn("aspp_bn2")(h))
         h = nn.Conv(c // 2, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                    name="occ_conv1")(h)
+                    dtype=self.dtype, name="occ_conv1")(h)
         h = nn.relu(bn("occ_bn1")(h))
         h = nn.Conv(
             1, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
@@ -96,7 +101,8 @@ class RadarOccupancy2D(nn.Module):
             ),
             name="occ_conv2",
         )(h)
-        occupancy = nn.sigmoid(h)
+        # occupancy probabilities in f32 (loss stability + gating precision)
+        occupancy = nn.sigmoid(h.astype(jnp.float32))
 
         if self.fuse_mode == "MUL":
             gated = image_bev * occupancy

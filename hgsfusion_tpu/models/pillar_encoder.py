@@ -35,6 +35,7 @@ class PillarFeatureNet(nn.Module):
     pc_range: Sequence[float] = (0, -25.6, -3, 51.2, 25.6, 2)
     use_virtual: bool = True
     encoding_type: str = "split"
+    dtype: object = None
 
     @property
     def grid_shape(self) -> Tuple[int, int]:
@@ -104,7 +105,8 @@ class PillarFeatureNet(nn.Module):
         mask = in_grid[..., None]
         x = group
         for i, width in enumerate(self.num_filters):
-            x = nn.Dense(width, use_bias=False, name=f"mlp_{i}")(x)
+            x = nn.Dense(width, use_bias=False, dtype=self.dtype,
+                         name=f"mlp_{i}")(x)
             x = MaskedBatchNorm(width, eps=1e-3, momentum=0.01, name=f"bn_{i}")(
                 x, mask, use_running_average=not train
             )

@@ -40,32 +40,35 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     bn_momentum: float = 0.1
+    dtype: object = None  # compute dtype; params/BN stats stay f32
 
     @nn.compact
     def __call__(self, x, train: bool):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=1.0 - self.bn_momentum,
-                epsilon=1e-5, name=name,
+                epsilon=1e-5, dtype=self.dtype, name=name,
             )
 
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
         pad = self.dilation
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.strides, self.strides),
             padding=((pad, pad), (pad, pad)),
             kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False, name="conv2",
+            use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv3")(out)
         out = bn("bn3")(out)
         if self.downsample:
             identity = nn.Conv(
                 self.planes * 4, (1, 1), strides=(self.strides, self.strides),
-                use_bias=False, name="downsample_conv",
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = bn("downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -76,16 +79,19 @@ class ResNetDeepLabBackbone(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 23, 3)
     bn_momentum: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, name="conv1",
+            use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=1.0 - self.bn_momentum,
-            epsilon=1e-5, name="bn1",
+            epsilon=1e-5, dtype=self.dtype, name="bn1",
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -103,12 +109,12 @@ class ResNetDeepLabBackbone(nn.Module):
                     x = Bottleneck(
                         planes, strides=stride, dilation=prev_dilation,
                         downsample=True, bn_momentum=self.bn_momentum,
-                        name=f"layer{si + 1}_block0",
+                        dtype=self.dtype, name=f"layer{si + 1}_block0",
                     )(x, train)
                 else:
                     x = Bottleneck(
                         planes, dilation=dilation, bn_momentum=self.bn_momentum,
-                        name=f"layer{si + 1}_block{bi}",
+                        dtype=self.dtype, name=f"layer{si + 1}_block{bi}",
                     )(x, train)
             prev_dilation = dilation
             taps.append(x)

@@ -48,7 +48,9 @@ def grid_sample_2d(features, coords):
         gathered = jnp.take_along_axis(
             features.reshape(b, h * w, c), flat[..., None], axis=1
         )
-        wgt = (weight * in_bounds.astype(features.dtype))[..., None]
+        wgt = (
+            weight.astype(features.dtype) * in_bounds.astype(features.dtype)
+        )[..., None]
         return gathered * wgt
 
     out = (
