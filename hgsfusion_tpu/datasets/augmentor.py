@@ -28,9 +28,15 @@ class DataAugmentor:
 
     # -- individual augmentations -------------------------------------------
     def gt_sampling(self, data_dict, config):
-        # gt-database copy-paste augmentation is inactive in the HGS configs
-        # (hgsfusion_vod.yaml DISABLE_AUG_LIST); placeholder for parity.
-        return data_dict
+        """GT-database copy-paste (inactive in the shipped HGS configs via
+        DISABLE_AUG_LIST, but available: database_sampler.DataBaseSampler)."""
+        if not hasattr(self, "_db_sampler"):
+            from .database_sampler import DataBaseSampler
+
+            self._db_sampler = DataBaseSampler(
+                self.root_path, config, self.class_names, self.logger
+            )
+        return self._db_sampler(data_dict)
 
     def random_world_flip(self, data_dict, config):
         for axis in config["ALONG_AXIS_LIST"]:

@@ -122,7 +122,7 @@ class FrustumToVoxelMultiScale(nn.Module):
     def __call__(self, features: Sequence[jnp.ndarray], grid, train: bool):
         """features: list of (B, Hi, Wi, C) image feature maps;
         grid: (B, Y, X, Z, 3) normalized sampling grid."""
-        from ..ops.grid_sample import grid_sample_2d
+        from ..ops.grid_sample import grid_sample_2d, grid_sample_2d_quad
 
         uv = grid[..., 0:2]
         if self.fuse_mode == "ADD":
@@ -138,15 +138,30 @@ class FrustumToVoxelMultiScale(nn.Module):
         )
         bias = self.param("reduce_bias", nn.initializers.zeros, (self.out_channels,))
         cdt = self.dtype or jnp.float32
-        vox = bias.astype(jnp.float32)
+
+        # Group same-resolution maps (scales 2-4 all live at the backbone's
+        # /8 resolution): one fat gather serves the whole group — gather cost
+        # on TPU is per-row, so fewer wide rows win. Same uv grid for every
+        # scale, so this is numerically identical to per-scale sampling.
+        groups = []  # (feat (B,H,W,Cg), kernel rows offset)
         off = 0
         for f, c in zip(features, c_per):
-            sampled = grid_sample_2d(f.astype(cdt), uv)  # (B, Y, X, Z, c)
+            if groups and groups[-1][0].shape[1:3] == f.shape[1:3]:
+                prev_f, prev_off = groups[-1]
+                groups[-1] = (jnp.concatenate([prev_f, f], axis=-1), prev_off)
+            else:
+                groups.append((f, off))
+            off += c
+
+        vox = bias.astype(jnp.float32)
+        for f, k_off in groups:
+            cg = f.shape[-1]
+            sampled = grid_sample_2d_quad(f.astype(cdt), uv)  # (B, Y, X, Z, cg)
             vox = vox + jnp.einsum(
-                "byxzc,co->byxzo", sampled, kernel[off : off + c].astype(cdt),
+                "byxzc,co->byxzo", sampled,
+                kernel[k_off : k_off + cg].astype(cdt),
                 preferred_element_type=jnp.float32,
             )
-            off += c
         vox = vox.astype(cdt)
         vox = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,

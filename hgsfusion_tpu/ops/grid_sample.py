@@ -60,3 +60,102 @@ def grid_sample_2d(features, coords):
         + tap(ix0 + 1, iy0 + 1, tx * ty)
     )
     return out.reshape(out_shape)
+
+
+def grid_sample_2d_paired(features, coords):
+    """grid_sample_2d with half the gathers: gather-count-optimized variant.
+
+    Pre-pairs the feature map with its u-shifted copy (zero-filled at the
+    right edge) so a single row gather fetches both u-taps; only the two
+    v-taps remain as separate gathers. TPU gathers are dominated by per-row
+    overhead, so 2 fat gathers beat 4 thin ones. Numerically identical to
+    grid_sample_2d (tested).
+    """
+    b, h, w, c = features.shape
+    out_shape = coords.shape[:-1] + (c,)
+    coords = coords.reshape(b, -1, 2)
+
+    # zero-pad one column on each side, then pair each column with its right
+    # neighbor: paired[x] = [Fp[x], Fp[x+1]] for x in [0, w]; indexing with
+    # xp = ix0 + 1 makes both u-taps correct at the borders without clamping
+    # misalignment (the pad supplies the zeros the 'zeros' padding mode needs)
+    wp = w + 1
+    fp = jnp.pad(features, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    paired = jnp.concatenate([fp[:, :, :-1], fp[:, :, 1:]], axis=-1)
+    paired = paired.reshape(b, h * wp, 2 * c)
+
+    ix = _unnormalize(coords[..., 0], w)
+    iy = _unnormalize(coords[..., 1], h)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = (ix - ix0).astype(features.dtype)
+    ty = (iy - iy0).astype(features.dtype)
+
+    in_x0 = (ix0 >= 0) & (ix0 <= w - 1)
+    in_x1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
+    xp = jnp.clip(ix0 + 1, 0, wp - 1).astype(jnp.int32)
+
+    def vrow(y_idx):
+        in_y = (y_idx >= 0) & (y_idx <= h - 1)
+        yc = jnp.clip(y_idx, 0, h - 1).astype(jnp.int32)
+        row = jnp.take_along_axis(paired, (yc * wp + xp)[..., None], axis=1)
+        w0 = ((1 - tx) * in_x0.astype(features.dtype)
+              * in_y.astype(features.dtype))[..., None]
+        w1 = (tx * in_x1.astype(features.dtype)
+              * in_y.astype(features.dtype))[..., None]
+        return row[..., :c] * w0 + row[..., c:] * w1
+
+    out = vrow(iy0) * (1 - ty)[..., None] + vrow(iy0 + 1) * ty[..., None]
+    return out.reshape(out_shape)
+
+
+def grid_sample_2d_quad(features, coords):
+    """grid_sample_2d with ONE gather per sample.
+
+    Pre-builds a 2x2-patch tensor (4C channels) over a zero-padded map so a
+    single row gather fetches all four bilinear taps. TPU gather cost is
+    dominated by per-row overhead, so 1 fat gather beats 4 thin ones; the 4x
+    patch tensor is built once per frame with cheap shifts. Numerically
+    identical to grid_sample_2d (tested).
+    """
+    b, h, w, c = features.shape
+    out_shape = coords.shape[:-1] + (c,)
+    coords = coords.reshape(b, -1, 2)
+
+    hp, wp = h + 1, w + 1
+    fp = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [
+            fp[:, :-1, :-1], fp[:, :-1, 1:],  # (y0, x0), (y0, x1)
+            fp[:, 1:, :-1], fp[:, 1:, 1:],    # (y1, x0), (y1, x1)
+        ],
+        axis=-1,
+    ).reshape(b, hp * wp, 4 * c)
+
+    ix = _unnormalize(coords[..., 0], w)
+    iy = _unnormalize(coords[..., 1], h)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = (ix - ix0).astype(features.dtype)
+    ty = (iy - iy0).astype(features.dtype)
+
+    def inb(v, n):
+        return ((v >= 0) & (v <= n - 1)).astype(features.dtype)
+
+    mx0, mx1 = inb(ix0, w), inb(ix0 + 1, w)
+    my0, my1 = inb(iy0, h), inb(iy0 + 1, h)
+    xp = jnp.clip(ix0 + 1, 0, wp - 1).astype(jnp.int32)
+    yp = jnp.clip(iy0 + 1, 0, hp - 1).astype(jnp.int32)
+
+    rows = jnp.take_along_axis(quad, (yp * wp + xp)[..., None], axis=1)
+    w00 = ((1 - tx) * (1 - ty) * mx0 * my0)[..., None]
+    w01 = (tx * (1 - ty) * mx1 * my0)[..., None]
+    w10 = ((1 - tx) * ty * mx0 * my1)[..., None]
+    w11 = (tx * ty * mx1 * my1)[..., None]
+    out = (
+        rows[..., 0 * c : 1 * c] * w00
+        + rows[..., 1 * c : 2 * c] * w01
+        + rows[..., 2 * c : 3 * c] * w10
+        + rows[..., 3 * c : 4 * c] * w11
+    )
+    return out.reshape(out_shape)

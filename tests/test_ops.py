@@ -264,3 +264,46 @@ class TestPointsInBoxes:
         # rotated 45deg: (1.2, 0) is inside (corner reach sqrt(2) along axes);
         # (0.9, 0.9) is outside (local |x| = 0.9*sqrt(2) > 1); z=1.5 outside
         assert mask[0].tolist() == [True, True, False, False]
+
+
+class TestGridSamplePaired:
+    def test_matches_unpaired(self, rng):
+        from hgsfusion_tpu.ops.grid_sample import grid_sample_2d, grid_sample_2d_paired
+
+        b, h, w, c = 2, 9, 13, 5
+        feats = rng.randn(b, h, w, c).astype(np.float32)
+        coords = rng.uniform(-1.4, 1.4, (b, 17, 2)).astype(np.float32)
+        a = np.asarray(grid_sample_2d(jnp.array(feats), jnp.array(coords)))
+        p = np.asarray(grid_sample_2d_paired(jnp.array(feats), jnp.array(coords)))
+        np.testing.assert_allclose(a, p, atol=1e-5)
+
+    def test_exact_edge_coords(self, rng):
+        from hgsfusion_tpu.ops.grid_sample import grid_sample_2d, grid_sample_2d_paired
+
+        feats = rng.randn(1, 4, 6, 3).astype(np.float32)
+        # corners, exact grid points, just-outside values
+        coords = np.array(
+            [[[-1, -1], [1, 1], [-1, 1], [1, -1], [0, 0],
+              [-1.0001, 0], [1.0001, 0], [0, 1.0001], [-2, -2]]],
+            np.float32,
+        )
+        a = np.asarray(grid_sample_2d(jnp.array(feats), jnp.array(coords)))
+        p = np.asarray(grid_sample_2d_paired(jnp.array(feats), jnp.array(coords)))
+        np.testing.assert_allclose(a, p, atol=1e-6)
+
+    def test_quad_matches_unpaired(self, rng):
+        from hgsfusion_tpu.ops.grid_sample import grid_sample_2d, grid_sample_2d_quad
+
+        b, h, w, c = 2, 9, 13, 5
+        feats = rng.randn(b, h, w, c).astype(np.float32)
+        coords = np.concatenate(
+            [
+                rng.uniform(-1.4, 1.4, (b, 17, 2)),
+                np.array([[[-1, -1], [1, 1], [-1.0001, 0], [1.0001, 0],
+                           [0, 0], [-2, 2]]] * b),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        a = np.asarray(grid_sample_2d(jnp.array(feats), jnp.array(coords)))
+        q = np.asarray(grid_sample_2d_quad(jnp.array(feats), jnp.array(coords)))
+        np.testing.assert_allclose(a, q, atol=1e-5)
