@@ -8,11 +8,13 @@ per-host for multi-host data parallelism.
 from __future__ import annotations
 
 from .dataset import DatasetTemplate
+from .kitti import KittiDataset
 from .vod import VODDataset
 from .tj4d import TJ4DDataset
 
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
+    "KittiDataset": KittiDataset,
     "VODDataset": VODDataset,
     "TJ4DDataset": TJ4DDataset,
 }

@@ -36,11 +36,26 @@ class Conv2DCollapse(nn.Module):
     @nn.compact
     def __call__(self, voxel, train: bool):
         b, y, x, z, c = voxel.shape
-        flat = voxel.transpose(0, 1, 2, 4, 3).reshape(b, y, x, c * z)
-        out = nn.Conv(
-            self.num_bev_features, kernel_size=(1, 1), use_bias=self.use_bias,
-            dtype=self.dtype, name="conv",
-        )(flat)
+        # The torch flatten orders channels c*Z + z; the param keeps that
+        # (C*Z, O) layout for checkpoint parity, but the contraction is done
+        # directly on the (B, Y, X, Z, C) voxel — no 800 MB transpose+reshape
+        # materialization (einsum contracts both axes in one MXU pass).
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (c * z, self.num_bev_features),
+        )
+        cdt = self.dtype or voxel.dtype
+        k = kernel.reshape(c, z, self.num_bev_features).astype(cdt)
+        out = jnp.einsum(
+            "byxzc,czo->byxo", voxel.astype(cdt), k,
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.num_bev_features,)
+            )
+            out = out + bias.astype(cdt)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn",

@@ -1,0 +1,28 @@
+"""Model registry: config NAME -> model class (the builder seam).
+
+Reference: pcdet/models/__init__.py:16-54 (build_network) and the
+detectors/__init__.py name registry. The HGS configs use MODEL.NAME 'CaDDN'
+(the fusion detector runs under the CaDDN entry, caddn.py:4); radar-only
+pillar configs map to the RadarOnly model. Additional detector families from
+the inherited OpenPCDet zoo plug in here as they are implemented.
+"""
+from __future__ import annotations
+
+from .detector import HGSFusionConfig, HGSFusionModel, RadarOnlyModel
+
+DETECTORS = {
+    "HGSFusion": HGSFusionModel,
+    "CaDDN": HGSFusionModel,  # reference config name for the HGS topology
+    "RadarOnly": RadarOnlyModel,
+    "PillarNet": RadarOnlyModel,  # radar-only pillar detector family
+}
+
+
+def build_network(cfg, model_cfg: HGSFusionConfig):
+    """cfg: loaded YAML ConfigDict; model_cfg: static HGSFusionConfig."""
+    name = cfg.MODEL.NAME
+    if name not in DETECTORS:
+        raise KeyError(
+            f"unknown detector '{name}'; available: {sorted(DETECTORS)}"
+        )
+    return DETECTORS[name](cfg=model_cfg)

@@ -81,7 +81,12 @@ def class_agnostic_nms(box_scores, box_preds, score_thresh: float,
     top_valid = top_scores > NEG_INF / 2
     top_boxes = box_preds[top_idx]
 
-    iou = boxes_iou_bev_blocked(top_boxes, top_boxes, row_block=row_block)
+    # candidates are sorted valid-first: row blocks past the valid count are
+    # skipped entirely (exact; see boxes_iou_bev_blocked)
+    n_valid = jnp.sum(top_valid.astype(jnp.int32))
+    iou = boxes_iou_bev_blocked(
+        top_boxes, top_boxes, row_block=row_block, n_valid=n_valid
+    )
     keep = greedy_suppress(iou > nms_thresh, top_valid)
 
     # select the first post_max_size kept candidates (already score-ordered)

@@ -134,15 +134,36 @@ def boxes_iou3d(boxes_a, boxes_b):
     return inter3d / jnp.clip(vol_a + vol_b - inter3d, 1e-6, None)
 
 
-def boxes_iou_bev_blocked(boxes_a, boxes_b, row_block: int = 256):
+def boxes_iou_bev_blocked(boxes_a, boxes_b, row_block: int = 256,
+                          n_valid=None):
     """boxes_iou_bev computed in row blocks to bound peak memory.
 
-    Used by NMS over the full pre-max set (e.g. 4096 x 4096 pairs, where the
-    (N, M, 24, 2) candidate buffer would otherwise be GBs).
+    Used by NMS over the full pre-max set (e.g. 4096 x 4096 pairs). When
+    `n_valid` is given (candidates sorted valid-first, e.g. after a score
+    threshold + top-k), row blocks entirely past the valid count skip the
+    geometry and emit zeros via lax.cond — exact results, and the typical
+    detection workload (a few hundred valid of 4096 slots) only pays for the
+    blocks it uses.
     """
     n = boxes_a.shape[0]
     pad = (-n) % row_block
     padded = jnp.pad(boxes_a, ((0, pad), (0, 0)))
     blocks = padded.reshape(-1, row_block, boxes_a.shape[1])
-    out = jax.lax.map(lambda blk: boxes_iou_bev(blk, boxes_b), blocks)
+    if n_valid is None:
+        out = jax.lax.map(lambda blk: boxes_iou_bev(blk, boxes_b), blocks)
+        return out.reshape(-1, boxes_b.shape[0])[:n]
+
+    def step(carry, inp):
+        bi, blk = inp
+        out = jax.lax.cond(
+            bi * row_block < n_valid,
+            lambda b: boxes_iou_bev(b, boxes_b),
+            lambda b: jnp.zeros((row_block, boxes_b.shape[0]), boxes_b.dtype),
+            blk,
+        )
+        return carry, out
+
+    _, out = jax.lax.scan(
+        step, None, (jnp.arange(blocks.shape[0]), blocks)
+    )
     return out.reshape(-1, boxes_b.shape[0])[:n]

@@ -267,9 +267,13 @@ def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
     try_(conv, ("radar_occupancy", "occ_conv1"), occ + ".6")
     try_(bn, ("radar_occupancy", "occ_bn1"), occ + ".7")
     try_(conv, ("radar_occupancy", "occ_conv2"), occ + ".9")
-    # map-to-bev collapse
+    # map-to-bev collapse: torch 1x1 conv (O, C*Z, 1, 1) -> (C*Z, O) kernel
     t = "fusion_vfe.radar_occupancy.map_to_bev.block"
-    try_(conv, ("map_to_bev", "conv"), t + ".conv")
+    if t + ".conv.weight" in state:
+        w = np.asarray(state[t + ".conv.weight"])[:, :, 0, 0]
+        try_(put, p, ("map_to_bev", "kernel"), w.T)
+        if t + ".conv.bias" in state:
+            try_(put, p, ("map_to_bev", "bias"), state[t + ".conv.bias"])
     try_(bn, ("map_to_bev", "bn"), t + ".bn")
 
     # --- SE fusion

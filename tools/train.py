@@ -27,6 +27,8 @@ def parse_args():
     p.add_argument("--fix_random_seed", action="store_true")
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap total steps (smoke tests)")
+    p.add_argument("--profile_steps", type=str, default=None,
+                   help="START:END step range to capture a jax.profiler trace")
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
 
@@ -58,6 +60,16 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     logger = create_logger(out_dir / "train.log")
     logger.info(f"devices: {jax.devices()}")
+    # tensorboard (reference: tensorboardX SummaryWriter, train_utils.py:129-133)
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(str(out_dir / "tensorboard"))
+    except Exception:
+        tb = None
+    prof_range = None
+    if args.profile_steps:
+        prof_range = tuple(int(x) for x in args.profile_steps.split(":"))
 
     if args.fix_random_seed:
         np.random.seed(666)
@@ -125,17 +137,28 @@ def main():
     for step in range(start_step, total_steps):
         if args.max_steps is not None and step - start_step >= args.max_steps:
             break
+        if prof_range and step == prof_range[0]:
+            jax.profiler.start_trace(str(out_dir / "profile"))
         batch = shard_batch(device_batch(next(batch_iter)), mesh)
-        state, tb = train_step(state, batch)
+        state, metrics = train_step(state, batch)
+        if prof_range and step == prof_range[1]:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {out_dir}/profile")
         if step % 50 == 0 or step == total_steps - 1:
-            tb = {k: float(v) for k, v in tb.items()}
+            metrics = {k: float(v) for k, v in metrics.items()}
             lr = float(lr_schedule(step))
             logger.info(
-                f"step {step}/{total_steps} loss {tb['loss']:.4f} "
-                f"(cls {tb.get('rpn_loss_cls', 0):.4f} loc "
-                f"{tb.get('rpn_loss_loc', 0):.4f} occ {tb.get('loss_occ', 0):.4f}) "
+                f"step {step}/{total_steps} loss {metrics['loss']:.4f} "
+                f"(cls {metrics.get('rpn_loss_cls', 0):.4f} loc "
+                f"{metrics.get('rpn_loss_loc', 0):.4f} occ "
+                f"{metrics.get('loss_occ', 0):.4f}) "
                 f"lr {lr:.2e} {(time.time() - t_start):.0f}s"
             )
+            if tb is not None:
+                for k, v in metrics.items():
+                    tb.add_scalar(f"train/{k}", v, step)
+                tb.add_scalar("meta/learning_rate", lr, step)
         if (step + 1) % steps_per_epoch == 0:
             ckpt.save(step + 1, jax.device_get(state))
             logger.info(f"saved checkpoint at step {step + 1}")
