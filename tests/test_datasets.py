@@ -169,3 +169,49 @@ class TestConfig:
         assert mc.aspp_dilation == 3
         assert mc.num_class == 4
         assert mc.num_anchors_per_location == 8
+
+
+class TestKittiFamily:
+    def test_kitti_dataset_and_eval(self, tmp_path):
+        from hgsfusion_tpu.datasets.kitti import KittiDataset
+        from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+
+        root = tmp_path / "kitti"
+        make_synthetic_kitti(root, num_frames=2, radar_channels=4,
+                             image_ext=".png", num_points=256)
+        cfg = _small_vod_cfg(root, with_images=False)
+        cfg["DATASET"] = "KittiDataset"
+        cfg["USE_VIRTUAL_POINTS"] = False
+        feats = ["x", "y", "z", "intensity"]
+        cfg["POINT_FEATURE_ENCODING"] = {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": feats, "src_feature_list": feats,
+        }
+        ds = KittiDataset(cfg, class_names=["Car", "Pedestrian", "Cyclist"],
+                          training=False)
+        ds.create_infos(splits=("train", "val"))
+        ds.load_infos()
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["points"].shape[1] == 4
+        # eval smoke: use gt as perfect detections
+        gt_annos = [info["annos"] for info in ds.infos]
+        det_annos = []
+        for g in gt_annos:
+            d = {k: np.asarray(v).copy() for k, v in g.items()}
+            d["score"] = np.ones(len(g["name"]))
+            det_annos.append(d)
+        s, res = ds.evaluation(det_annos, ds.class_names)
+        assert "Car_3d/moderate_R40" in res
+
+
+class TestRegistry:
+    def test_build_network(self):
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.detector import HGSFusionConfig
+        from hgsfusion_tpu.models.registry import build_network, DETECTORS
+
+        cfg = ConfigDict({"MODEL": {"NAME": "CaDDN"}})
+        model = build_network(cfg, HGSFusionConfig())
+        assert type(model).__name__ == "HGSFusionModel"
+        assert "PillarNet" in DETECTORS
