@@ -203,11 +203,13 @@ class RadarOnlyModel(nn.Module):
             num_input_features=cfg.reader_num_input,
             pillar_size=cfg.voxel_size[0],
             pc_range=cfg.pc_range,
+            dtype=cfg.dtype,
             name="pillar_net",
         )(batch["points"], batch["points_valid"], train)
         radar_bev = PillarNetRadar(
             out_indices=cfg.backbone_out_indices,
             neck_out_channels=cfg.neck_out_channels,
+            dtype=cfg.dtype,
             name="radar_backbone",
         )(pillar_bev, occ_mask, train)
         return AnchorHeadSingle(

@@ -46,7 +46,7 @@ def main():
     from hgsfusion_tpu.config import load_config, model_config_from_yaml
     from hgsfusion_tpu.datasets import build_dataset
     from hgsfusion_tpu.models.anchors import TargetAssigner
-    from hgsfusion_tpu.models.detector import HGSFusionModel
+    from hgsfusion_tpu.models.registry import build_network
     from hgsfusion_tpu.train.checkpoint import CheckpointManager
     from hgsfusion_tpu.train.trainer import (
         detections_to_pred_dicts, device_batch, make_eval_step,
@@ -65,7 +65,7 @@ def main():
     logger = create_logger()
     dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
                             logger=logger)
-    model = HGSFusionModel(cfg=model_cfg)
+    model = build_network(cfg, model_cfg)
     assigner = TargetAssigner(
         [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
         model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,

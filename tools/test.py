@@ -40,13 +40,13 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     import numpy as np
 
     from hgsfusion_tpu.models.anchors import TargetAssigner
-    from hgsfusion_tpu.models.detector import HGSFusionModel
+    from hgsfusion_tpu.models.registry import build_network
     from hgsfusion_tpu.ops.rotated_iou import boxes_iou3d
     from hgsfusion_tpu.train.trainer import (
         detections_to_pred_dicts, device_batch, make_eval_step,
     )
 
-    model = HGSFusionModel(cfg=model_cfg)
+    model = build_network(cfg, model_cfg)
     assigner = TargetAssigner(
         [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
         model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,
@@ -111,7 +111,7 @@ def main():
 
     from hgsfusion_tpu.config import cfg_from_list, load_config, model_config_from_yaml
     from hgsfusion_tpu.datasets import build_dataset
-    from hgsfusion_tpu.models.detector import HGSFusionModel
+    from hgsfusion_tpu.models.registry import build_network
     from hgsfusion_tpu.train.checkpoint import CheckpointManager
     from hgsfusion_tpu.utils.common import create_logger
 
@@ -129,7 +129,7 @@ def main():
                             logger=logger)
     sample = dataset[0]
     batch = dataset.collate_batch([sample])
-    model = HGSFusionModel(cfg=model_cfg)
+    model = build_network(cfg, model_cfg)
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(
         {k: jnp.asarray(v) for k, v in batch.items()
          if not isinstance(v, list) and k != "batch_size"}

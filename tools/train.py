@@ -41,7 +41,7 @@ def main():
     from hgsfusion_tpu.config import cfg_from_list, load_config, model_config_from_yaml
     from hgsfusion_tpu.datasets import build_dataset
     from hgsfusion_tpu.models.anchors import TargetAssigner
-    from hgsfusion_tpu.models.detector import HGSFusionModel
+    from hgsfusion_tpu.models.registry import build_network
     from hgsfusion_tpu.parallel.mesh import make_mesh, shard_batch
     from hgsfusion_tpu.train.checkpoint import CheckpointManager
     from hgsfusion_tpu.train.optim import build_optimizer
@@ -93,7 +93,7 @@ def main():
         f"{steps_per_epoch} steps/epoch, {total_steps} total"
     )
 
-    model = HGSFusionModel(cfg=model_cfg)
+    model = build_network(cfg, model_cfg)
     assigner = TargetAssigner(
         [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
         model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,
