@@ -190,6 +190,45 @@ class HGSFusionModel(nn.Module):
         return preds
 
 
+class PointPillarModel(nn.Module):
+    """Classic PointPillars-style detector over radar points (zoo family).
+
+    pillar VFE (simple, non-split encoding) -> dense scatter -> classic
+    BaseBEVBackbone (SECOND-style encoder/decoder) -> anchor head. Reference:
+    pointpillar.py + base_bev_backbone.py of the inherited OpenPCDet zoo.
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+
+        cfg = self.cfg
+        pillar_bev, occ_mask = PillarFeatureNet(
+            num_input_features=batch["points"].shape[-1],
+            pillar_size=cfg.voxel_size[0],
+            pc_range=cfg.pc_range,
+            use_virtual=False,
+            encoding_type="mixed",
+            num_filters=(64,),
+            dtype=cfg.dtype,
+            name="pillar_net",
+        )(batch["points"], batch["points_valid"], train)
+        feats = BaseBEVBackbone(dtype=cfg.dtype, name="backbone_2d")(
+            pillar_bev, train
+        )
+        # upsample strides (1,2,4) over downsamples (2,2,2) -> stride-2 map;
+        # anchors at feature_map_stride 2 in PointPillars configs
+        return AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(feats)
+
+
 class RadarOnlyModel(nn.Module):
     """Radar-only pillar detector (BASELINE.json config 1: pillar encoder ->
     BEV encoder -> anchor head), the minimum end-to-end slice."""

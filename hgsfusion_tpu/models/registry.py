@@ -8,13 +8,19 @@ the inherited OpenPCDet zoo plug in here as they are implemented.
 """
 from __future__ import annotations
 
-from .detector import HGSFusionConfig, HGSFusionModel, RadarOnlyModel
+from .detector import (
+    HGSFusionConfig,
+    HGSFusionModel,
+    PointPillarModel,
+    RadarOnlyModel,
+)
 
 DETECTORS = {
     "HGSFusion": HGSFusionModel,
     "CaDDN": HGSFusionModel,  # reference config name for the HGS topology
     "RadarOnly": RadarOnlyModel,
     "PillarNet": RadarOnlyModel,  # radar-only pillar detector family
+    "PointPillar": PointPillarModel,  # classic zoo family (SECOND-style BEV)
 }
 
 

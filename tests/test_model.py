@@ -236,3 +236,16 @@ class TestOccupancyRaster:
         l_bad = occupancy_loss(bad, jnp.array(gt), TINY.grid_size, TINY.pc_range,
                                TINY.voxel_size)
         assert float(l_good) < float(l_bad)
+
+
+class TestPointPillarFamily:
+    def test_forward(self, rng):
+        from hgsfusion_tpu.models.detector import PointPillarModel
+
+        batch = make_tiny_batch(rng)
+        model = PointPillarModel(cfg=TINY)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        preds, _ = model.apply(variables, batch, False, mutable=["batch_stats"])
+        # backbone downsamples 2x then upsamples (1,2,4): output stride 2
+        assert preds["cls_preds"].shape == (1, 16, 16, 18)
+        assert np.all(np.isfinite(np.asarray(preds["cls_preds"])))

@@ -29,6 +29,12 @@ def parse_args():
                    help="cap total steps (smoke tests)")
     p.add_argument("--profile_steps", type=str, default=None,
                    help="START:END step range to capture a jax.profiler trace")
+    p.add_argument("--disable_aug_last_epochs", type=int, default=0,
+                   help="disable augmentation for the last N epochs "
+                        "(DisableAugmentationHook, train_utils.py:257-272)")
+    p.add_argument("--ckpt_save_interval_s", type=float, default=300.0,
+                   help="periodic latest-checkpoint interval "
+                        "(train_utils.py:135-143)")
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
 
@@ -134,9 +140,18 @@ def main():
 
     start_step = int(state.step)
     t_start = time.time()
+    t_last_save = time.time()
+    aug_disabled = False
     for step in range(start_step, total_steps):
         if args.max_steps is not None and step - start_step >= args.max_steps:
             break
+        if (
+            args.disable_aug_last_epochs > 0 and not aug_disabled
+            and step >= (epochs - args.disable_aug_last_epochs) * steps_per_epoch
+        ):
+            dataset.data_augmentor.queue = []  # keep only the identity path
+            logger.info("augmentation disabled for the final epochs")
+            aug_disabled = True
         if prof_range and step == prof_range[0]:
             jax.profiler.start_trace(str(out_dir / "profile"))
         batch = shard_batch(device_batch(next(batch_iter)), mesh)
@@ -161,7 +176,13 @@ def main():
                 tb.add_scalar("meta/learning_rate", lr, step)
         if (step + 1) % steps_per_epoch == 0:
             ckpt.save(step + 1, jax.device_get(state))
+            t_last_save = time.time()
             logger.info(f"saved checkpoint at step {step + 1}")
+        elif time.time() - t_last_save > args.ckpt_save_interval_s:
+            # crash-resilience checkpoint (reference 'latest_model' every 300 s)
+            ckpt.save(step + 1, jax.device_get(state))
+            t_last_save = time.time()
+            logger.info(f"periodic checkpoint at step {step + 1}")
     ckpt.save(int(state.step), jax.device_get(state), wait=True)
     logger.info("training done")
 
