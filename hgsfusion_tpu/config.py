@@ -164,4 +164,6 @@ def model_config_from_yaml(cfg: ConfigDict):
         num_dir_bins=head.get("NUM_DIR_BINS", 2),
         dir_offset=head.get("DIR_OFFSET", 0.78539),
         dir_limit_offset=head.get("DIR_LIMIT_OFFSET", 0.0),
+        compute_dtype=model.get("COMPUTE_DTYPE", "float32"),
+        remat=model.get("REMAT", True),
     )

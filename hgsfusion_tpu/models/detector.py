@@ -29,7 +29,7 @@ from .fusion_bev import FusionAfterBEVSE
 from .layers import ConvBNReLU
 from .occupancy import Conv2DCollapse, RadarOccupancy2D
 from .pillar_encoder import PillarFeatureNet
-from .resnet import preprocess_images, resnet50_deeplab, resnet101_deeplab
+from .resnet import ResNetDeepLabBackbone, preprocess_images
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +70,9 @@ class HGSFusionConfig:
     # compute dtype for the conv-heavy branches ("float32" | "bfloat16");
     # params, BN statistics, geometry, and head outputs stay f32
     compute_dtype: str = "float32"
+    # rematerialize the image backbone + frustum transform in backward
+    # (their activations at VoD scale exceed HBM otherwise)
+    remat: bool = True
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -111,12 +114,14 @@ class HGSFusionModel(nn.Module):
 
         # ---- camera branch: DDN backbone + per-scale channel reduce
         images = preprocess_images(batch["images"])  # (B, H, W, 3)
-        from .resnet import ResNetDeepLabBackbone
-
         stage_sizes = (3, 4, 23, 3) if cfg.image_backbone == "ResNet101" else (3, 4, 6, 3)
         # named "ddn_backbone" so the optimizer's freeze mask can target it
         # (reference freezes it: ddn_template.freeze_backbone_func:72-75)
-        backbone = ResNetDeepLabBackbone(
+        backbone_cls = (
+            nn.remat(ResNetDeepLabBackbone, static_argnums=(2,))
+            if cfg.remat else ResNetDeepLabBackbone
+        )
+        backbone = backbone_cls(
             stage_sizes=stage_sizes, dtype=cfg.dtype, name="ddn_backbone"
         )
         taps = backbone(images, train)
@@ -137,7 +142,11 @@ class HGSFusionModel(nn.Module):
             batch["trans_lidar_to_cam"], batch["trans_cam_to_img"],
             cfg.image_size, bda=batch.get("lidar_aug_matrix"),
         )
-        voxel = FrustumToVoxelMultiScale(
+        f2v_cls = (
+            nn.remat(FrustumToVoxelMultiScale, static_argnums=(3,))
+            if cfg.remat else FrustumToVoxelMultiScale
+        )
+        voxel = f2v_cls(
             out_channels=cfg.f2v_out_channels, dtype=cfg.dtype, name="f2v"
         )(feats, grid, train)  # (B, Y, X, Z, C)
 
