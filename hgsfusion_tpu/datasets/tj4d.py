@@ -12,6 +12,15 @@ import numpy as np
 from .kitti_base import KittiFormatDataset
 
 
+# per-weather sequence groups (tj4d_dataset.py:494-499)
+WEATHER_FILTER = {
+    "dark": [0, 1],
+    "standard": [5, 10, 20, 23, 37, 41],
+    "shiny": [30, 31, 34],
+    "all_weather": [0, 1, 5, 10, 20, 23, 37, 41, 30, 31, 34],
+}
+
+
 class TJ4DDataset(KittiFormatDataset):
     NUM_POINT_FEATURES = 8
     IMAGE_EXT = ".png"
@@ -23,4 +32,22 @@ class TJ4DDataset(KittiFormatDataset):
         result_str, result_dict = tj4d_official_eval(
             gt_annos, det_annos, class_names
         )
+        if self.dataset_cfg.get("FILTER_BY_WEATHER", False):
+            # frame sequence id = first two digits of the frame id
+            # (tj4d_dataset.py:479); re-run the protocol per weather group
+            seqs = [
+                int(info["image"]["image_idx"][:2]) for info in self.infos
+            ]
+            for weather, group in WEATHER_FILTER.items():
+                keep = [i for i, s in enumerate(seqs) if s in group]
+                if not keep:
+                    continue
+                s, d = tj4d_official_eval(
+                    [gt_annos[i] for i in keep],
+                    [det_annos[i] for i in keep],
+                    class_names,
+                )
+                result_str += f"\n== weather: {weather} ==\n{s}"
+                for k, v in d.items():
+                    result_dict[f"{weather}/{k}"] = v
         return result_str, result_dict

@@ -152,3 +152,40 @@ class TestTJ4DEval:
         assert res["KITTI/Car_3D_easy_strict"] > 99.0
         # hard: far gts all missed -> recall capped at 0.5
         assert res["KITTI/Car_3D_hard_strict"] < 60.0
+
+
+class TestTJ4DWeatherSplits:
+    def test_weather_split_eval(self, tmp_path):
+        """Weather-split evaluation partitions frames by sequence id."""
+        from hgsfusion_tpu.datasets.tj4d import TJ4DDataset, WEATHER_FILTER
+        from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+        import sys
+        sys.path.insert(0, "tests")
+        from test_datasets import _small_vod_cfg
+
+        root = tmp_path / "tj4d"
+        make_synthetic_kitti(root, num_frames=3, radar_channels=8,
+                             image_ext=".png")
+        cfg = _small_vod_cfg(root, with_images=False)
+        cfg["DATASET"] = "TJ4DDataset"
+        cfg["USE_VIRTUAL_POINTS"] = False
+        cfg["FILTER_BY_WEATHER"] = True
+        feats = ["x", "y", "z", "V_r", "Range", "Power", "Alpha", "Beta"]
+        cfg["POINT_FEATURE_ENCODING"] = {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": feats, "src_feature_list": feats,
+        }
+        ds = TJ4DDataset(cfg, class_names=["Car", "Pedestrian", "Cyclist",
+                                           "Truck"], training=False)
+        ds.create_infos(splits=("train", "val"))
+        ds.load_infos()
+        gt_annos = [info["annos"] for info in ds.infos]
+        det_annos = []
+        for g in gt_annos:
+            d = {k: np.asarray(v).copy() for k, v in g.items()}
+            d["score"] = np.ones(len(g["name"]))
+            det_annos.append(d)
+        s, res = ds.evaluation(det_annos, ds.class_names)
+        # frames are 000xx -> sequence 0 -> the 'dark' group
+        assert any(k.startswith("dark/") for k in res)
+        assert "== weather: dark ==" in s

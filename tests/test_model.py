@@ -249,3 +249,33 @@ class TestPointPillarFamily:
         # backbone downsamples 2x then upsamples (1,2,4): output stride 2
         assert preds["cls_preds"].shape == (1, 16, 16, 18)
         assert np.all(np.isfinite(np.asarray(preds["cls_preds"])))
+
+
+class TestTJ4DConfigModel:
+    def test_four_class_head_forward(self, rng):
+        """TJ4D-style config: 4 classes, 8 anchors/location, 31-wide reader."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY,
+            class_names=("Car", "Pedestrian", "Cyclist", "Truck"),
+            reader_num_input=31,
+            num_anchors_per_location=8,
+            aspp_dilation=3,
+            bev_aug=False,
+        )
+        batch = make_tiny_batch(rng)
+        # TJ4D points are 18-wide (8 radar feats)
+        pts = np.zeros((1, 128, 18), np.float32)
+        pts[..., :3] = np.asarray(batch["points"])[..., :3]
+        pts[..., 3:16] = rng.randn(1, 128, 13)
+        pts[..., 16] = 1.0
+        pts[..., 17] = 1.0
+        batch = dict(batch)
+        batch["points"] = jnp.asarray(pts)
+        model = HGSFusionModel(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        preds, _ = model.apply(variables, batch, False, mutable=["batch_stats"])
+        assert preds["cls_preds"].shape == (1, 32, 32, 8 * 4)
+        assert preds["box_preds"].shape == (1, 32, 32, 8 * 7)
+        assert np.all(np.isfinite(np.asarray(preds["cls_preds"])))
