@@ -39,9 +39,9 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     import jax.numpy as jnp
     import numpy as np
 
+    from hgsfusion_tpu.eval.kitti_ap import d3_box_overlap
     from hgsfusion_tpu.models.anchors import TargetAssigner
     from hgsfusion_tpu.models.registry import build_network
-    from hgsfusion_tpu.ops.rotated_iou import boxes_iou3d
     from hgsfusion_tpu.train.trainer import (
         detections_to_pred_dicts, device_batch, make_eval_step,
     )
@@ -54,7 +54,32 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     eval_step = jax.jit(
         make_eval_step(model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
     )
-    recall_fn = jax.jit(lambda a, b: boxes_iou3d(a, b))
+
+    def recall_iou3d(gt_lidar, pred_lidar):
+        """Rotated 3D IoU in numpy: per-frame box counts vary, so a jitted
+        version would recompile every frame (minutes each on this stack).
+        lidar boxes (x,y,z,dx,dy,dz,h) -> the camera-frame d3_box_overlap
+        layout (x_bev=x, y_down=-(z+dz/2)... equivalently evaluate in lidar
+        frame directly: bev (x, y, dx, dy, h) + z/dz slab."""
+        import numpy as np
+
+        from hgsfusion_tpu.eval.rotated_iou_np import rotate_iou_eval
+
+        inter_bev = rotate_iou_eval(
+            gt_lidar[:, [0, 1, 3, 4, 6]], pred_lidar[:, [0, 1, 3, 4, 6]], 2
+        )
+        top = np.minimum(
+            gt_lidar[:, None, 2] + gt_lidar[:, None, 5] / 2,
+            pred_lidar[None, :, 2] + pred_lidar[None, :, 5] / 2,
+        )
+        bot = np.maximum(
+            gt_lidar[:, None, 2] - gt_lidar[:, None, 5] / 2,
+            pred_lidar[None, :, 2] - pred_lidar[None, :, 5] / 2,
+        )
+        inter = inter_bev * np.clip(top - bot, 0, None)
+        vol_a = np.prod(gt_lidar[:, 3:6], axis=1)[:, None]
+        vol_b = np.prod(pred_lidar[:, 3:6], axis=1)[None, :]
+        return inter / np.clip(vol_a + vol_b - inter, 1e-6, None)
 
     det_annos = []
     recall_thresh = list(cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST)
@@ -78,9 +103,9 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
             gt_i = gt[bi][gt[bi][:, -1] > 0]
             total_gt += len(gt_i)
             if len(gt_i) and len(pd["pred_boxes"]):
-                iou = np.asarray(
-                    recall_fn(jnp.asarray(gt_i[:, :7]),
-                              jnp.asarray(pd["pred_boxes"][:, :7]))
+                iou = recall_iou3d(
+                    np.asarray(gt_i[:, :7], np.float64),
+                    np.asarray(pd["pred_boxes"][:, :7], np.float64),
                 )
                 best = iou.max(axis=1)
                 for t in recall_thresh:
