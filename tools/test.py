@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--infer_time", action="store_true")
     p.add_argument("--save_to_file", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--eval_all", action="store_true",
+                   help="poll ckpt_dir and evaluate every new checkpoint "
+                        "(repeat_eval_ckpt, reference test.py:90-136)")
+    p.add_argument("--max_waiting_mins", type=float, default=30.0)
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
 
@@ -160,26 +164,54 @@ def main():
          if not isinstance(v, list) and k != "batch_size"}
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
-    if args.ckpt_dir:
-        # restore params/batch_stats leniently from the saved TrainState
-        mgr = CheckpointManager(args.ckpt_dir)
-        step = args.ckpt_step or mgr.latest_step()
-        raw = mgr.manager.restore(step)
-        params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
-        batch_stats = jax.tree_util.tree_map(jnp.asarray, raw["batch_stats"])
-        logger.info(f"loaded checkpoint step {step}")
 
-    result_dir = out_dir / "final_result" if args.save_to_file else None
-    if result_dir:
-        result_dir.mkdir(parents=True, exist_ok=True)
-    det_annos, result_dict = run_eval(
-        cfg, model_cfg, dataset, params, batch_stats, logger,
-        batch_size=args.batch_size, infer_time=args.infer_time,
-        max_frames=args.max_frames, result_dir=result_dir,
-    )
-    with open(out_dir / "result.pkl", "wb") as f:
-        pickle.dump(det_annos, f)
-    logger.info(f"results saved to {out_dir}")
+    def load_step(step):
+        mgr = CheckpointManager(args.ckpt_dir)
+        raw = mgr.manager.restore(step)
+        logger.info(f"loaded checkpoint step {step}")
+        return (
+            jax.tree_util.tree_map(jnp.asarray, raw["params"]),
+            jax.tree_util.tree_map(jnp.asarray, raw["batch_stats"]),
+        )
+
+    def eval_once(params, batch_stats, tag=""):
+        result_dir = out_dir / f"final_result{tag}" if args.save_to_file else None
+        if result_dir:
+            result_dir.mkdir(parents=True, exist_ok=True)
+        det_annos, result_dict = run_eval(
+            cfg, model_cfg, dataset, params, batch_stats, logger,
+            batch_size=args.batch_size, infer_time=args.infer_time,
+            max_frames=args.max_frames, result_dir=result_dir,
+        )
+        with open(out_dir / f"result{tag}.pkl", "wb") as f:
+            pickle.dump(det_annos, f)
+        logger.info(f"results saved to {out_dir}")
+        return result_dict
+
+    if args.eval_all and args.ckpt_dir:
+        # poll for new checkpoints until none appear for max_waiting_mins
+        import time as _time
+
+        evaluated = set()
+        waited = 0.0
+        while waited < args.max_waiting_mins * 60:
+            mgr = CheckpointManager(args.ckpt_dir)
+            steps = [s for s in mgr.manager.all_steps() if s not in evaluated]
+            if not steps:
+                _time.sleep(30)
+                waited += 30
+                continue
+            waited = 0.0
+            for step in sorted(steps):
+                params, batch_stats = load_step(step)
+                eval_once(params, batch_stats, tag=f"_step{step}")
+                evaluated.add(step)
+        logger.info(f"evaluated checkpoints: {sorted(evaluated)}")
+    else:
+        if args.ckpt_dir:
+            step = args.ckpt_step or CheckpointManager(args.ckpt_dir).latest_step()
+            params, batch_stats = load_step(step)
+        eval_once(params, batch_stats)
 
 
 if __name__ == "__main__":
