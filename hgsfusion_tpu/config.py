@@ -166,4 +166,5 @@ def model_config_from_yaml(cfg: ConfigDict):
         dir_limit_offset=head.get("DIR_LIMIT_OFFSET", 0.0),
         compute_dtype=model.get("COMPUTE_DTYPE", "float32"),
         remat=model.get("REMAT", True),
+        use_depth=image_vfe.get("USE_DEPTH", True),
     )

@@ -73,6 +73,9 @@ class HGSFusionConfig:
     # rematerialize the image backbone + frustum transform in backward
     # (their activations at VoD scale exceed HBM otherwise)
     remat: bool = True
+    # USE_DEPTH (ImageVFE): run the DeepLab classifier and build true
+    # depth-weighted frustum volumes (False in all shipped HGS configs)
+    use_depth: bool = False
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -133,6 +136,29 @@ class HGSFusionModel(nn.Module):
             for i, t in enumerate(taps)
         ]
 
+        depth_probs = None
+        depth_logits = None
+        if cfg.use_depth:
+            # classifier on layer4, logits upsampled to the layer1 resolution
+            # (ddn_template.py:163-167), per-scale resize + softmax over
+            # D+1 bins dropping the overflow bin (depth_ffn.py:176-201)
+            from .layers import resize_bilinear
+            from .resnet import DeepLabClassifier
+
+            logits_small = DeepLabClassifier(
+                num_classes=cfg.disc_num_bins + 1, dtype=cfg.dtype,
+                name="ddn_classifier",
+            )(taps[-1], train)
+            depth_logits = resize_bilinear(logits_small, feats[0].shape[1:3])
+            depth_probs = []
+            for f in feats:
+                lg = (
+                    depth_logits if f.shape[1:3] == depth_logits.shape[1:3]
+                    else resize_bilinear(depth_logits, f.shape[1:3])
+                )
+                probs = jax.nn.softmax(lg, axis=-1)[..., : cfg.disc_num_bins]
+                depth_probs.append(probs)
+
         # ---- frustum view transform (pure geometry + fused reduce)
         grid_gen = FrustumGridGenerator(
             grid_size=cfg.grid_size, pc_range=cfg.pc_range, disc_cfg=cfg.disc_cfg,
@@ -147,8 +173,9 @@ class HGSFusionModel(nn.Module):
             if cfg.remat else FrustumToVoxelMultiScale
         )
         voxel = f2v_cls(
-            out_channels=cfg.f2v_out_channels, dtype=cfg.dtype, name="f2v"
-        )(feats, grid, train)  # (B, Y, X, Z, C)
+            out_channels=cfg.f2v_out_channels, dtype=cfg.dtype,
+            num_depth_bins=cfg.disc_num_bins, name="f2v",
+        )(feats, grid, train, depth_probs)  # (B, Y, X, Z, C)
 
         # ---- radar branch
         pillar_bev, occ_mask = PillarFeatureNet(
@@ -196,6 +223,8 @@ class HGSFusionModel(nn.Module):
             name="dense_head",
         )(fused)
         preds["occupancy"] = occupancy
+        if depth_logits is not None:
+            preds["depth_logits"] = depth_logits
         return preds
 
 

@@ -117,11 +117,51 @@ class FrustumToVoxelMultiScale(nn.Module):
     out_channels: int = 128
     fuse_mode: str = "CONCAT"
     dtype: object = None  # compute dtype for the reduce matmul
+    num_depth_bins: int = 80  # D of the frustum volume when use_depth
+
+    def _sample_with_depth(self, f, probs, grid, cdt):
+        """Exact trilinear sampling of the frustum volume probs*feat without
+        materializing the (B, C, D, H, W) volume.
+
+        The frustum feature F[c,d,h,w] = probs[d,h,w] * feat[c,h,w] is
+        separable in d: trilinear(F) = sum_taps w_hw * feat[c,hw] *
+        lerp_d(probs[:,hw]) — the depth-lerped product is taken PER bilinear
+        tap (bilinear(a*b) != bilinear(a)*bilinear(b)). We gather
+        [feat | probs] rows quad-packed with per-tap weights — reference
+        semantics of grid_sample on (B, C, D, H, W) with align_corners=True,
+        zeros padding (sampler.py:36, create_frustum_features
+        ffn/depth_ffn.py:176-201).
+        """
+        from ..ops.grid_sample import grid_sample_2d_quad_taps
+
+        d_bins = probs.shape[-1]
+        c_f = f.shape[-1]
+        combo = jnp.concatenate([f.astype(cdt), probs.astype(cdt)], axis=-1)
+        rows, w_taps = grid_sample_2d_quad_taps(combo, grid[..., 0:2])
+        feat_s = rows[..., :c_f]  # (..., 4, C)
+        probs_s = rows[..., c_f:]  # (..., 4, D)
+        # unnormalize the depth coordinate: align_corners over D bins
+        dc = (grid[..., 2] + 1.0) * 0.5 * (d_bins - 1)
+        d0 = jnp.floor(dc)
+        td = (dc - d0).astype(cdt)
+        bins = jnp.arange(d_bins, dtype=jnp.float32)
+        in0 = (d0 >= 0) & (d0 <= d_bins - 1)
+        in1 = (d0 + 1 >= 0) & (d0 + 1 <= d_bins - 1)
+        w_bins = (
+            (bins == d0[..., None]).astype(cdt)
+            * ((1 - td) * in0.astype(cdt))[..., None]
+            + (bins == (d0[..., None] + 1)).astype(cdt)
+            * (td * in1.astype(cdt))[..., None]
+        )  # (..., D)
+        pd = jnp.sum(probs_s * w_bins[..., None, :], axis=-1)  # (..., 4)
+        return jnp.sum(feat_s * (pd * w_taps)[..., None], axis=-2)
 
     @nn.compact
-    def __call__(self, features: Sequence[jnp.ndarray], grid, train: bool):
+    def __call__(self, features: Sequence[jnp.ndarray], grid, train: bool,
+                 depth_probs: Sequence[jnp.ndarray] | None = None):
         """features: list of (B, Hi, Wi, C) image feature maps;
-        grid: (B, Y, X, Z, 3) normalized sampling grid."""
+        grid: (B, Y, X, Z, 3) normalized sampling grid; depth_probs: optional
+        per-scale (B, Hi, Wi, D) softmaxed depth distributions (USE_DEPTH)."""
         from ..ops.grid_sample import grid_sample_2d, grid_sample_2d_quad
 
         uv = grid[..., 0:2]
@@ -139,6 +179,25 @@ class FrustumToVoxelMultiScale(nn.Module):
         bias = self.param("reduce_bias", nn.initializers.zeros, (self.out_channels,))
         cdt = self.dtype or jnp.float32
 
+        vox = bias.astype(jnp.float32)
+        if depth_probs is not None:
+            # USE_DEPTH: per-scale frustum volumes, factorized trilinear
+            off = 0
+            for f, probs, c in zip(features, depth_probs, c_per):
+                sampled = self._sample_with_depth(f, probs, grid, cdt)
+                vox = vox + jnp.einsum(
+                    "byxzc,co->byxzo", sampled,
+                    kernel[off : off + c].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
+                off += c
+            vox = vox.astype(cdt)
+            vox = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
+            )(vox)
+            return nn.relu(vox)
+
         # Group same-resolution maps (scales 2-4 all live at the backbone's
         # /8 resolution): one fat gather serves the whole group — gather cost
         # on TPU is per-row, so fewer wide rows win. Same uv grid for every
@@ -153,7 +212,6 @@ class FrustumToVoxelMultiScale(nn.Module):
                 groups.append((f, off))
             off += c
 
-        vox = bias.astype(jnp.float32)
         for f, k_off in groups:
             cg = f.shape[-1]
             sampled = grid_sample_2d_quad(f.astype(cdt), uv)  # (B, Y, X, Z, cg)

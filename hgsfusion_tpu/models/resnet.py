@@ -127,3 +127,65 @@ def resnet101_deeplab(bn_momentum: float = 0.1):
 
 def resnet50_deeplab(bn_momentum: float = 0.1):
     return ResNetDeepLabBackbone(stage_sizes=(3, 4, 6, 3), bn_momentum=bn_momentum)
+
+
+class ASPPModule(nn.Module):
+    """DeepLabV3 ASPP: 1x1 + three dilated 3x3 branches + image pooling.
+
+    torchvision deeplabv3 head (used when USE_DEPTH True; the reference runs
+    model.classifier on layer4, ddn_template.py:163-167).
+    """
+
+    out_channels: int = 256
+    atrous_rates: Sequence[int] = (12, 24, 36)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        branches = []
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="b0_conv")(x)
+        branches.append(nn.relu(bn("b0_bn")(h)))
+        for i, rate in enumerate(self.atrous_rates):
+            h = nn.Conv(
+                self.out_channels, (3, 3), padding=((rate, rate), (rate, rate)),
+                kernel_dilation=(rate, rate), use_bias=False, dtype=self.dtype,
+                name=f"b{i + 1}_conv",
+            )(x)
+            branches.append(nn.relu(bn(f"b{i + 1}_bn")(h)))
+        # image-level pooling branch
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="pool_conv")(g)
+        g = nn.relu(bn("pool_bn")(g))
+        g = jnp.broadcast_to(g, x.shape[:3] + (self.out_channels,))
+        branches.append(g)
+
+        h = jnp.concatenate(branches, axis=-1)
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(h)
+        return nn.relu(bn("project_bn")(h))
+
+
+class DeepLabClassifier(nn.Module):
+    """ASPP -> 3x3 conv-BN-ReLU -> 1x1 logits (torchvision DeepLabHead)."""
+
+    num_classes: int = 81  # depth bins + 1 (DepthFFN disc num_bins + 1)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h = ASPPModule(dtype=self.dtype, name="aspp")(x, train)
+        h = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(h)
+        h = nn.relu(h)
+        # final logits in f32 (softmax/loss stability)
+        return nn.Conv(self.num_classes, (1, 1), name="logits")(h).astype(
+            jnp.float32
+        )

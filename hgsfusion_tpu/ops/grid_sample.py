@@ -159,3 +159,52 @@ def grid_sample_2d_quad(features, coords):
         + rows[..., 3 * c : 4 * c] * w11
     )
     return out.reshape(out_shape)
+
+
+def grid_sample_2d_quad_taps(features, coords):
+    """Quad gather returning the four taps and their bilinear weights.
+
+    Returns (rows (..., 4, C), weights (..., 4)) so callers can apply
+    per-tap nonlinear combinations (e.g. the depth-weighted frustum product,
+    where bilinear(a*b) != bilinear(a)*bilinear(b)).
+    """
+    b, h, w, c = features.shape
+    lead = coords.shape[:-1]
+    coords = coords.reshape(b, -1, 2)
+
+    hp, wp = h + 1, w + 1
+    fp = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [fp[:, :-1, :-1], fp[:, :-1, 1:], fp[:, 1:, :-1], fp[:, 1:, 1:]],
+        axis=-1,
+    ).reshape(b, hp * wp, 4 * c)
+
+    ix = _unnormalize(coords[..., 0], w)
+    iy = _unnormalize(coords[..., 1], h)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = (ix - ix0).astype(features.dtype)
+    ty = (iy - iy0).astype(features.dtype)
+
+    def inb(v, n):
+        return ((v >= 0) & (v <= n - 1)).astype(features.dtype)
+
+    mx0, mx1 = inb(ix0, w), inb(ix0 + 1, w)
+    my0, my1 = inb(iy0, h), inb(iy0 + 1, h)
+    xp = jnp.clip(ix0 + 1, 0, wp - 1).astype(jnp.int32)
+    yp = jnp.clip(iy0 + 1, 0, hp - 1).astype(jnp.int32)
+
+    rows = jnp.take_along_axis(quad, (yp * wp + xp)[..., None], axis=1)
+    weights = jnp.stack(
+        [
+            (1 - tx) * (1 - ty) * mx0 * my0,
+            tx * (1 - ty) * mx1 * my0,
+            (1 - tx) * ty * mx0 * my1,
+            tx * ty * mx1 * my1,
+        ],
+        axis=-1,
+    )
+    return (
+        rows.reshape(lead + (4, c)),
+        weights.reshape(lead + (4,)),
+    )

@@ -33,7 +33,8 @@ class TrainState:
 
 MODEL_BATCH_KEYS = (
     "points", "points_valid", "images", "trans_lidar_to_cam",
-    "trans_cam_to_img", "lidar_aug_matrix", "gt_boxes",
+    "trans_cam_to_img", "lidar_aug_matrix", "gt_boxes", "gt_boxes2d",
+    "depth_maps",
 )
 
 
@@ -92,6 +93,18 @@ def make_train_step(model, assigner: TargetAssigner, tx,
             )
             tb = {**tb, "loss_occ": occ}
             total = total + occ
+        if "depth_logits" in preds and "depth_maps" in batch:
+            from ..models.ddn_loss import ddn_loss
+
+            dloss, dtb = ddn_loss(
+                preds["depth_logits"], batch["depth_maps"],
+                batch.get("gt_boxes2d", jnp.zeros(
+                    (batch["gt_boxes"].shape[0], 1, 4), jnp.float32
+                )),
+                cfg.disc_cfg,
+            )
+            tb = {**tb, **dtb}
+            total = total + dloss
         tb = {**tb, "loss": total}
         return total, (tb, mutated["batch_stats"])
 
