@@ -111,6 +111,11 @@ def main():
     def batches():
         while True:
             order = np.random.permutation(len(dataset))
+            if batch_size > len(order):
+                # global batch exceeds the dataset (e.g. many-device smoke
+                # runs): top up with replacement so each epoch yields >=1 batch
+                extra = np.random.randint(0, len(dataset), batch_size - len(order))
+                order = np.concatenate([order, extra])
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 samples = [dataset[j] for j in order[i : i + batch_size]]
                 yield dataset.collate_batch(samples)
