@@ -132,10 +132,15 @@ def model_config_from_yaml(cfg: ConfigDict):
         )
     )
     disc = image_vfe.FFN.DISCRETIZE
-    n_anchor = sum(
-        len(c["anchor_rotations"]) * len(c["anchor_sizes"]) * len(c["anchor_bottom_heights"])
-        for c in head.ANCHOR_GENERATOR_CONFIG
-    )
+    if "ANCHOR_GENERATOR_CONFIG" in head:
+        n_anchor = sum(
+            len(c["anchor_rotations"]) * len(c["anchor_sizes"]) * len(c["anchor_bottom_heights"])
+            for c in head.ANCHOR_GENERATOR_CONFIG
+        )
+    else:  # anchor-free heads (CenterHead)
+        n_anchor = 0
+    tgt = head.get("TARGET_ASSIGNER_CONFIG", {})
+    post = cfg.MODEL.get("POST_PROCESSING", {})
     num_pt_feats = len(data.POINT_FEATURE_ENCODING.used_feature_list)
     return HGSFusionConfig(
         class_names=tuple(cfg.CLASS_NAMES),
@@ -167,4 +172,14 @@ def model_config_from_yaml(cfg: ConfigDict):
         compute_dtype=model.get("COMPUTE_DTYPE", "float32"),
         remat=model.get("REMAT", True),
         use_depth=image_vfe.get("USE_DEPTH", True),
+        center_feature_map_stride=tgt.get("FEATURE_MAP_STRIDE", 2),
+        center_max_k=post.get("MAX_OBJ_PER_SAMPLE", 500),
+        center_gaussian_overlap=tgt.get("GAUSSIAN_OVERLAP", 0.1),
+        center_min_radius=tgt.get("MIN_RADIUS", 2),
+        center_post_limit=tuple(
+            post.get(
+                "POST_CENTER_LIMIT_RANGE",
+                (-75.0, -75.0, -10.0, 75.0, 75.0, 10.0),
+            )
+        ),
     )

@@ -76,6 +76,16 @@ class HGSFusionConfig:
     # USE_DEPTH (ImageVFE): run the DeepLab classifier and build true
     # depth-weighted frustum volumes (False in all shipped HGS configs)
     use_depth: bool = False
+    # CenterPoint head (center_head.py): candidate count, target gaussians,
+    # decode range (reference tools/cfgs/*centerpoint*.yaml TARGET_ASSIGNER /
+    # POST_PROCESSING defaults)
+    center_feature_map_stride: int = 2
+    center_max_k: int = 500
+    center_gaussian_overlap: float = 0.1
+    center_min_radius: int = 2
+    center_post_limit: Tuple[float, ...] = (
+        -75.0, -75.0, -10.0, 75.0, 75.0, 10.0
+    )
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -265,6 +275,42 @@ class PointPillarModel(nn.Module):
             num_dir_bins=cfg.num_dir_bins,
             name="dense_head",
         )(feats)
+
+
+class CenterPointModel(nn.Module):
+    """CenterPoint-Pillar detector (zoo family, anchor-free center head).
+
+    pillar VFE -> classic BaseBEVBackbone -> CenterHead (heatmap + offsets),
+    the pcdet centerpoint_pillar topology (pcdet/models/detectors/
+    centerpoint.py + dense_heads/center_head.py). The BEV backbone's
+    (1,2,4)-upsample-over-(2,2,2)-downsample output sits at stride 2 of the
+    pillar grid, so targets/decode use cfg.center_feature_map_stride=2.
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .center_head import CenterHead
+
+        cfg = self.cfg
+        pillar_bev, occ_mask = PillarFeatureNet(
+            num_input_features=batch["points"].shape[-1],
+            pillar_size=cfg.voxel_size[0],
+            pc_range=cfg.pc_range,
+            use_virtual=False,
+            encoding_type="mixed",
+            num_filters=(64,),
+            dtype=cfg.dtype,
+            name="pillar_net",
+        )(batch["points"], batch["points_valid"], train)
+        feats = BaseBEVBackbone(dtype=cfg.dtype, name="backbone_2d")(
+            pillar_bev, train
+        )
+        return CenterHead(
+            num_class=cfg.num_class, dtype=cfg.dtype, name="dense_head"
+        )(feats, train)
 
 
 class RadarOnlyModel(nn.Module):

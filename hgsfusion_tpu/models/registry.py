@@ -9,6 +9,7 @@ the inherited OpenPCDet zoo plug in here as they are implemented.
 from __future__ import annotations
 
 from .detector import (
+    CenterPointModel,
     HGSFusionConfig,
     HGSFusionModel,
     PointPillarModel,
@@ -21,6 +22,7 @@ DETECTORS = {
     "RadarOnly": RadarOnlyModel,
     "PillarNet": RadarOnlyModel,  # radar-only pillar detector family
     "PointPillar": PointPillarModel,  # classic zoo family (SECOND-style BEV)
+    "CenterPoint": CenterPointModel,  # anchor-free center head family
 }
 
 

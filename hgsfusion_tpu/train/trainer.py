@@ -123,6 +123,75 @@ def make_train_step(model, assigner: TargetAssigner, tx,
     return train_step
 
 
+def make_center_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
+    """Training step for anchor-free CenterPoint-family detectors.
+
+    Mirrors centerpoint.py get_training_loss -> CenterHead.get_loss
+    (center_head.py:233-262); targets are assigned on-device inside the same
+    jitted graph (center_head.center_targets).
+    """
+    from ..models.center_head import center_head_loss, center_targets
+
+    gx, gy, _ = cfg.grid_size
+    stride = cfg.center_feature_map_stride
+    fmap_hw = (gy // stride, gx // stride)
+    code_weights = loss_weights.get(
+        "code_weights", [1.0] * (2 + 1 + 3 + 2)
+    )
+
+    def loss_fn(params, batch_stats, batch):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), True, mutable=["batch_stats"],
+        )
+        targets = center_targets(
+            batch["gt_boxes"], cfg.num_class, fmap_hw, stride,
+            cfg.pc_range, cfg.voxel_size,
+            gaussian_overlap=cfg.center_gaussian_overlap,
+            min_radius=cfg.center_min_radius,
+        )
+        total, tb = center_head_loss(
+            preds, targets, ("center", "center_z", "dim", "rot"), code_weights,
+            cls_weight=loss_weights.get("cls_weight", 1.0),
+            loc_weight=loss_weights.get("loc_weight", 2.0),
+        )
+        tb = {**tb, "loss": total}
+        return total, (tb, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch):
+        (_, (tb, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, step=state.step + 1,
+        ), tb
+
+    return train_step
+
+
+def make_center_eval_step(model, cfg, post_cfg: Dict) -> Callable:
+    """Inference step for CenterPoint-family detectors: forward + fixed-K
+    heatmap decode (+ range/score mask); no anchor NMS needed — the heatmap
+    peaks are already sparse (decode_bbox_from_heatmap:173-241)."""
+    from ..models.center_head import decode_center_boxes
+
+    def eval_step(params, batch_stats, batch):
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), False,
+        )
+        return decode_center_boxes(
+            preds, cfg.center_max_k, cfg.center_feature_map_stride,
+            cfg.pc_range, cfg.voxel_size, cfg.center_post_limit,
+            score_thresh=post_cfg.get("SCORE_THRESH", 0.1),
+        )
+
+    return eval_step
+
+
 def make_eval_step(model, assigner: TargetAssigner, cfg, post_cfg: Dict) -> Callable:
     """One jitted inference step: forward + decode + NMS, fixed shapes."""
     anchors = assigner.flat_anchors

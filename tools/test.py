@@ -51,13 +51,25 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     )
 
     model = build_network(cfg, model_cfg)
-    assigner = TargetAssigner(
-        [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-        model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,
-    )
-    eval_step = jax.jit(
-        make_eval_step(model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
-    )
+    if cfg.MODEL.DENSE_HEAD.NAME == "CenterHead":
+        from hgsfusion_tpu.train.trainer import make_center_eval_step
+
+        eval_step = jax.jit(
+            make_center_eval_step(
+                model, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
+            )
+        )
+    else:
+        assigner = TargetAssigner(
+            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+            model_cfg.grid_size, model_cfg.pc_range,
+            class_names=model_cfg.class_names,
+        )
+        eval_step = jax.jit(
+            make_eval_step(
+                model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
+            )
+        )
 
     def recall_iou3d(gt_lidar, pred_lidar):
         """Rotated 3D IoU in numpy: per-frame box counts vary, so a jitted

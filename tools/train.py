@@ -100,10 +100,13 @@ def main():
     )
 
     model = build_network(cfg, model_cfg)
-    assigner = TargetAssigner(
-        [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-        model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,
-    )
+    center_head = cfg.MODEL.DENSE_HEAD.NAME == "CenterHead"
+    if not center_head:
+        assigner = TargetAssigner(
+            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+            model_cfg.grid_size, model_cfg.pc_range,
+            class_names=model_cfg.class_names,
+        )
     loss_weights = dict(cfg.MODEL.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS)
 
     mesh = make_mesh()
@@ -141,7 +144,16 @@ def main():
         state = restored
         logger.info(f"auto-resumed from step {step0}")
 
-    train_step = jax.jit(make_train_step(model, assigner, tx, loss_weights, model_cfg))
+    if center_head:
+        from hgsfusion_tpu.train.trainer import make_center_train_step
+
+        train_step = jax.jit(
+            make_center_train_step(model, tx, loss_weights, model_cfg)
+        )
+    else:
+        train_step = jax.jit(
+            make_train_step(model, assigner, tx, loss_weights, model_cfg)
+        )
 
     start_step = int(state.step)
     t_start = time.time()
@@ -169,11 +181,12 @@ def main():
             metrics = {k: float(v) for k, v in metrics.items()}
             lr = float(lr_schedule(step))
             logger.info(
-                f"step {step}/{total_steps} loss {metrics['loss']:.4f} "
-                f"(cls {metrics.get('rpn_loss_cls', 0):.4f} loc "
-                f"{metrics.get('rpn_loss_loc', 0):.4f} occ "
-                f"{metrics.get('loss_occ', 0):.4f}) "
-                f"lr {lr:.2e} {(time.time() - t_start):.0f}s"
+                f"step {step}/{total_steps} loss {metrics['loss']:.4f} ("
+                + " ".join(
+                    f"{k.replace('rpn_loss_', '').replace('loss_', '')} {v:.4f}"
+                    for k, v in sorted(metrics.items()) if k != "loss"
+                )
+                + f") lr {lr:.2e} {(time.time() - t_start):.0f}s"
             )
             if tb is not None:
                 for k, v in metrics.items():
