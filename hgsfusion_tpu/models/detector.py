@@ -277,6 +277,50 @@ class PointPillarModel(nn.Module):
         )(feats)
 
 
+class SECONDModel(nn.Module):
+    """SECOND detector (zoo family): mean VFE -> sparse-equivalent 3D voxel
+    backbone -> height compression -> 2D BEV backbone -> anchor head.
+
+    Topology of pcdet/models/detectors/second_net.py with
+    tools/cfgs/kitti_models/second.yaml hyperparameters (BaseBEVBackbone
+    LAYER_NUMS [5,5], strides [1,2], filters [128,256], upsample [1,2] ->
+    [256,256]); anchors live at feature_map_stride 8.
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .voxel_backbone import (
+            VoxelBackBone8x,
+            height_compression,
+            mean_vfe,
+        )
+
+        cfg = self.cfg
+        dense, mask = mean_vfe(
+            batch["points"], batch["points_valid"], cfg.pc_range,
+            cfg.voxel_size, cfg.grid_size,
+        )
+        x, _ = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+            dense.astype(cfg.dtype), mask, train
+        )
+        bev = height_compression(x)
+        feats = BaseBEVBackbone(
+            layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
+            upsample_strides=(1, 2), num_upsample_filters=(256, 256),
+            dtype=cfg.dtype, name="backbone_2d",
+        )(bev, train)
+        return AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(feats)
+
+
 class CenterPointModel(nn.Module):
     """CenterPoint-Pillar detector (zoo family, anchor-free center head).
 

@@ -14,6 +14,7 @@ from .detector import (
     HGSFusionModel,
     PointPillarModel,
     RadarOnlyModel,
+    SECONDModel,
 )
 
 DETECTORS = {
@@ -23,6 +24,8 @@ DETECTORS = {
     "PillarNet": RadarOnlyModel,  # radar-only pillar detector family
     "PointPillar": PointPillarModel,  # classic zoo family (SECOND-style BEV)
     "CenterPoint": CenterPointModel,  # anchor-free center head family
+    "SECONDNet": SECONDModel,  # sparse-3D voxel backbone family
+    "SECOND": SECONDModel,
 }
 
 
