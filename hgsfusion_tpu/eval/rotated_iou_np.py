@@ -93,7 +93,21 @@ def _pairwise_intersection(ca, cb):
 
 
 def rotate_iou_eval(boxes, query_boxes, criterion: int = -1):
-    """(N, 5) x (M, 5) -> (N, M) per `criterion` (see module docstring)."""
+    """(N, 5) x (M, 5) -> (N, M) per `criterion` (see module docstring).
+
+    Dispatches to the native C++ kernel (hgsfusion_tpu.native) when the
+    shared object builds on this host; this vectorized numpy path is the
+    fallback and the parity oracle."""
+    from ..native import rotate_iou_native
+
+    out = rotate_iou_native(boxes, query_boxes, criterion)
+    if out is not None:
+        return out
+    return rotate_iou_eval_np(boxes, query_boxes, criterion)
+
+
+def rotate_iou_eval_np(boxes, query_boxes, criterion: int = -1):
+    """Pure-numpy reference implementation (always available)."""
     boxes = np.asarray(boxes, np.float64)
     query_boxes = np.asarray(query_boxes, np.float64)
     inter = _pairwise_intersection(_corners(boxes), _corners(query_boxes))
