@@ -12,9 +12,53 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rotated_iou import boxes_iou_bev_blocked
+from .rotated_iou import boxes_iou_bev, boxes_iou_bev_blocked
 
 NEG_INF = -1e9
+
+
+def greedy_nms_lazy(boxes, valid, nms_thresh: float, max_keep: int):
+    """Greedy rotated NMS without materializing the (N, N) IoU matrix.
+
+    Candidates must be score-sorted descending (as from exact_top_k). Each
+    while_loop iteration keeps exactly ONE box and suppresses via a single
+    (1, N) IoU row, then jumps straight to the next unsuppressed candidate —
+    suppressed boxes cost no iterations. Total work is O(kept * N) instead
+    of the O(N^2) matrix + O(N) sweep; `max_keep` (= NMS_POST_MAXSIZE)
+    bounds the kept count, which is exact for the returned set because the
+    caller truncates to max_keep anyway. Same keep set as
+    greedy_suppress(iou > thresh, valid) restricted to its first max_keep
+    True entries (tested).
+
+    Returns keep (N,) bool with at most max_keep entries set.
+    """
+    n = boxes.shape[0]
+    idxs = jnp.arange(n)
+
+    def next_live(suppressed, after):
+        live = valid & ~suppressed & (idxs > after)
+        return jnp.where(jnp.any(live), jnp.argmax(live), n).astype(jnp.int32)
+
+    def cond(carry):
+        i, keep, suppressed, kept = carry
+        return (i < n) & (kept < max_keep)
+
+    def body(carry):
+        i, keep, suppressed, kept = carry
+        ic = jnp.clip(i, 0, n - 1)
+        keep = keep.at[ic].set(True)
+        row = boxes_iou_bev(
+            jax.lax.dynamic_slice_in_dim(boxes, ic, 1, axis=0), boxes
+        )[0]
+        suppressed = suppressed | ((row > nms_thresh) & (idxs > i))
+        return next_live(suppressed, i), keep, suppressed, kept + 1
+
+    i0 = jnp.where(jnp.any(valid), jnp.argmax(valid), n).astype(jnp.int32)
+    _, keep, _, _ = jax.lax.while_loop(
+        cond, body,
+        (i0, jnp.zeros((n,), bool), jnp.zeros((n,), bool), jnp.int32(0)),
+    )
+    return keep
 
 
 def greedy_suppress(overlap: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -81,13 +125,9 @@ def class_agnostic_nms(box_scores, box_preds, score_thresh: float,
     top_valid = top_scores > NEG_INF / 2
     top_boxes = box_preds[top_idx]
 
-    # candidates are sorted valid-first: row blocks past the valid count are
-    # skipped entirely (exact; see boxes_iou_bev_blocked)
-    n_valid = jnp.sum(top_valid.astype(jnp.int32))
-    iou = boxes_iou_bev_blocked(
-        top_boxes, top_boxes, row_block=row_block, n_valid=n_valid
-    )
-    keep = greedy_suppress(iou > nms_thresh, top_valid)
+    # lazy greedy: one IoU row per KEPT box, capped at post_max_size kept —
+    # O(kept * pre_max) instead of the O(pre_max^2) suppression matrix
+    keep = greedy_nms_lazy(top_boxes, top_valid, nms_thresh, post_max_size)
 
     # select the first post_max_size kept candidates (already score-ordered)
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1

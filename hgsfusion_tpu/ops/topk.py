@@ -20,8 +20,16 @@ import jax
 import jax.numpy as jnp
 
 
-def exact_top_k(scores: jnp.ndarray, k: int, num_iters: int = 48):
-    """(n,) scores -> (values (k,), indices (k,)), descending by value."""
+def exact_top_k(scores: jnp.ndarray, k: int, num_iters: int = 12,
+                ways: int = 16):
+    """(n,) scores -> (values (k,), indices (k,)), descending by value.
+
+    Multi-way bisection: each pass counts against `ways - 1` interior
+    thresholds in ONE sweep over the data (the sweep is bandwidth-bound, so
+    15 compares cost barely more than 1), narrowing the bracket by log2(ways)
+    bits per pass — 12 passes x 4 bits = 48 bits, same precision as the old
+    48-pass binary search at ~4x fewer sequential sweeps.
+    """
     n = scores.shape[0]
     assert k <= n
     scores = scores.astype(jnp.float32)
@@ -31,13 +39,18 @@ def exact_top_k(scores: jnp.ndarray, k: int, num_iters: int = 48):
     # magnitudes (ulp(1e9) = 64), which would break the bisection invariant
     lo0 = mn - (jnp.abs(mn) * 1e-5 + 1.0)
     hi0 = jnp.max(scores)
+    fracs = jnp.arange(1, ways, dtype=jnp.float32) / ways  # (ways-1,)
 
     def body(_, carry):
         lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum(scores > mid)
-        # keep the invariant count(> lo) >= k and count(> hi) < k
-        return jnp.where(cnt >= k, mid, lo), jnp.where(cnt >= k, hi, mid)
+        mids = lo + (hi - lo) * fracs  # ascending interior thresholds
+        cnts = jnp.sum(scores[:, None] > mids[None, :], axis=0)  # descending
+        # the k-th value lies in the highest cell whose count is still >= k:
+        # new lo = largest mid with count >= k (or lo), new hi = next mid up
+        ge = cnts >= k  # monotone non-increasing... True prefix
+        n_ge = jnp.sum(ge.astype(jnp.int32))
+        grid = jnp.concatenate([lo[None], mids, hi[None]])
+        return grid[n_ge], grid[n_ge + 1]
 
     lo, hi = jax.lax.fori_loop(0, num_iters, body, (lo0, hi0))
     tau = lo  # count(scores > tau) >= k, and tau ~ the k-th value

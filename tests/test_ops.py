@@ -175,6 +175,47 @@ class TestNMS:
         keep = np.asarray(nms.rotated_nms(jnp.array(boxes), jnp.array(scores), 0.2))
         np.testing.assert_array_equal(keep, keep_ref)
 
+    def test_lazy_greedy_matches_matrix_greedy(self, rng):
+        """greedy_nms_lazy == (full IoU matrix -> greedy_suppress) truncated
+        to its first max_keep kept entries, across validity patterns."""
+        n = 128
+        for trial in range(4):
+            boxes = np.concatenate(
+                [
+                    rng.uniform(-12, 12, (n, 2)),
+                    np.zeros((n, 1)),
+                    rng.uniform(1, 4, (n, 2)),
+                    np.ones((n, 1)),
+                    rng.uniform(-np.pi, np.pi, (n, 1)),
+                ],
+                axis=1,
+            ).astype(np.float32)
+            # score-sorted candidates (as produced by exact_top_k)
+            valid = np.ones(n, bool)
+            if trial == 1:
+                valid[60:] = False  # tail invalid (padded slots)
+            if trial == 2:
+                valid[:] = False  # nothing valid
+            max_keep = 10 if trial == 3 else n
+
+            iou = np.asarray(
+                rotated_iou.boxes_iou_bev(jnp.array(boxes), jnp.array(boxes))
+            )
+            ref_full = np.asarray(
+                nms.greedy_suppress(jnp.array(iou > 0.2), jnp.array(valid))
+            )
+            # first max_keep kept entries of the reference
+            kept_idx = np.nonzero(ref_full)[0][:max_keep]
+            ref = np.zeros(n, bool)
+            ref[kept_idx] = True
+
+            got = np.asarray(
+                nms.greedy_nms_lazy(
+                    jnp.array(boxes), jnp.array(valid), 0.2, max_keep
+                )
+            )
+            np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial}")
+
 
 class TestGridSample:
     def test_matches_torch(self, rng):
