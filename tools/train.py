@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--output_dir", default="output")
     p.add_argument("--max_ckpt_save_num", type=int, default=30)
     p.add_argument("--fix_random_seed", action="store_true")
+    p.add_argument("--workers", type=int, default=4,
+                   help="prefetch loader threads (0 = synchronous)")
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap total steps (smoke tests)")
     p.add_argument("--profile_steps", type=str, default=None,
@@ -46,6 +48,7 @@ def main():
 
     from hgsfusion_tpu.config import cfg_from_list, load_config, model_config_from_yaml
     from hgsfusion_tpu.datasets import build_dataset
+    from hgsfusion_tpu.datasets.loader import PrefetchLoader
     from hgsfusion_tpu.models.anchors import TargetAssigner
     from hgsfusion_tpu.models.registry import build_network
     from hgsfusion_tpu.parallel.mesh import make_mesh, shard_batch
@@ -111,19 +114,11 @@ def main():
 
     mesh = make_mesh()
 
-    def batches():
-        while True:
-            order = np.random.permutation(len(dataset))
-            if batch_size > len(order):
-                # global batch exceeds the dataset (e.g. many-device smoke
-                # runs): top up with replacement so each epoch yields >=1 batch
-                extra = np.random.randint(0, len(dataset), batch_size - len(order))
-                order = np.concatenate([order, extra])
-            for i in range(0, len(order) - batch_size + 1, batch_size):
-                samples = [dataset[j] for j in order[i : i + batch_size]]
-                yield dataset.collate_batch(samples)
-
-    batch_iter = batches()
+    loader = PrefetchLoader(
+        dataset, batch_size, shuffle=True, num_workers=args.workers,
+        prefetch=2,
+    )
+    batch_iter = loader.batches()
     example = next(batch_iter)
 
     variables = jax.jit(
