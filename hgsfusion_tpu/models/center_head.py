@@ -288,9 +288,10 @@ def decode_center_boxes(
     """
     hm = jax.nn.sigmoid(preds["hm"].astype(jnp.float32))  # (B, H, W, C)
     b, h, w, c = hm.shape
+    k_eff = min(k, c * h * w)  # tiny feature maps: fewer cells than K
 
     def one(hm_i, center_i, z_i, dim_i, rot_i):
-        scores, flat_idx = exact_top_k(hm_i.transpose(2, 0, 1).reshape(-1), k)
+        scores, flat_idx = exact_top_k(hm_i.transpose(2, 0, 1).reshape(-1), k_eff)
         cls_id = flat_idx // (h * w)
         spatial = flat_idx % (h * w)
         ys = (spatial // w).astype(jnp.float32)
@@ -320,4 +321,10 @@ def decode_center_boxes(
     boxes, scores, labels, valid = jax.vmap(one)(
         hm, preds["center"], preds["center_z"], preds["dim"], preds["rot"]
     )
+    if k_eff < k:  # pad back to the caller's fixed K with invalid slots
+        pad = [(0, 0), (0, k - k_eff)]
+        boxes = jnp.pad(boxes, pad + [(0, 0)])
+        scores = jnp.pad(scores, pad)
+        labels = jnp.pad(labels, pad)
+        valid = jnp.pad(valid, pad)
     return {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}

@@ -321,6 +321,40 @@ class SECONDModel(nn.Module):
         )(feats)
 
 
+class VoxelNeXtModel(nn.Module):
+    """VoxelNeXt detector (zoo family): fully sparse voxel backbone with
+    multi-scale fusion + z-sum BEV collapse, center-based head.
+
+    Reference: pcdet/models/detectors/voxelnext.py +
+    spconv_backbone_voxelnext.py (VoxelResBackBone8xVoxelNeXt). Deviation
+    (documented): the reference's VoxelNeXtHead predicts on sparse active
+    sites with a sparse top-k (voxelnext_head.py _topk_1d); here the head
+    runs dense over the masked stride-8 BEV with the same fixed-K decode as
+    CenterPoint — equal results on the active set since inactive sites carry
+    -inf-like heatmap logits only through the masked conv stack.
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .center_head import CenterHead
+        from .voxel_backbone import VoxelResBackBone8xVoxelNeXt, mean_vfe
+
+        cfg = self.cfg
+        dense, mask = mean_vfe(
+            batch["points"], batch["points_valid"], cfg.pc_range,
+            cfg.voxel_size, cfg.grid_size,
+        )
+        bev, bev_mask = VoxelResBackBone8xVoxelNeXt(
+            dtype=cfg.dtype, name="backbone_3d"
+        )(dense.astype(cfg.dtype), mask, train)
+        return CenterHead(
+            num_class=cfg.num_class, shared_channels=128, dtype=cfg.dtype,
+            name="dense_head",
+        )(bev, train)
+
+
 class CenterPointModel(nn.Module):
     """CenterPoint-Pillar detector (zoo family, anchor-free center head).
 

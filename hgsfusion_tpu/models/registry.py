@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .detector import (
     CenterPointModel,
+    VoxelNeXtModel,
     HGSFusionConfig,
     HGSFusionModel,
     PointPillarModel,
@@ -26,6 +27,7 @@ DETECTORS = {
     "CenterPoint": CenterPointModel,  # anchor-free center head family
     "SECONDNet": SECONDModel,  # sparse-3D voxel backbone family
     "SECOND": SECONDModel,
+    "VoxelNeXt": VoxelNeXtModel,  # fully sparse multi-scale center detector
 }
 
 

@@ -179,6 +179,129 @@ class VoxelBackBone8x(nn.Module):
         return x, mask
 
 
+class _SparseBasicBlock3D(nn.Module):
+    """Residual submanifold block: (conv-bn-relu-conv-bn) + id -> relu.
+
+    spconv_backbone.SparseBasicBlock:30-68 — note the reference passes
+    bias=True to both convs whenever a norm_fn is given (bias = norm_fn is
+    not None), so we keep the bias for checkpoint parity.
+    """
+
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        m = mask.astype(x.dtype)
+
+        def conv_bn(h, name):
+            h = nn.Conv(
+                self.features, kernel_size=(3, 3, 3), padding=1, use_bias=True,
+                dtype=self.dtype, name=f"{name}_conv",
+            )(h * m)
+            h = h * m
+            return MaskedBatchNorm(
+                self.features, eps=1e-3, momentum=0.01, name=f"{name}_bn"
+            )(h, mask, use_running_average=not train)
+
+        out = nn.relu(conv_bn(x, "a")) * m
+        out = conv_bn(out, "b")
+        return nn.relu(out + x) * m
+
+
+def _place_strided(src, src_mask, target_dhw, stride: int):
+    """Scatter a coarser volume into a finer grid at every `stride`-th site.
+
+    Dense equivalent of `x_conv5.indices[:, 1:] *= 2` (VoxelNeXt forward:
+    193-196): the stride-16 feature at (i, j, k) lands at (2i, 2j, 2k) of the
+    stride-8 grid, zeros elsewhere (NOT a nearest-neighbor upsample).
+    """
+    d, h, w = target_dhw
+    out = jnp.zeros(src.shape[:1] + (d, h, w) + src.shape[-1:], src.dtype)
+    m = jnp.zeros(src_mask.shape[:1] + (d, h, w, 1), bool)
+    nd = min(src.shape[1], (d + stride - 1) // stride)
+    nh = min(src.shape[2], (h + stride - 1) // stride)
+    nw = min(src.shape[3], (w + stride - 1) // stride)
+    out = out.at[:, : nd * stride : stride, : nh * stride : stride,
+                 : nw * stride : stride].set(src[:, :nd, :nh, :nw])
+    m = m.at[:, : nd * stride : stride, : nh * stride : stride,
+             : nw * stride : stride].set(src_mask[:, :nd, :nh, :nw])
+    return out, m
+
+
+class VoxelResBackBone8xVoxelNeXt(nn.Module):
+    """Dense-masked VoxelNeXt backbone (spconv_backbone_voxelnext.py:69-212).
+
+    Residual stages 16/32/64/128 at strides 1/2/4/8, two extra stride-2
+    stages conv5/conv6 (128ch) whose outputs are scattered back onto the
+    stride-8 grid at x2/x4 coordinate spacing, then the z axis collapses by
+    SUMMING features at duplicate (y, x) (bev_out:149-164). A sparse 3x3 2D
+    conv + subm shared conv produce the final (B, H/8, W/8, C) BEV + mask.
+    """
+
+    out_channel: int = 128
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        if x.shape[1] < 25:
+            raise ValueError(
+                f"VoxelNeXt backbone needs >= 25 z-planes (got {x.shape[1]})."
+            )
+        x = _SubMConvBN3D(16, dtype=self.dtype, name="conv_input")(x, mask, train)
+        for i in range(2):
+            x = _SparseBasicBlock3D(16, dtype=self.dtype, name=f"conv1_res{i}")(
+                x, mask, train
+            )
+
+        feats = {}
+        masks = {}
+        for stage, ch in (("conv2", 32), ("conv3", 64), ("conv4", 128),
+                          ("conv5", 128), ("conv6", 128)):
+            x, mask = _SparseDown3D(ch, dtype=self.dtype, name=f"{stage}_down")(
+                x, mask, train
+            )
+            for i in range(2):
+                x = _SparseBasicBlock3D(ch, dtype=self.dtype,
+                                        name=f"{stage}_res{i}")(x, mask, train)
+            feats[stage], masks[stage] = x, mask
+
+        # multi-scale fusion on the stride-8 grid + z-sum BEV collapse
+        d4 = feats["conv4"].shape[1:4]
+        p5, m5 = _place_strided(feats["conv5"], masks["conv5"], d4, 2)
+        p6, m6 = _place_strided(feats["conv6"], masks["conv6"], d4, 4)
+        merged = feats["conv4"] + p5 + p6
+        bev = jnp.sum(merged, axis=1)  # (B, H, W, C) — index_add over dup yx
+        bev_mask = jnp.any(masks["conv4"] | m5 | m6, axis=1)
+
+        # conv_out: SparseConv2d 3x3 s1 p1 (active set dilates) + BN + ReLU
+        y = nn.Conv(
+            self.out_channel, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, name="conv_out",
+        )(bev * bev_mask.astype(bev.dtype))
+        out_mask = nn.max_pool(
+            bev_mask.astype(jnp.float32), window_shape=(3, 3), strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+        ) > 0
+        y = y * out_mask.astype(y.dtype)
+        y = MaskedBatchNorm(self.out_channel, eps=1e-3, momentum=0.01,
+                            name="conv_out_bn")(
+            y, out_mask, use_running_average=not train
+        )
+        y = nn.relu(y) * out_mask.astype(y.dtype)
+
+        # shared_conv: SubMConv2d (bias) + torch-default BN (1e-5, 0.1)
+        y = nn.Conv(
+            self.out_channel, (3, 3), padding=1, use_bias=True,
+            dtype=self.dtype, name="shared_conv",
+        )(y) * out_mask.astype(y.dtype)
+        y = MaskedBatchNorm(self.out_channel, eps=1e-5, momentum=0.1,
+                            name="shared_bn")(
+            y, out_mask, use_running_average=not train
+        )
+        return nn.relu(y) * out_mask.astype(y.dtype), out_mask
+
+
 def height_compression(x):
     """(B, D, H, W, C) -> (B, H, W, C*D) BEV features.
 
