@@ -21,6 +21,13 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+class _ProducerError:
+    """Sentinel carrying a worker exception from producer to consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchLoader:
     """Iterate collated batches with background workers + prefetch queue.
 
@@ -73,30 +80,41 @@ class PrefetchLoader:
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                while not stop.is_set():
-                    order = self._epoch_order()
-                    for i in range(0, len(order) - self.batch_size + 1,
-                                   self.batch_size):
-                        futs = [pool.submit(self.dataset.__getitem__, j)
-                                for j in order[i:i + self.batch_size]]
-                        batch = self.dataset.collate_batch(
-                            [f.result() for f in futs]
-                        )
-                        while not stop.is_set():
-                            try:
-                                out.put(batch, timeout=0.5)
-                                break
-                            except queue.Full:
-                                continue
-                        if stop.is_set():
-                            return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    while not stop.is_set():
+                        order = self._epoch_order()
+                        for i in range(0, len(order) - self.batch_size + 1,
+                                       self.batch_size):
+                            futs = [pool.submit(self.dataset.__getitem__, j)
+                                    for j in order[i:i + self.batch_size]]
+                            batch = self.dataset.collate_batch(
+                                [f.result() for f in futs]
+                            )
+                            if not put(batch):
+                                return
+            except BaseException as exc:  # surface in the consumer, don't hang
+                put(_ProducerError(exc))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
             while True:
-                yield out.get()
+                item = out.get()
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "PrefetchLoader worker failed while building a batch"
+                    ) from item.exc
+                yield item
         finally:
             stop.set()

@@ -68,3 +68,13 @@ class TestPrefetchLoader:
     def test_rejects_zero_batch(self):
         with pytest.raises(ValueError, match="batch_size"):
             PrefetchLoader(ToyDataset(4), 0)
+
+    def test_worker_exception_propagates_not_hangs(self):
+        class Broken(ToyDataset):
+            def __getitem__(self, i):
+                raise FileNotFoundError(f"missing blob for {i}")
+
+        it = PrefetchLoader(Broken(4), 2, num_workers=2).batches()
+        with pytest.raises(RuntimeError, match="worker failed") as ei:
+            next(it)
+        assert isinstance(ei.value.__cause__, FileNotFoundError)
