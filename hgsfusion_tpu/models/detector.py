@@ -321,6 +321,41 @@ class SECONDModel(nn.Module):
         )(feats)
 
 
+class TransFusionModel(nn.Module):
+    """TransFusion-L detector (zoo family): pillar BEV + transformer-decoder
+    head with heatmap-initialized object queries and Hungarian set matching.
+
+    Topology: pcdet/models/detectors/transfusion.py (LiDAR-only variant) over
+    the pillar backbone; head per dense_heads/transfusion_head.py.
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .transfusion_head import TransFusionHead
+
+        cfg = self.cfg
+        pillar_bev, occ_mask = PillarFeatureNet(
+            num_input_features=batch["points"].shape[-1],
+            pillar_size=cfg.voxel_size[0],
+            pc_range=cfg.pc_range,
+            use_virtual=False,
+            encoding_type="mixed",
+            num_filters=(64,),
+            dtype=cfg.dtype,
+            name="pillar_net",
+        )(batch["points"], batch["points_valid"], train)
+        feats = BaseBEVBackbone(dtype=cfg.dtype, name="backbone_2d")(
+            pillar_bev, train
+        )
+        return TransFusionHead(
+            num_class=cfg.num_class, num_proposals=cfg.center_max_k,
+            dtype=cfg.dtype, name="dense_head",
+        )(feats, train)
+
+
 class VoxelNeXtModel(nn.Module):
     """VoxelNeXt detector (zoo family): fully sparse voxel backbone with
     multi-scale fusion + z-sum BEV collapse, center-based head.

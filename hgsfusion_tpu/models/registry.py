@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .detector import (
     CenterPointModel,
+    TransFusionModel,
     VoxelNeXtModel,
     HGSFusionConfig,
     HGSFusionModel,
@@ -28,6 +29,7 @@ DETECTORS = {
     "SECONDNet": SECONDModel,  # sparse-3D voxel backbone family
     "SECOND": SECONDModel,
     "VoxelNeXt": VoxelNeXtModel,  # fully sparse multi-scale center detector
+    "TransFusion": TransFusionModel,  # transformer-decoder set prediction
 }
 
 

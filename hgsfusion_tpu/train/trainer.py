@@ -192,6 +192,65 @@ def make_center_eval_step(model, cfg, post_cfg: Dict) -> Callable:
     return eval_step
 
 
+def make_transfusion_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
+    """Training step for TransFusion-family detectors (transfusion_head.py
+    loss:342-383): gaussian heatmap focal + Hungarian-matched cls/L1."""
+    from ..models.transfusion_head import transfusion_loss
+
+    gx, gy, _ = cfg.grid_size
+    stride = cfg.center_feature_map_stride
+    fmap_hw = (gy // stride, gx // stride)
+
+    def loss_fn(params, batch_stats, batch):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), True, mutable=["batch_stats"],
+        )
+        total, tb = transfusion_loss(
+            preds, batch["gt_boxes"], cfg.num_class, cfg.pc_range,
+            cfg.voxel_size, stride, fmap_hw,
+            cls_weight=loss_weights.get("cls_weight", 1.0),
+            bbox_weight=loss_weights.get("bbox_weight", 0.25),
+            hm_weight=loss_weights.get("hm_weight", 1.0),
+            code_weights=loss_weights.get("code_weights", (1.0,) * 8),
+            gaussian_overlap=cfg.center_gaussian_overlap,
+            min_radius=cfg.center_min_radius,
+        )
+        tb = {**tb, "loss": total}
+        return total, (tb, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch):
+        (_, (tb, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, step=state.step + 1,
+        ), tb
+
+    return train_step
+
+
+def make_transfusion_eval_step(model, cfg, post_cfg: Dict) -> Callable:
+    """Inference for TransFusion: per-query decode, no NMS (set prediction)."""
+    from ..models.transfusion_head import transfusion_get_boxes
+
+    def eval_step(params, batch_stats, batch):
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), False,
+        )
+        return transfusion_get_boxes(
+            preds, cfg.pc_range, cfg.voxel_size, cfg.center_feature_map_stride,
+            score_thresh=post_cfg.get("SCORE_THRESH", 0.0),
+            post_center_range=cfg.center_post_limit,
+        )
+
+    return eval_step
+
+
 def make_eval_step(model, assigner: TargetAssigner, cfg, post_cfg: Dict) -> Callable:
     """One jitted inference step: forward + decode + NMS, fixed shapes."""
     anchors = assigner.flat_anchors

@@ -59,6 +59,14 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
                 model, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
             )
         )
+    elif cfg.MODEL.DENSE_HEAD.NAME == "TransFusionHead":
+        from hgsfusion_tpu.train.trainer import make_transfusion_eval_step
+
+        eval_step = jax.jit(
+            make_transfusion_eval_step(
+                model, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
+            )
+        )
     else:
         assigner = TargetAssigner(
             [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],

@@ -103,8 +103,10 @@ def main():
     )
 
     model = build_network(cfg, model_cfg)
-    center_head = cfg.MODEL.DENSE_HEAD.NAME == "CenterHead"
-    if not center_head:
+    head_name = cfg.MODEL.DENSE_HEAD.NAME
+    center_head = head_name == "CenterHead"
+    transfusion_head = head_name == "TransFusionHead"
+    if not center_head and not transfusion_head:
         assigner = TargetAssigner(
             [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
             model_cfg.grid_size, model_cfg.pc_range,
@@ -144,6 +146,12 @@ def main():
 
         train_step = jax.jit(
             make_center_train_step(model, tx, loss_weights, model_cfg)
+        )
+    elif transfusion_head:
+        from hgsfusion_tpu.train.trainer import make_transfusion_train_step
+
+        train_step = jax.jit(
+            make_transfusion_train_step(model, tx, loss_weights, model_cfg)
         )
     else:
         train_step = jax.jit(
