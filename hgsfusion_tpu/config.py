@@ -182,4 +182,7 @@ def model_config_from_yaml(cfg: ConfigDict):
                 (-75.0, -75.0, -10.0, 75.0, 75.0, 10.0),
             )
         ),
+        pv_num_keypoints=model.get("PFE", {}).get("NUM_KEYPOINTS", 1024),
+        pv_num_rois=model.get("ROI_HEAD", {}).get("NUM_ROIS", 128),
+        pv_nms_thresh=model.get("ROI_HEAD", {}).get("NMS_THRESH_TRAIN", 0.8),
     )

@@ -86,6 +86,10 @@ class HGSFusionConfig:
     center_post_limit: Tuple[float, ...] = (
         -75.0, -75.0, -10.0, 75.0, 75.0, 10.0
     )
+    # PV-RCNN second stage (models/pvrcnn.py)
+    pv_num_keypoints: int = 1024
+    pv_num_rois: int = 128
+    pv_nms_thresh: float = 0.8
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -303,7 +307,7 @@ class SECONDModel(nn.Module):
             batch["points"], batch["points_valid"], cfg.pc_range,
             cfg.voxel_size, cfg.grid_size,
         )
-        x, _ = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+        x, _, _ = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
             dense.astype(cfg.dtype), mask, train
         )
         bev = height_compression(x)
@@ -319,6 +323,99 @@ class SECONDModel(nn.Module):
             num_dir_bins=cfg.num_dir_bins,
             name="dense_head",
         )(feats)
+
+
+class PVRCNNModel(nn.Module):
+    """PV-RCNN detector (zoo family): SECOND-style RPN + voxel set
+    abstraction keypoints + RoI-grid second-stage refinement.
+
+    Topology: pcdet/models/detectors/pv_rcnn.py. The train step injects
+    `anchors` into the batch (flat RPN anchors are data, not a hashable
+    module attribute). Proposals are stop-gradiented like the reference's
+    detached rois.
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .pvrcnn import (
+            KeypointWeighting,
+            RCNNHead,
+            RoIGridPool,
+            VoxelSetAbstraction,
+            generate_proposals,
+        )
+        from .voxel_backbone import (
+            VoxelBackBone8x,
+            height_compression,
+            mean_vfe,
+        )
+        from ..utils.box_coder import ResidualCoder
+
+        cfg = self.cfg
+        dense, mask = mean_vfe(
+            batch["points"], batch["points_valid"], cfg.pc_range,
+            cfg.voxel_size, cfg.grid_size,
+        )
+        x3d, _, stages = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+            dense.astype(cfg.dtype), mask, train
+        )
+        bev8 = height_compression(x3d)  # stride-8 'spatial_features'
+        feats2d = BaseBEVBackbone(
+            layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
+            upsample_strides=(1, 2), num_upsample_filters=(256, 256),
+            dtype=cfg.dtype, name="backbone_2d",
+        )(bev8, train)
+        rpn = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(feats2d)
+
+        # proposals from decoded (detached) RPN boxes
+        coder = ResidualCoder()
+        batch_cls, batch_box = generate_predicted_boxes(
+            rpn["cls_preds"], rpn["box_preds"], rpn.get("dir_cls_preds"),
+            batch["anchors"], coder, cfg.num_class,
+            dir_offset=cfg.dir_offset, dir_limit_offset=cfg.dir_limit_offset,
+            num_dir_bins=cfg.num_dir_bins,
+        )
+        batch_cls = jax.lax.stop_gradient(batch_cls)
+        batch_box = jax.lax.stop_gradient(batch_box)
+        scores = jnp.max(jax.nn.sigmoid(batch_cls), -1)
+        labels = jnp.argmax(batch_cls, -1) + 1
+        rois, roi_scores, roi_labels, roi_valid = jax.vmap(
+            lambda s, l, b: generate_proposals(
+                s, l, b, cfg.pv_num_rois, cfg.pv_nms_thresh
+            )
+        )(scores, labels, batch_box)
+
+        keypoints, kp_feats = VoxelSetAbstraction(
+            num_keypoints=cfg.pv_num_keypoints, pc_range=cfg.pc_range,
+            voxel_size=cfg.voxel_size, bev_stride=8, dtype=cfg.dtype,
+            name="pfe",
+        )(batch["points"], batch["points_valid"], bev8, stages, train)
+        kp_feats, point_logits = KeypointWeighting(
+            dtype=cfg.dtype, name="point_head"
+        )(kp_feats, train)
+
+        pooled = RoIGridPool(dtype=cfg.dtype, name="roi_grid_pool")(
+            rois, keypoints, kp_feats, train
+        )
+        rcnn_cls, rcnn_reg = RCNNHead(dtype=cfg.dtype, name="roi_head")(
+            pooled, train
+        )
+        return {
+            **rpn,
+            "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
+            "roi_valid": roi_valid, "keypoints": keypoints,
+            "point_logits": point_logits, "rcnn_cls": rcnn_cls,
+            "rcnn_reg": rcnn_reg,
+        }
 
 
 class TransFusionModel(nn.Module):

@@ -1,0 +1,393 @@
+"""PV-RCNN detector family: two-stage point-voxel detection.
+
+Behavior reference (not copied):
+  pcdet/models/detectors/pv_rcnn.py (module order),
+  backbones_3d/pfe/voxel_set_abstraction.py (VSA: keypoints via FPS,
+    feature sources raw_points / bev / x_conv3 / x_conv4, fusion MLP),
+  dense_heads/point_head_simple.py (predicted keypoint weighting),
+  roi_heads/pvrcnn_head.py (roi_grid_pool:64-110, dense 6^3 grid points
+    :111-133, shared FC -> cls/reg) and roi_heads/roi_head_template.py
+    (proposal layer, canonical reg targets, roi_iou soft cls labels).
+
+TPU-first: everything is fixed-shape — keypoints via a k-step FPS loop,
+voxel sources treated as dense cell-center point sets with validity masks
+(no dynamic sparse indices), proposals as a static top-K + lazy NMS, and
+RoI sampling by deterministic IoU ranking (documented deviation: the
+reference randomly subsamples 512 -> 128 with fg/bg balancing; here the
+top-64-IoU foregrounds + first backgrounds are taken, which is exact w.r.t.
+fg coverage and jit-friendly). Corner loss is omitted (documented).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.nms import NEG_INF, greedy_nms_lazy
+from ..ops.pointnet2 import farthest_point_sample, query_and_group
+from ..ops.rotated_iou import boxes_iou3d
+from ..ops.topk import exact_top_k
+from ..utils.box_coder import ResidualCoder
+
+
+# ---------------------------------------------------------------------------
+# Voxel Set Abstraction
+# ---------------------------------------------------------------------------
+
+class _GroupMLP(nn.Module):
+    """Shared per-point MLP over grouped features + max-pool over the group.
+
+    pointnet2 SA block: Dense+BN+ReLU stack applied per grouped point, then
+    channel-wise max over the group dimension. Input (B, K, S, C)."""
+
+    mlps: Tuple[int, ...]
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, grouped, group_valid, train: bool):
+        h = grouped
+        for i, c in enumerate(self.mlps):
+            h = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"fc{i}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"bn{i}",
+            )(h)
+            h = nn.relu(h)
+        # empty groups contribute zeros, not garbage maxima
+        h = h * group_valid[..., None].astype(h.dtype)
+        return jnp.max(h, axis=2)
+
+
+class SALayer(nn.Module):
+    """Multi-radius set abstraction: per-radius group + MLP, concat."""
+
+    radii: Tuple[float, ...]
+    nsamples: Tuple[int, ...]
+    mlps: Tuple[Tuple[int, ...], ...]
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, new_xyz, xyz, features, valid, train: bool):
+        outs = []
+        for i, (r, s, m) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
+            grouped, _, any_nb = jax.vmap(
+                lambda nx, x, f, v: query_and_group(nx, x, f, v, r, s)
+            )(new_xyz, xyz, features, valid)
+            gv = jnp.broadcast_to(
+                any_nb[..., None], grouped.shape[:-1]
+            )  # (B, K, S)
+            outs.append(
+                _GroupMLP(m, dtype=self.dtype, name=f"mlp_r{i}")(
+                    grouped, gv, train
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)
+
+
+def _stage_point_set(stage, pc_range, voxel_size):
+    """Dense (B, D, H, W, C) + mask -> voxel-center point set.
+
+    Returns (centers (ncells, 3) static, feats (B, ncells, C),
+    valid (B, ncells)). The VSA reads active voxels as points
+    (voxel_set_abstraction get_voxel_centers)."""
+    feats, mask, ds = stage
+    b, d, h, w, c = feats.shape
+    zs = (jnp.arange(d) + 0.5) * voxel_size[2] * ds + pc_range[2]
+    ys = (jnp.arange(h) + 0.5) * voxel_size[1] * ds + pc_range[1]
+    xs = (jnp.arange(w) + 0.5) * voxel_size[0] * ds + pc_range[0]
+    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    centers = jnp.stack([xx, yy, zz], -1).reshape(-1, 3).astype(jnp.float32)
+    return centers, feats.reshape(b, -1, c), mask.reshape(b, -1)
+
+
+def interpolate_bev(bev, xy, pc_range, voxel_size, stride):
+    """Bilinear BEV feature at metric (x, y) (voxel_set_abstraction
+    interpolate_from_bev_features). bev (B, H, W, C), xy (B, K, 2)."""
+    b, h, w, c = bev.shape
+    fx = (xy[..., 0] - pc_range[0]) / (voxel_size[0] * stride)
+    fy = (xy[..., 1] - pc_range[1]) / (voxel_size[1] * stride)
+    x0 = jnp.floor(fx - 0.5)
+    y0 = jnp.floor(fy - 0.5)
+    tx = (fx - 0.5 - x0)[..., None]
+    ty = (fy - 0.5 - y0)[..., None]
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = yc * w + xc
+        g = jnp.take_along_axis(
+            bev.reshape(b, h * w, c), flat[..., None], axis=1
+        )
+        return g * inb[..., None].astype(g.dtype)
+
+    return (
+        tap(x0, y0) * (1 - tx) * (1 - ty)
+        + tap(x0 + 1, y0) * tx * (1 - ty)
+        + tap(x0, y0 + 1) * (1 - tx) * ty
+        + tap(x0 + 1, y0 + 1) * tx * ty
+    )
+
+
+class VoxelSetAbstraction(nn.Module):
+    """Keypoint features from raw points + BEV + 3D-conv stages."""
+
+    num_keypoints: int
+    pc_range: Tuple[float, ...]
+    voxel_size: Tuple[float, ...]
+    bev_stride: int = 8
+    out_channels: int = 128
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, points, points_valid, bev, stages, train: bool):
+        xyz = points[..., :3]
+        keypoints = jax.vmap(
+            lambda x, v: x[farthest_point_sample(x, v, self.num_keypoints)]
+        )(xyz, points_valid)  # (B, K, 3)
+
+        feats = [
+            interpolate_bev(bev, keypoints[..., :2], self.pc_range,
+                            self.voxel_size, self.bev_stride)
+        ]
+        feats.append(
+            SALayer(
+                radii=(0.4, 0.8), nsamples=(16, 16),
+                mlps=((16, 16), (16, 16)), dtype=self.dtype, name="sa_raw",
+            )(keypoints, xyz, points[..., 3:], points_valid, train)
+        )
+        for name, radii in (("x_conv3", (1.2, 2.4)), ("x_conv4", (2.4, 4.8))):
+            centers, sf, sv = _stage_point_set(
+                stages[name], self.pc_range, self.voxel_size
+            )
+            ctr = jnp.broadcast_to(centers[None], (points.shape[0],) + centers.shape)
+            feats.append(
+                SALayer(
+                    radii=radii, nsamples=(16, 16), mlps=((32, 32), (32, 32)),
+                    dtype=self.dtype, name=f"sa_{name}",
+                )(keypoints, ctr, sf, sv, train)
+            )
+        fused = jnp.concatenate(feats, axis=-1)
+        fused = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+                         name="fusion_fc")(fused)
+        fused = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="fusion_bn",
+        )(fused)
+        return keypoints, nn.relu(fused).astype(jnp.float32)
+
+
+class KeypointWeighting(nn.Module):
+    """Predicted keypoint weighting (point_head_simple): fg logit MLP;
+    features scaled by the sigmoid score."""
+
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, feats, train: bool):
+        h = feats
+        for i, c in enumerate((256, 256)):
+            h = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"fc{i}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"bn{i}",
+            )(h)
+            h = nn.relu(h)
+        logit = nn.Dense(1, dtype=self.dtype, name="cls")(h).astype(jnp.float32)
+        return feats * jax.nn.sigmoid(logit), logit
+
+
+# ---------------------------------------------------------------------------
+# Proposals + RoI targets
+# ---------------------------------------------------------------------------
+
+def generate_proposals(cls_scores, labels, boxes, num_rois: int,
+                       nms_thresh: float, pre_top: int = 512):
+    """Per-frame: top pre_top by score -> lazy rotated NMS -> first num_rois.
+
+    cls_scores (N,) max-class sigmoid scores, labels (N,) 1-based class ids,
+    boxes (N, 7). Returns (rois (num_rois, 7), scores, labels, valid).
+
+    Deviation (documented): the reference trains on 512 NMS survivors then
+    randomly subsamples 128 with fg/bg balancing; here NMS keeps the top
+    num_rois directly and every kept RoI trains — jit-friendly, no RNG.
+    """
+    k = min(pre_top, cls_scores.shape[0])
+    top_s, top_i = exact_top_k(cls_scores, k)
+    tb = boxes[top_i]
+    tl = labels[top_i]
+    keep = greedy_nms_lazy(tb, top_s > NEG_INF / 2, nms_thresh, num_rois)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep & (rank < num_rois), rank, num_rois)
+    rois = jnp.zeros((num_rois + 1, 7)).at[slot].set(tb)[:num_rois]
+    scores = jnp.zeros((num_rois + 1,)).at[slot].set(top_s)[:num_rois]
+    out_l = jnp.zeros((num_rois + 1,), tl.dtype).at[slot].set(tl)[:num_rois]
+    valid = jnp.zeros((num_rois + 1,), bool).at[slot].set(True)[:num_rois]
+    return rois, scores, out_l, valid
+
+
+def roi_targets(rois, roi_valid, gt_boxes, fg_thresh: float = 0.55,
+                cls_lo: float = 0.25, cls_hi: float = 0.75):
+    """Per-RoI targets, ORDER-ALIGNED with the model's proposals.
+
+    roi_iou soft classification labels + fg regression mask + matched gt
+    (roi_head_template ProposalTargetLayer semantics minus the random
+    subsampling — every valid RoI gets a cls target, IoU>=fg_thresh RoIs
+    get regression)."""
+    gt_valid = gt_boxes[:, -1] > 0
+    iou = boxes_iou3d(rois[:, :7], gt_boxes[:, :7])
+    iou = jnp.where(gt_valid[None, :] & roi_valid[:, None], iou, -1.0)
+    max_iou = jnp.maximum(jnp.max(iou, axis=1), 0.0)
+    matched = jnp.argmax(iou, axis=1)
+
+    cls_t = jnp.clip((max_iou - cls_lo) / (cls_hi - cls_lo), 0.0, 1.0)
+    fg = (max_iou >= fg_thresh) & roi_valid
+    return {
+        "reg_valid": fg, "cls_labels": cls_t, "cls_valid": roi_valid,
+        "gt_of_roi": gt_boxes[matched], "iou": max_iou,
+    }
+
+
+def canonical_reg_targets(rois, gt_boxes, coder: ResidualCoder):
+    """Encode gt in the roi's canonical frame against a roi-sized anchor at
+    the origin (roi_head_template get_box_reg_layer_loss)."""
+    rel = gt_boxes[:, :3] - rois[:, :3]
+    c, s = jnp.cos(-rois[:, 6]), jnp.sin(-rois[:, 6])
+    lx = rel[:, 0] * c - rel[:, 1] * s
+    ly = rel[:, 0] * s + rel[:, 1] * c
+    # clamp both sides: padded gts/rois carry zero dims, and log(0) would
+    # poison the loss through the masked-out lanes (NaN * 0 = NaN in grad)
+    gt_ct = jnp.concatenate(
+        [lx[:, None], ly[:, None], rel[:, 2:3],
+         jnp.maximum(gt_boxes[:, 3:6], 1e-3),
+         (gt_boxes[:, 6:7] - rois[:, 6:7])], axis=1
+    )
+    anchors = jnp.concatenate(
+        [jnp.zeros_like(rois[:, :3]), jnp.maximum(rois[:, 3:6], 1e-3),
+         jnp.zeros_like(rois[:, 6:7])], axis=1
+    )
+    return coder.encode(gt_ct, anchors)
+
+
+def decode_canonical(reg, rois, coder: ResidualCoder):
+    """Inverse of canonical_reg_targets: residuals -> global boxes."""
+    anchors = jnp.concatenate(
+        [jnp.zeros_like(rois[:, :3]), jnp.maximum(rois[:, 3:6], 1e-3),
+         jnp.zeros_like(rois[:, 6:7])], axis=1
+    )
+    local = coder.decode(reg, anchors)
+    c, s = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+    gx = local[:, 0] * c - local[:, 1] * s + rois[:, 0]
+    gy = local[:, 0] * s + local[:, 1] * c + rois[:, 1]
+    return jnp.concatenate(
+        [gx[:, None], gy[:, None], (local[:, 2] + rois[:, 2])[:, None],
+         local[:, 3:6], (local[:, 6:7] + rois[:, 6:7])], axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# RoI grid pooling + RCNN head
+# ---------------------------------------------------------------------------
+
+def roi_grid_points(rois, grid_size: int):
+    """(R, 7) -> (R, grid^3, 3) global grid points (pvrcnn_head:111-133)."""
+    g = grid_size
+    idx = jnp.stack(
+        jnp.meshgrid(jnp.arange(g), jnp.arange(g), jnp.arange(g),
+                     indexing="ij"), -1
+    ).reshape(-1, 3).astype(jnp.float32)  # (g^3, 3) in (x, y, z) order
+    local = (idx[None] + 0.5) / g * rois[:, None, 3:6] - rois[:, None, 3:6] / 2
+    c, s = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+    gx = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
+    gy = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
+    return jnp.stack(
+        [gx + rois[:, None, 0], gy + rois[:, None, 1],
+         local[..., 2] + rois[:, None, 2]], -1
+    )
+
+
+class RoIGridPool(nn.Module):
+    """Ball-query keypoints at the 6^3 RoI grid points (pvrcnn_head:64-110)."""
+
+    grid_size: int = 6
+    radii: Tuple[float, ...] = (0.8, 1.6)
+    nsamples: Tuple[int, ...] = (16, 16)
+    mlps: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64))
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, rois, keypoints, kp_feats, train: bool):
+        b, r = rois.shape[:2]
+        grid = jax.vmap(lambda ro: roi_grid_points(ro, self.grid_size))(rois)
+        grid = grid.reshape(b, r * self.grid_size ** 3, 3)
+        kv = jnp.ones(keypoints.shape[:2], bool)
+        pooled = SALayer(
+            radii=self.radii, nsamples=self.nsamples, mlps=self.mlps,
+            dtype=self.dtype, name="pool",
+        )(grid, keypoints, kp_feats, kv, train)
+        return pooled.reshape(b, r, self.grid_size ** 3, -1)
+
+
+class RCNNHead(nn.Module):
+    """Shared FCs over flattened grid features -> cls (1) + reg (7)."""
+
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, pooled, train: bool):
+        b, r = pooled.shape[:2]
+        h = pooled.reshape(b, r, -1)
+        for i, c in enumerate((256, 256)):
+            h = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"fc{i}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"bn{i}",
+            )(h)
+            h = nn.relu(h)
+        cls = nn.Dense(1, dtype=self.dtype, name="cls")(h).astype(jnp.float32)
+        reg = nn.Dense(7, dtype=self.dtype, name="reg")(h).astype(jnp.float32)
+        return cls[..., 0], reg
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def rcnn_losses(rcnn_cls, rcnn_reg, targets: Dict, rois, coder: ResidualCoder,
+                cls_weight=1.0, reg_weight=1.0,
+                code_weights: Sequence[float] = (1.0,) * 7):
+    """BCE on roi_iou soft labels + smooth-L1 on canonical residuals
+    (roi_head_template get_box_cls/reg_layer_loss)."""
+    cls_t = targets["cls_labels"]
+    cv = targets["cls_valid"].astype(jnp.float32)
+    p = jnp.clip(jax.nn.sigmoid(rcnn_cls), 1e-6, 1 - 1e-6)
+    bce = -(cls_t * jnp.log(p) + (1 - cls_t) * jnp.log(1 - p))
+    loss_cls = jnp.sum(bce * cv) / jnp.maximum(jnp.sum(cv), 1.0)
+
+    reg_t = jax.vmap(lambda r, g: canonical_reg_targets(r, g, coder))(
+        rois, targets["gt_of_roi"][..., :7]
+    )
+    rv = targets["reg_valid"].astype(jnp.float32)
+    diff = jnp.abs(rcnn_reg - reg_t)
+    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    sl1 = sl1 * jnp.asarray(code_weights)
+    loss_reg = jnp.sum(sl1 * rv[..., None]) / jnp.maximum(jnp.sum(rv), 1.0)
+    return (loss_cls * cls_weight + loss_reg * reg_weight,
+            {"rcnn_cls": loss_cls, "rcnn_reg": loss_reg})
+
+
+def point_fg_loss(point_logits, keypoints, gt_boxes):
+    """Keypoint foreground BCE (point_head_simple targets via boxes)."""
+    from ..ops.points_in_boxes import points_in_boxes
+
+    def one(kp, gt):
+        inb = points_in_boxes(kp, gt[:, :7])  # (M, K)
+        inb = inb & (gt[:, -1] > 0)[:, None]
+        return jnp.any(inb, axis=0)  # (K,)
+
+    fg = jax.vmap(one)(keypoints, gt_boxes).astype(jnp.float32)
+    p = jnp.clip(jax.nn.sigmoid(point_logits[..., 0]), 1e-6, 1 - 1e-6)
+    bce = -(fg * jnp.log(p) + (1 - fg) * jnp.log(1 - p))
+    return jnp.mean(bce)

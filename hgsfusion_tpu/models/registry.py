@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .detector import (
     CenterPointModel,
+    PVRCNNModel,
     TransFusionModel,
     VoxelNeXtModel,
     HGSFusionConfig,
@@ -30,6 +31,8 @@ DETECTORS = {
     "SECOND": SECONDModel,
     "VoxelNeXt": VoxelNeXtModel,  # fully sparse multi-scale center detector
     "TransFusion": TransFusionModel,  # transformer-decoder set prediction
+    "PVRCNN": PVRCNNModel,  # two-stage point-voxel refinement
+    "PV-RCNN": PVRCNNModel,
 }
 
 

@@ -137,8 +137,10 @@ class VoxelBackBone8x(nn.Module):
     """Dense-masked equivalent of VoxelBackBone8x (spconv_backbone.py:72-165):
     16 -> 16 -> 32/s2 -> 64/s2 -> 64/s2(z-pad 0) -> 128 z-collapse.
 
-    Input (B, D, H, W, C) NDHWC + (B, D, H, W, 1) mask; returns the stride-8
-    volume with z reduced to 2 planes, ready for HeightCompression.
+    Input (B, D, H, W, C) NDHWC + (B, D, H, W, 1) mask; returns (out, mask,
+    stages) where `stages` maps x_conv2/3/4 to their (features, mask,
+    downsample_factor) — the multi-scale taps PV-RCNN's voxel set
+    abstraction reads (voxel_set_abstraction.py FEATURES_SOURCE).
     """
 
     dtype: object = None
@@ -154,29 +156,33 @@ class VoxelBackBone8x(nn.Module):
         x = _SubMConvBN3D(16, dtype=self.dtype, name="conv_input")(x, mask, train)
         x = _SubMConvBN3D(16, dtype=self.dtype, name="conv1")(x, mask, train)
 
+        stages = {}
         x, mask = _SparseDown3D(32, dtype=self.dtype, name="conv2_down")(
             x, mask, train
         )
         x = _SubMConvBN3D(32, dtype=self.dtype, name="conv2_a")(x, mask, train)
         x = _SubMConvBN3D(32, dtype=self.dtype, name="conv2_b")(x, mask, train)
+        stages["x_conv2"] = (x, mask, 2)
 
         x, mask = _SparseDown3D(64, dtype=self.dtype, name="conv3_down")(
             x, mask, train
         )
         x = _SubMConvBN3D(64, dtype=self.dtype, name="conv3_a")(x, mask, train)
         x = _SubMConvBN3D(64, dtype=self.dtype, name="conv3_b")(x, mask, train)
+        stages["x_conv3"] = (x, mask, 4)
 
         x, mask = _SparseDown3D(
             64, padding=(0, 1, 1), dtype=self.dtype, name="conv4_down"
         )(x, mask, train)
         x = _SubMConvBN3D(64, dtype=self.dtype, name="conv4_a")(x, mask, train)
         x = _SubMConvBN3D(64, dtype=self.dtype, name="conv4_b")(x, mask, train)
+        stages["x_conv4"] = (x, mask, 8)
 
         x, mask = _SparseDown3D(
             128, kernel=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
             dtype=self.dtype, name="conv_out",
         )(x, mask, train)
-        return x, mask
+        return x, mask, stages
 
 
 class _SparseBasicBlock3D(nn.Module):

@@ -192,6 +192,100 @@ def make_center_eval_step(model, cfg, post_cfg: Dict) -> Callable:
     return eval_step
 
 
+def make_pvrcnn_train_step(model, assigner: TargetAssigner, tx,
+                           loss_weights: Dict, cfg) -> Callable:
+    """PV-RCNN two-stage training: RPN anchor loss + keypoint fg BCE +
+    RCNN roi_iou cls / canonical-residual reg (pv_rcnn.get_training_loss)."""
+    from ..models.pvrcnn import point_fg_loss, rcnn_losses, roi_targets
+    from ..utils.box_coder import ResidualCoder
+
+    anchors = assigner.flat_anchors
+    coder = ResidualCoder()
+
+    def loss_fn(params, batch_stats, batch):
+        inputs = {**model_inputs(batch), "anchors": anchors}
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            inputs, True, mutable=["batch_stats"],
+        )
+        targets = assigner(batch["gt_boxes"])
+        rpn_loss, tb = anchor_head_loss(
+            preds, targets, anchors, cfg.num_class, loss_weights,
+            dir_offset=cfg.dir_offset, num_dir_bins=cfg.num_dir_bins,
+        )
+        pt_loss = point_fg_loss(
+            preds["point_logits"], preds["keypoints"], batch["gt_boxes"]
+        )
+        rt = jax.vmap(roi_targets)(
+            preds["rois"], preds["roi_valid"], batch["gt_boxes"]
+        )
+        rcnn_loss, rtb = rcnn_losses(
+            preds["rcnn_cls"], preds["rcnn_reg"], rt, preds["rois"], coder,
+        )
+        total = rpn_loss + pt_loss + rcnn_loss
+        tb = {**tb, **rtb, "point_fg": pt_loss, "loss": total}
+        return total, (tb, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch):
+        (_, (tb, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, step=state.step + 1,
+        ), tb
+
+    return train_step
+
+
+def make_pvrcnn_eval_step(model, assigner: TargetAssigner, cfg,
+                          post_cfg: Dict) -> Callable:
+    """PV-RCNN inference: refined boxes = decode_canonical(rcnn_reg, rois),
+    scores = sigmoid(rcnn_cls), labels from the RPN proposals, final NMS."""
+    from ..models.pvrcnn import decode_canonical
+    from ..ops.nms import greedy_nms_lazy
+    from ..utils.box_coder import ResidualCoder
+
+    anchors = assigner.flat_anchors
+    coder = ResidualCoder()
+    post_max = post_cfg["NMS_CONFIG"]["NMS_POST_MAXSIZE"]
+
+    def eval_step(params, batch_stats, batch):
+        inputs = {**model_inputs(batch), "anchors": anchors}
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats}, inputs, False,
+        )
+        refined = jax.vmap(lambda r, ro: decode_canonical(r, ro, coder))(
+            preds["rcnn_reg"], preds["rois"]
+        )
+        scores = jax.nn.sigmoid(preds["rcnn_cls"]) * preds["roi_valid"]
+        ok = scores > post_cfg.get("SCORE_THRESH", 0.1)
+
+        def one(boxes, s, labels, valid):
+            order = jnp.argsort(-jnp.where(valid, s, -1.0))
+            b_s, s_s, l_s, v_s = boxes[order], s[order], labels[order], valid[order]
+            keep = greedy_nms_lazy(
+                b_s, v_s, post_cfg["NMS_CONFIG"]["NMS_THRESH"], post_max
+            )
+            rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            slot = jnp.where(keep & (rank < post_max), rank, post_max)
+            ob = jnp.zeros((post_max + 1, 7)).at[slot].set(b_s)[:post_max]
+            os_ = jnp.zeros((post_max + 1,)).at[slot].set(s_s)[:post_max]
+            ol = jnp.zeros((post_max + 1,), l_s.dtype).at[slot].set(l_s)[:post_max]
+            ov = jnp.zeros((post_max + 1,), bool).at[slot].set(True)[:post_max]
+            return ob, os_, ol, ov
+
+        boxes, s_out, labels, valid = jax.vmap(one)(
+            refined, scores, preds["roi_labels"], ok
+        )
+        return {"boxes": boxes, "scores": s_out, "labels": labels,
+                "valid": valid}
+
+    return eval_step
+
+
 def make_transfusion_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
     """Training step for TransFusion-family detectors (transfusion_head.py
     loss:342-383): gaussian heatmap focal + Hungarian-matched cls/L1."""

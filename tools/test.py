@@ -67,6 +67,19 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
                 model, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
             )
         )
+    elif cfg.MODEL.NAME in ("PVRCNN", "PV-RCNN"):
+        from hgsfusion_tpu.train.trainer import make_pvrcnn_eval_step
+
+        assigner = TargetAssigner(
+            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+            model_cfg.grid_size, model_cfg.pc_range,
+            class_names=model_cfg.class_names,
+        )
+        eval_step = jax.jit(
+            make_pvrcnn_eval_step(
+                model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
+            )
+        )
     else:
         assigner = TargetAssigner(
             [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
@@ -179,9 +192,20 @@ def main():
     sample = dataset[0]
     batch = dataset.collate_batch([sample])
     model = build_network(cfg, model_cfg)
+    init_inputs = {
+        k: jnp.asarray(v) for k, v in batch.items()
+        if not isinstance(v, list) and k != "batch_size"
+    }
+    if cfg.MODEL.NAME in ("PVRCNN", "PV-RCNN"):
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+
+        init_inputs["anchors"] = TargetAssigner(
+            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+            model_cfg.grid_size, model_cfg.pc_range,
+            class_names=model_cfg.class_names,
+        ).flat_anchors
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(
-        {k: jnp.asarray(v) for k, v in batch.items()
-         if not isinstance(v, list) and k != "batch_size"}
+        init_inputs
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
 

@@ -106,6 +106,7 @@ def main():
     head_name = cfg.MODEL.DENSE_HEAD.NAME
     center_head = head_name == "CenterHead"
     transfusion_head = head_name == "TransFusionHead"
+    pvrcnn = cfg.MODEL.NAME in ("PVRCNN", "PV-RCNN")
     if not center_head and not transfusion_head:
         assigner = TargetAssigner(
             [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
@@ -123,10 +124,15 @@ def main():
     batch_iter = loader.batches()
     example = next(batch_iter)
 
+    example_inputs = {
+        k: jnp.asarray(v) for k, v in example.items()
+        if not isinstance(v, list) and k != "batch_size"
+    }
+    if pvrcnn:
+        example_inputs["anchors"] = assigner.flat_anchors
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(0), b, False)
-    )({k: jnp.asarray(v) for k, v in example.items() if not isinstance(v, list)
-       and k != "batch_size"})
+    )(example_inputs)
     tx, lr_schedule = build_optimizer(
         cfg.OPTIMIZATION, total_steps, variables["params"]
     )
@@ -152,6 +158,12 @@ def main():
 
         train_step = jax.jit(
             make_transfusion_train_step(model, tx, loss_weights, model_cfg)
+        )
+    elif pvrcnn:
+        from hgsfusion_tpu.train.trainer import make_pvrcnn_train_step
+
+        train_step = jax.jit(
+            make_pvrcnn_train_step(model, assigner, tx, loss_weights, model_cfg)
         )
     else:
         train_step = jax.jit(
