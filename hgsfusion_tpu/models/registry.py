@@ -9,6 +9,7 @@ the inherited OpenPCDet zoo plug in here as they are implemented.
 from __future__ import annotations
 
 from .detector import (
+    BEVFusionModel,
     CenterPointModel,
     PVRCNNModel,
     TransFusionModel,
@@ -33,6 +34,8 @@ DETECTORS = {
     "TransFusion": TransFusionModel,  # transformer-decoder set prediction
     "PVRCNN": PVRCNNModel,  # two-stage point-voxel refinement
     "PV-RCNN": PVRCNNModel,
+    "BevFusion": BEVFusionModel,  # camera LSS + voxel lidar fusion
+    "BEVFusion": BEVFusionModel,
 }
 
 

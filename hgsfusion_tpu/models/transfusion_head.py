@@ -164,8 +164,11 @@ class TransFusionHead(nn.Module):
         peaks = heat * (heat == local_max)
 
         # top num_proposals over (C, H*W) flattened as c * HW + pos
+        # (clamped when the feature map has fewer cells than proposals —
+        # tiny smoke grids)
+        p_eff = min(self.num_proposals, self.num_class * h * w)
         flat = peaks.transpose(0, 3, 1, 2).reshape(b, -1)
-        scores, idx = jax.vmap(lambda s: exact_top_k(s, self.num_proposals))(flat)
+        scores, idx = jax.vmap(lambda s: exact_top_k(s, p_eff))(flat)
         query_labels = idx // (h * w)
         spatial = idx % (h * w)
 
