@@ -325,6 +325,45 @@ class SECONDModel(nn.Module):
         )(feats)
 
 
+class DSVTModel(nn.Module):
+    """DSVT detector (zoo family): pillar VFE -> window-attention sparse
+    voxel transformer -> BEV backbone -> center head.
+
+    Topology of the pcdet DSVT configs (dsvt.py backbone + CenterHead);
+    see models/dsvt.py for the documented set-attention -> masked
+    full-window-attention deviation.
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .center_head import CenterHead
+        from .dsvt import DSVTBackbone
+
+        cfg = self.cfg
+        pillar_bev, occ_mask = PillarFeatureNet(
+            num_input_features=batch["points"].shape[-1],
+            pillar_size=cfg.voxel_size[0],
+            pc_range=cfg.pc_range,
+            use_virtual=False,
+            encoding_type="mixed",
+            num_filters=(64,),
+            dtype=cfg.dtype,
+            name="pillar_net",
+        )(batch["points"], batch["points_valid"], train)
+        x = DSVTBackbone(dtype=cfg.dtype, name="backbone_3d")(
+            pillar_bev, occ_mask, train  # occ_mask is (B, ny, nx, 1)
+        )
+        feats = BaseBEVBackbone(dtype=cfg.dtype, name="backbone_2d")(
+            x, train
+        )
+        return CenterHead(
+            num_class=cfg.num_class, dtype=cfg.dtype, name="dense_head"
+        )(feats, train)
+
+
 class BEVFusionModel(nn.Module):
     """BEVFusion detector (zoo family): camera LSS BEV + voxel lidar BEV,
     ConvFuser, TransFusion head.

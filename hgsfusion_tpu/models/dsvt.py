@@ -1,0 +1,119 @@
+"""DSVT backbone: window-based sparse voxel transformer, dense-masked.
+
+Behavior reference (not copied): pcdet/models/backbones_3d/dsvt.py (DSVT:
+stages of DSVTBlocks, each block attends within regular and half-shifted
+windows with learned positional embeddings; SetAttention:215-340 runs
+standard post-norm transformer encoder layers) over pillar features, with
+the detector topology of the pcdet DSVT configs (pillar VFE -> DSVT ->
+BEV backbone -> CenterHead).
+
+TPU-first design + documented deviation: the reference partitions each
+window's active voxels into <=36-voxel sets (a GPU load-balancing scheme
+requiring the custom ingroup_inds op) and attends within sets; here each
+layer attends over the FULL window with inactive cells masked out of the
+attention (additive -inf bias) — a connectivity superset computed as one
+dense batched attention, which is the natural MXU formulation. Window
+shift alternation and learned (x, y) positional embeddings match the
+reference's scheme.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class _WindowAttentionLayer(nn.Module):
+    """Post-norm encoder layer with masked attention inside windows."""
+
+    features: int
+    num_heads: int
+    ffn: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, tokens, pos, token_valid, train: bool):
+        # learned positional embedding on in-window (x, y) (DSVT
+        # PositionEmbeddingLearned-style MLP)
+        pe = nn.Dense(self.features, dtype=self.dtype, name="pos_fc1")(pos)
+        pe = nn.relu(pe)
+        pe = nn.Dense(self.features, dtype=self.dtype, name="pos_fc2")(pe)
+        q = tokens + pe
+
+        att = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.features,
+            out_features=self.features, dtype=self.dtype, name="attn",
+        )(q, q, q, mask=token_valid[:, None, None, :])
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + att)
+        f = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(tokens)
+        f = nn.Dense(self.features, dtype=self.dtype, name="ffn2")(nn.relu(f))
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + f)
+        return tokens * token_valid[..., None].astype(tokens.dtype)
+
+
+def _partition(x, win: int, shift: int):
+    """(B, H, W, C) -> (B*nW, win*win, C) with optional roll by -shift."""
+    b, h, w, c = x.shape
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    nh, nw = h // win, w // win
+    x = x.reshape(b, nh, win, nw, win, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * nh * nw, win * win, c)
+
+
+def _unpartition(t, b: int, h: int, w: int, win: int, shift: int):
+    nh, nw = h // win, w // win
+    c = t.shape[-1]
+    x = t.reshape(b, nh, nw, win, win, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, h, w, c)
+    if shift:
+        x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    return x
+
+
+class DSVTBackbone(nn.Module):
+    """Stacked window-attention blocks over the pillar BEV grid.
+
+    Each block = one regular-window layer + one half-shifted-window layer
+    (the reference's shift alternation). Grid H, W must be multiples of
+    window_size (the pcdet configs pad the grid accordingly)."""
+
+    num_blocks: int = 2
+    features: int = 128
+    num_heads: int = 8
+    ffn: int = 256
+    window_size: int = 8
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, bev, mask, train: bool):
+        b, h, w, _ = bev.shape
+        win = self.window_size
+        if h % win or w % win:
+            raise ValueError(
+                f"DSVT grid ({h}, {w}) must be a multiple of window {win}"
+            )
+        x = nn.Dense(self.features, dtype=self.dtype, name="input_proj")(bev)
+        x = x * mask.astype(x.dtype)
+
+        ys, xs = jnp.meshgrid(jnp.arange(win, dtype=jnp.float32),
+                              jnp.arange(win, dtype=jnp.float32), indexing="ij")
+        pos = jnp.stack([xs, ys], -1).reshape(1, win * win, 2)
+
+        for blk in range(self.num_blocks):
+            for li, shift in enumerate((0, win // 2)):
+                t = _partition(x, win, shift)
+                mv = _partition(mask.astype(jnp.float32), win, shift)[..., 0] > 0
+                # fully-empty windows: make one token valid to keep softmax
+                # finite; the output is re-masked anyway
+                mv = mv.at[:, 0].set(mv[:, 0] | ~jnp.any(mv, axis=1))
+                p = jnp.broadcast_to(pos, (t.shape[0],) + pos.shape[1:])
+                t = _WindowAttentionLayer(
+                    self.features, self.num_heads, self.ffn, dtype=self.dtype,
+                    name=f"block{blk}_layer{li}",
+                )(t, p, mv, train)
+                x = _unpartition(t, b, h, w, win, shift)
+                x = x * mask.astype(x.dtype)
+        return x

@@ -11,6 +11,7 @@ from __future__ import annotations
 from .detector import (
     BEVFusionModel,
     CenterPointModel,
+    DSVTModel,
     PVRCNNModel,
     TransFusionModel,
     VoxelNeXtModel,
@@ -36,6 +37,7 @@ DETECTORS = {
     "PV-RCNN": PVRCNNModel,
     "BevFusion": BEVFusionModel,  # camera LSS + voxel lidar fusion
     "BEVFusion": BEVFusionModel,
+    "DSVT": DSVTModel,  # window-attention sparse voxel transformer
 }
 
 
