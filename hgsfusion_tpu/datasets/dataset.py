@@ -12,7 +12,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..utils.common import rotation_matrix_z
+
 from .augmentor import DataAugmentor
 from .processor import DataProcessor, PointFeatureEncoder
 

@@ -7,7 +7,6 @@ per-weather splits, tj4d_dataset.py:477-516 / tj4d_utils.py:846-994).
 """
 from __future__ import annotations
 
-import numpy as np
 
 from .kitti_base import KittiFormatDataset
 

@@ -6,7 +6,6 @@ corridor evaluation at vod_dataset.evaluation:402-426).
 """
 from __future__ import annotations
 
-import numpy as np
 
 from .kitti_base import KittiFormatDataset
 

@@ -8,7 +8,6 @@ WeightedSmoothL1Loss:76, WeightedCrossEntropyLoss:183).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,6 @@ ImageVFE surface.
 """
 from __future__ import annotations
 
-import math
 from typing import Dict, Tuple
 
 import jax

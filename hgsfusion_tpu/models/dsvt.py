@@ -18,8 +18,6 @@ reference's scheme.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

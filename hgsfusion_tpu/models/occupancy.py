@@ -6,7 +6,6 @@ NHWC/BEV-major: voxel features (B, Y, X, Z, C), BEV maps (B, Y, X, C).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ fg coverage and jit-friendly). Corner loss is omitted (documented).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ TPU; bf16 compute halves the footprint again.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

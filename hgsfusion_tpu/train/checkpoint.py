@@ -10,7 +10,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

@@ -8,8 +8,7 @@ is unnecessary in bf16-on-TPU; mixed precision is a dtype policy instead.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import flax
 import jax
