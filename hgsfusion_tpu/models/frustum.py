@@ -105,6 +105,59 @@ class FrustumGridGenerator:
         return jnp.where(jnp.isfinite(grid), grid, -2.0)
 
 
+def _nested_refine_2x(x):
+    """(B, h, w, C) -> (B, 2h-1, 2w-1, C): align_corners midpoint refinement.
+
+    The output knots are the input knots plus cell midpoints, so bilinear
+    interpolation of the result reproduces the input's bilinear surface
+    exactly (used by the cross-resolution gather merge below)."""
+    b, h, w, c = x.shape
+    mid_h = 0.5 * (x[:, :-1] + x[:, 1:])
+    rows = jnp.stack([x[:, :-1], mid_h], axis=2).reshape(b, 2 * (h - 1), w, c)
+    rows = jnp.concatenate([rows, x[:, -1:]], axis=1)  # (B, 2h-1, w, C)
+    mid_w = 0.5 * (rows[:, :, :-1] + rows[:, :, 1:])
+    out = jnp.stack([rows[:, :, :-1], mid_w], axis=3).reshape(
+        b, 2 * h - 1, 2 * (w - 1), c
+    )
+    return jnp.concatenate([out, rows[:, :, -1:]], axis=2)  # (B, 2h-1, 2w-1, C)
+
+
+def merge_nested_groups(f_fine, f_coarse):
+    """Pack a fine map and a 2x-coarser NESTED map into ONE canvas so a
+    single gather serves both — EXACTLY, including the zeros-padding fade.
+
+    Sampling with 'zeros' padding fades each map to zero over one pixel of
+    ITS OWN resolution, so a naive channel concat of refine(coarse) with
+    fine would fade the coarse features twice as fast at the border. Fix:
+    zero-ring the coarse map FIRST (one coarse pixel), refine the ringed
+    map (midpoints bake the coarse fade into the data), and embed the fine
+    map with a 2-fine-pixel zero margin on the same canvas. Bilinear
+    sampling of the canvas then reproduces both maps' reference semantics
+    at every coordinate.
+
+    Returns (canvas (B, hf+4, wf+4, Cf+Cc), remap) where remap maps the
+    fine-convention normalized uv to canvas-convention uv.
+    """
+    b, hf, wf, _ = f_fine.shape
+    hc, wc = f_coarse.shape[1:3]
+    assert hf - 1 == 2 * (hc - 1) and wf - 1 == 2 * (wc - 1)
+    coarse_ring = jnp.pad(f_coarse, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    up = _nested_refine_2x(coarse_ring)  # (B, hf+4, wf+4, Cc)
+    fine_pad = jnp.pad(f_fine, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    canvas = jnp.concatenate([fine_pad, up], axis=-1)
+
+    def remap(uv):
+        # fine pixel p = (u+1)/2 (n-1); canvas u' = 2 (p+2)/(n+3) - 1
+        pf_x = (uv[..., 0] + 1.0) * 0.5 * (wf - 1)
+        pf_y = (uv[..., 1] + 1.0) * 0.5 * (hf - 1)
+        return jnp.stack(
+            [2.0 * (pf_x + 2.0) / (wf + 3) - 1.0,
+             2.0 * (pf_y + 2.0) / (hf + 3) - 1.0], axis=-1
+        )
+
+    return canvas, remap
+
+
 class FrustumToVoxelMultiScale(nn.Module):
     """Sample per-scale image features into the voxel grid and reduce.
 
@@ -118,6 +171,13 @@ class FrustumToVoxelMultiScale(nn.Module):
     fuse_mode: str = "CONCAT"
     dtype: object = None  # compute dtype for the reduce matmul
     num_depth_bins: int = 80  # D of the frustum volume when use_depth
+    # Cross-resolution single-gather merge (merge_nested_groups): exact when
+    # grids nest, but MEASURED SLOWER on v5e — the quad-row width doubles to
+    # 2 KB and the gather + 4-tap weighted combine degrades (102 ms merged
+    # vs 67 ms split at VoD scale), despite the bare-gather microbenchmark
+    # suggesting near-width-independence. Kept for hardware where fat rows
+    # win; off by default.
+    merge_nested_gather: bool = False
 
     def _sample_with_depth(self, f, probs, grid, cdt):
         """Exact trilinear sampling of the frustum volume probs*feat without
@@ -212,9 +272,35 @@ class FrustumToVoxelMultiScale(nn.Module):
                 groups.append((f, off))
             off += c
 
+        # Cross-resolution merge: when the coarse grid NESTS in the fine one
+        # ((Hf-1) == 2 (Hc-1) and likewise for W, i.e. align_corners knots
+        # coincide), a single canvas serves BOTH groups exactly — a bilinear
+        # surface is reproduced by bilinear interpolation of its values on
+        # any nested refinement, and the coarse map's zeros-padding fade is
+        # baked in via a one-coarse-pixel ring (merge_nested_groups). Gather
+        # cost is per-row (measured 12.8 -> 15.5 ns/row from 512B to 2KB
+        # rows), so ONE fat gather halves the f2v gather time. Non-nesting
+        # dims (e.g. the legacy 1936-wide image pad: /4 width 484 is even so
+        # 483 != 2*241) keep the two-gather path, bit-identical to before.
+        uv_by_group = {id(f): uv for f, _ in groups}
+        if self.merge_nested_gather and len(groups) == 2:
+            (f_fine, off_fine), (f_coarse, _) = groups
+            hf, wf = f_fine.shape[1:3]
+            hc, wc = f_coarse.shape[1:3]
+            if (
+                off_fine == 0
+                and hf - 1 == 2 * (hc - 1)
+                and wf - 1 == 2 * (wc - 1)
+            ):
+                canvas, remap = merge_nested_groups(f_fine, f_coarse)
+                groups = [(canvas, 0)]
+                uv_by_group = {id(canvas): remap(uv)}
+
         for f, k_off in groups:
             cg = f.shape[-1]
-            sampled = grid_sample_2d_quad(f.astype(cdt), uv)  # (B, Y, X, Z, cg)
+            sampled = grid_sample_2d_quad(
+                f.astype(cdt), uv_by_group[id(f)]
+            )  # (B, Y, X, Z, cg)
             vox = vox + jnp.einsum(
                 "byxzc,co->byxzo", sampled,
                 kernel[k_off : k_off + cg].astype(cdt),

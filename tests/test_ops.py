@@ -348,3 +348,71 @@ class TestGridSamplePaired:
         a = np.asarray(grid_sample_2d(jnp.array(feats), jnp.array(coords)))
         q = np.asarray(grid_sample_2d_quad(jnp.array(feats), jnp.array(coords)))
         np.testing.assert_allclose(a, q, atol=1e-5)
+
+
+class TestNestedGatherMerge:
+    def test_refine_preserves_bilinear_surface(self, rng):
+        from hgsfusion_tpu.models.frustum import _nested_refine_2x
+
+        x = jnp.asarray(rng.randn(2, 5, 7, 16).astype(np.float32))
+        uv = jnp.asarray(rng.uniform(-1.0, 1.0, (2, 400, 2)).astype(np.float32))
+        a = np.asarray(grid_sample.grid_sample_2d(x, uv))
+        b = np.asarray(
+            grid_sample.grid_sample_2d(_nested_refine_2x(x), uv)
+        )
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+    def test_canvas_merge_exact_incl_out_of_range(self, rng):
+        """The merged canvas reproduces BOTH maps' zeros-padding fade — the
+        one-coarse-pixel boundary band included."""
+        from hgsfusion_tpu.models.frustum import merge_nested_groups
+
+        f_fine = jnp.asarray(rng.randn(2, 9, 13, 6).astype(np.float32))
+        f_coarse = jnp.asarray(rng.randn(2, 5, 7, 4).astype(np.float32))
+        uv = jnp.asarray(
+            rng.uniform(-1.5, 1.5, (2, 800, 2)).astype(np.float32)
+        )
+        canvas, remap = merge_nested_groups(f_fine, f_coarse)
+        got = np.asarray(grid_sample.grid_sample_2d_quad(canvas, remap(uv)))
+        np.testing.assert_allclose(
+            got[..., :6], np.asarray(grid_sample.grid_sample_2d(f_fine, uv)),
+            atol=5e-6,
+        )
+        np.testing.assert_allclose(
+            got[..., 6:], np.asarray(grid_sample.grid_sample_2d(f_coarse, uv)),
+            atol=5e-6,
+        )
+
+    def test_f2v_merged_equals_two_gather_path(self, rng):
+        """Full module: output at a NESTING image size equals the same
+        params evaluated through the explicit per-group sampling."""
+        import flax.linen as nn_
+
+        from hgsfusion_tpu.models.frustum import FrustumToVoxelMultiScale
+
+        # /4 = (17, 25), /8 = (9, 13): 16 = 2*8, 24 = 2*12 -> nests
+        f4 = jnp.asarray(rng.randn(1, 17, 25, 8).astype(np.float32))
+        f8 = jnp.asarray(rng.randn(1, 9, 13, 12).astype(np.float32))
+        grid = jnp.asarray(
+            rng.uniform(-1.3, 1.3, (1, 6, 5, 4, 3)).astype(np.float32)
+        )
+        mod = FrustumToVoxelMultiScale(out_channels=16, merge_nested_gather=True)
+        v = mod.init(jax.random.PRNGKey(0), [f4, f8], grid, False)
+        merged = np.asarray(mod.apply(v, [f4, f8], grid, False))
+
+        # reference: per-group sampling with the same params
+        k = np.asarray(v["params"]["reduce_kernel"])
+        bias = np.asarray(v["params"]["reduce_bias"])
+        uv = grid[..., :2]
+        s4 = np.asarray(grid_sample.grid_sample_2d(f4, uv))
+        s8 = np.asarray(grid_sample.grid_sample_2d(f8, uv))
+        pre = bias + s4 @ k[:8] + s8 @ k[8:]
+        # apply the module's BN (eval mode: running stats are init values)
+        mean = np.asarray(v["batch_stats"]["bn"]["mean"])
+        var = np.asarray(v["batch_stats"]["bn"]["var"])
+        scale = np.asarray(v["params"]["bn"]["scale"])
+        bbias = np.asarray(v["params"]["bn"]["bias"])
+        want = np.maximum(
+            (pre - mean) / np.sqrt(var + 1e-5) * scale + bbias, 0.0
+        )
+        np.testing.assert_allclose(merged, want, atol=1e-4)
