@@ -65,6 +65,25 @@ def create_train_state(model, tx, example_batch, rng) -> TrainState:
     )
 
 
+def _grad_step(loss_fn, tx) -> Callable:
+    """Shared value_and_grad -> optimizer update -> new TrainState.
+
+    loss_fn(params, batch_stats, batch) -> (loss, (tb_dict, new_batch_stats));
+    every detector family's train step is this plus its own loss_fn."""
+
+    def step(state: TrainState, batch):
+        (_, (tb, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        upd, new_opt = tx.update(grads, state.opt_state, state.params)
+        return TrainState(
+            params=optax.apply_updates(state.params, upd),
+            batch_stats=new_stats, opt_state=new_opt, step=state.step + 1,
+        ), tb
+
+    return step
+
+
 def make_train_step(model, assigner: TargetAssigner, tx,
                     loss_weights: Dict, cfg, use_occ_loss: bool = True,
                     occ_max_half_extent: int = 32) -> Callable:
@@ -107,19 +126,7 @@ def make_train_step(model, assigner: TargetAssigner, tx,
         tb = {**tb, "loss": total}
         return total, (tb, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch):
-        (_, (tb, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            params=new_params, batch_stats=new_stats,
-            opt_state=new_opt_state, step=state.step + 1,
-        )
-        return new_state, tb
-
-    return train_step
+    return _grad_step(loss_fn, tx)
 
 
 def make_center_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
@@ -157,18 +164,7 @@ def make_center_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
         tb = {**tb, "loss": total}
         return total, (tb, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch):
-        (_, (tb, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(
-            params=new_params, batch_stats=new_stats,
-            opt_state=new_opt_state, step=state.step + 1,
-        ), tb
-
-    return train_step
+    return _grad_step(loss_fn, tx)
 
 
 def make_center_eval_step(model, cfg, post_cfg: Dict) -> Callable:
@@ -225,18 +221,7 @@ def make_pvrcnn_train_step(model, assigner: TargetAssigner, tx,
         tb = {**tb, **rtb, "point_fg": pt_loss, "loss": total}
         return total, (tb, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch):
-        (_, (tb, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(
-            params=new_params, batch_stats=new_stats,
-            opt_state=new_opt_state, step=state.step + 1,
-        ), tb
-
-    return train_step
+    return _grad_step(loss_fn, tx)
 
 
 def make_pvrcnn_eval_step(model, assigner: TargetAssigner, cfg,
@@ -312,18 +297,7 @@ def make_transfusion_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
         tb = {**tb, "loss": total}
         return total, (tb, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch):
-        (_, (tb, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(
-            params=new_params, batch_stats=new_stats,
-            opt_state=new_opt_state, step=state.step + 1,
-        ), tb
-
-    return train_step
+    return _grad_step(loss_fn, tx)
 
 
 def make_transfusion_eval_step(model, cfg, post_cfg: Dict) -> Callable:
