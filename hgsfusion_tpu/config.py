@@ -185,4 +185,23 @@ def model_config_from_yaml(cfg: ConfigDict):
         pv_num_keypoints=model.get("PFE", {}).get("NUM_KEYPOINTS", 1024),
         pv_num_rois=model.get("ROI_HEAD", {}).get("NUM_ROIS", 128),
         pv_nms_thresh=model.get("ROI_HEAD", {}).get("NMS_THRESH_TRAIN", 0.8),
+        point_mean_sizes=tuple(
+            tuple(s) for s in head.get(
+                "MEAN_SIZE",
+                ((3.9, 1.6, 1.56), (0.8, 0.6, 1.73), (1.76, 0.6, 1.73)),
+            )
+        ),
+        point_npoints=tuple(
+            model.get("BACKBONE_3D", {}).get(
+                "NPOINTS", (4096, 1024, 256, 64)
+            )
+        ),
+        roi_point_sample=model.get("ROI_HEAD", {}).get(
+            "NUM_SAMPLED_POINTS", 512
+        ),
+        iou_grid_size=model.get("ROI_HEAD", {}).get("GRID_SIZE_2D", 7),
+        iou_score_type=model.get("POST_PROCESSING", {}).get(
+            "SCORE_TYPE", "iou"
+        ),
+        parta2_pool_size=model.get("ROI_HEAD", {}).get("POOL_SIZE", 6),
     )

@@ -11,12 +11,14 @@ from .dataset import DatasetTemplate
 from .kitti import KittiDataset
 from .vod import VODDataset
 from .tj4d import TJ4DDataset
+from .custom import CustomDataset
 
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
     "KittiDataset": KittiDataset,
     "VODDataset": VODDataset,
     "TJ4DDataset": TJ4DDataset,
+    "CustomDataset": CustomDataset,
 }
 
 

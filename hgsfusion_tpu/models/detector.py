@@ -90,6 +90,18 @@ class HGSFusionConfig:
     pv_num_keypoints: int = 1024
     pv_num_rois: int = 128
     pv_nms_thresh: float = 0.8
+    # PointRCNN family (models/point_rcnn.py): per-class mean box sizes for
+    # the PointResidualCoder and the SA pyramid sizes (scaled-down in tests)
+    point_mean_sizes: Tuple[Tuple[float, ...], ...] = (
+        (3.9, 1.6, 1.56), (0.8, 0.6, 1.73), (1.76, 0.6, 1.73)
+    )
+    point_npoints: Tuple[int, ...] = (4096, 1024, 256, 64)
+    roi_point_sample: int = 512
+    # SECOND-IoU head (models/roi_heads.py)
+    iou_grid_size: int = 7
+    iou_score_type: str = "iou"
+    # Part-A2 RoI-aware pool resolution (reference 12; see PartA2RoIHead)
+    parta2_pool_size: int = 6
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -549,6 +561,416 @@ class PVRCNNModel(nn.Module):
             "roi_valid": roi_valid, "keypoints": keypoints,
             "point_logits": point_logits, "rcnn_cls": rcnn_cls,
             "rcnn_reg": rcnn_reg,
+        }
+
+
+class _RPNProposals:
+    """Shared helper: decoded + detached RPN boxes -> fixed-shape proposals."""
+
+    @staticmethod
+    def build(rpn, batch, cfg, num_rois: int, nms_thresh: float):
+        from .pvrcnn import generate_proposals
+        from ..utils.box_coder import ResidualCoder
+
+        coder = ResidualCoder()
+        batch_cls, batch_box = generate_predicted_boxes(
+            rpn["cls_preds"], rpn["box_preds"], rpn.get("dir_cls_preds"),
+            batch["anchors"], coder, cfg.num_class,
+            dir_offset=cfg.dir_offset, dir_limit_offset=cfg.dir_limit_offset,
+            num_dir_bins=cfg.num_dir_bins,
+        )
+        batch_cls = jax.lax.stop_gradient(batch_cls)
+        batch_box = jax.lax.stop_gradient(batch_box)
+        scores = jnp.max(jax.nn.sigmoid(batch_cls), -1)
+        labels = jnp.argmax(batch_cls, -1) + 1
+        return jax.vmap(
+            lambda s, l, b: generate_proposals(s, l, b, num_rois, nms_thresh)
+        )(scores, labels, batch_box)
+
+
+class VoxelRCNNModel(nn.Module):
+    """Voxel R-CNN detector (zoo family): SECOND-style RPN + direct voxel
+    RoI grid pooling from the 3D backbone stages (no keypoints).
+
+    Topology: pcdet/models/detectors/voxel_rcnn.py + roi_heads/
+    voxelrcnn_head.py (see models/roi_heads.py VoxelRCNNPool for the
+    voxel-query -> ball-query deviation note).
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .pvrcnn import RCNNHead
+        from .roi_heads import VoxelRCNNPool
+        from .voxel_backbone import (
+            VoxelBackBone8x,
+            height_compression,
+            mean_vfe,
+        )
+
+        cfg = self.cfg
+        dense, mask = mean_vfe(
+            batch["points"], batch["points_valid"], cfg.pc_range,
+            cfg.voxel_size, cfg.grid_size,
+        )
+        x3d, _, stages = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+            dense.astype(cfg.dtype), mask, train
+        )
+        bev8 = height_compression(x3d)
+        feats2d = BaseBEVBackbone(
+            layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
+            upsample_strides=(1, 2), num_upsample_filters=(256, 256),
+            dtype=cfg.dtype, name="backbone_2d",
+        )(bev8, train)
+        rpn = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(feats2d)
+
+        rois, roi_scores, roi_labels, roi_valid = _RPNProposals.build(
+            rpn, batch, cfg, cfg.pv_num_rois, cfg.pv_nms_thresh
+        )
+        pooled = VoxelRCNNPool(
+            pc_range=cfg.pc_range, voxel_size=cfg.voxel_size,
+            dtype=cfg.dtype, name="roi_grid_pool",
+        )(rois, stages, train)
+        rcnn_cls, rcnn_reg = RCNNHead(dtype=cfg.dtype, name="roi_head")(
+            pooled, train
+        )
+        return {
+            **rpn,
+            "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
+            "roi_valid": roi_valid, "rcnn_cls": rcnn_cls,
+            "rcnn_reg": rcnn_reg,
+        }
+
+
+class PVRCNNPlusPlusModel(nn.Module):
+    """PV-RCNN++ detector (zoo family): proposal-centric keypoint sampling
+    + VectorPool aggregation in both the VSA and the RoI grid pool.
+
+    Topology: pcdet/models/detectors/pv_rcnn_plusplus.py (proposals are
+    generated BEFORE keypoint sampling so the keypoints concentrate around
+    candidates; aggregation per the VectorPool modules). Deviations
+    documented in models/pvrcnn.py (sector FPS -> masked global FPS;
+    VectorPoolLocal's dense sub-voxel average).
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .pvrcnn import (
+            KeypointWeighting,
+            RCNNHead,
+            RoIGridPool,
+            VoxelSetAbstraction,
+        )
+        from .voxel_backbone import (
+            VoxelBackBone8x,
+            height_compression,
+            mean_vfe,
+        )
+
+        cfg = self.cfg
+        dense, mask = mean_vfe(
+            batch["points"], batch["points_valid"], cfg.pc_range,
+            cfg.voxel_size, cfg.grid_size,
+        )
+        x3d, _, stages = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+            dense.astype(cfg.dtype), mask, train
+        )
+        bev8 = height_compression(x3d)
+        feats2d = BaseBEVBackbone(
+            layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
+            upsample_strides=(1, 2), num_upsample_filters=(256, 256),
+            dtype=cfg.dtype, name="backbone_2d",
+        )(bev8, train)
+        rpn = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(feats2d)
+
+        rois, roi_scores, roi_labels, roi_valid = _RPNProposals.build(
+            rpn, batch, cfg, cfg.pv_num_rois, cfg.pv_nms_thresh
+        )
+        keypoints, kp_feats = VoxelSetAbstraction(
+            num_keypoints=cfg.pv_num_keypoints, pc_range=cfg.pc_range,
+            voxel_size=cfg.voxel_size, bev_stride=8,
+            aggregation="vectorpool", dtype=cfg.dtype, name="pfe",
+        )(batch["points"], batch["points_valid"], bev8, stages, train,
+          rois=rois, roi_valid=roi_valid)
+        kp_feats, point_logits = KeypointWeighting(
+            dtype=cfg.dtype, name="point_head"
+        )(kp_feats, train)
+        pooled = RoIGridPool(
+            aggregation="vectorpool", dtype=cfg.dtype, name="roi_grid_pool"
+        )(rois, keypoints, kp_feats, train)
+        rcnn_cls, rcnn_reg = RCNNHead(dtype=cfg.dtype, name="roi_head")(
+            pooled, train
+        )
+        return {
+            **rpn,
+            "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
+            "roi_valid": roi_valid, "keypoints": keypoints,
+            "point_logits": point_logits, "rcnn_cls": rcnn_cls,
+            "rcnn_reg": rcnn_reg,
+        }
+
+
+class SECONDIoUModel(nn.Module):
+    """SECOND-IoU detector (zoo family): SECOND RPN + BEV-grid IoU head for
+    confidence rectification.
+
+    Topology: pcdet/models/detectors/second_net_iou.py + roi_heads/
+    second_head.py (rotated affine grid sampling of the stride-8 BEV
+    features; the predicted IoU replaces/blends with the cls score at NMS,
+    cfg.iou_score_type).
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .roi_heads import SECONDIoUHead, rotated_bev_grid_pool
+        from .voxel_backbone import (
+            VoxelBackBone8x,
+            height_compression,
+            mean_vfe,
+        )
+
+        cfg = self.cfg
+        dense, mask = mean_vfe(
+            batch["points"], batch["points_valid"], cfg.pc_range,
+            cfg.voxel_size, cfg.grid_size,
+        )
+        x3d, _, _ = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+            dense.astype(cfg.dtype), mask, train
+        )
+        bev = height_compression(x3d)
+        feats2d = BaseBEVBackbone(
+            layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
+            upsample_strides=(1, 2), num_upsample_filters=(256, 256),
+            dtype=cfg.dtype, name="backbone_2d",
+        )(bev, train)
+        rpn = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(feats2d)
+
+        rois, roi_scores, roi_labels, roi_valid = _RPNProposals.build(
+            rpn, batch, cfg, cfg.pv_num_rois, cfg.pv_nms_thresh
+        )
+        # the reference detaches spatial_features_2d before pooling
+        pooled = rotated_bev_grid_pool(
+            jax.lax.stop_gradient(feats2d), rois, cfg.pc_range,
+            cfg.voxel_size, down_ratio=8, grid_size=cfg.iou_grid_size,
+        )
+        iou_preds = SECONDIoUHead(dtype=cfg.dtype, name="roi_head")(
+            pooled, train
+        )
+        return {
+            **rpn,
+            "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
+            "roi_valid": roi_valid, "iou_preds": iou_preds,
+        }
+
+
+class PointRCNNModel(nn.Module):
+    """PointRCNN detector (zoo family): PointNet++ backbone, per-point box
+    head, in-box canonical RoI refinement.
+
+    Topology: pcdet/models/detectors/point_rcnn.py (see models/point_rcnn.py
+    for the per-module references).
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .point_rcnn import PointHeadBox, PointNet2MSG, PointRCNNHead
+        from .pvrcnn import generate_proposals
+        from ..utils.box_coder import PointResidualCoder
+
+        cfg = self.cfg
+        points = batch["points"]
+        valid = batch["points_valid"]
+        xyz = points[..., :3]
+        feats = PointNet2MSG(
+            npoints=cfg.point_npoints, dtype=cfg.dtype, name="backbone_3d"
+        )(points, valid, train)
+        cls_logits, box_encodings = PointHeadBox(
+            num_class=cfg.num_class, dtype=cfg.dtype, name="point_head"
+        )(feats, train)
+
+        coder = PointResidualCoder(mean_size=cfg.point_mean_sizes)
+        pred_classes = jnp.argmax(cls_logits, -1) + 1
+        point_boxes = coder.decode(
+            jax.lax.stop_gradient(box_encodings), xyz, pred_classes
+        )
+        point_scores = jnp.max(jax.nn.sigmoid(cls_logits), -1)
+        masked_scores = jnp.where(
+            valid, jax.lax.stop_gradient(point_scores), -1.0
+        )
+        rois, roi_scores, roi_labels, roi_valid = jax.vmap(
+            lambda s, l, b: generate_proposals(
+                s, l, b, cfg.pv_num_rois, cfg.pv_nms_thresh
+            )
+        )(masked_scores, pred_classes, point_boxes)
+
+        rcnn_cls, rcnn_reg = PointRCNNHead(
+            num_sampled=cfg.roi_point_sample, dtype=cfg.dtype,
+            name="roi_head",
+        )(rois, roi_valid, xyz, valid, feats,
+          jax.lax.stop_gradient(point_scores), train)
+        return {
+            "point_cls_logits": cls_logits,
+            "point_box_encodings": box_encodings,
+            "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
+            "roi_valid": roi_valid, "rcnn_cls": rcnn_cls,
+            "rcnn_reg": rcnn_reg,
+        }
+
+
+class PartA2Model(nn.Module):
+    """Part-A2 detector (zoo family): UNet part-aware stage + anchor RPN +
+    RoI-aware part aggregation.
+
+    Topology: pcdet/models/detectors/PartA2_net.py (see models/parta2.py
+    for the per-module references and deviations).
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .base_bev_backbone import BaseBEVBackbone
+        from .parta2 import (
+            PartA2RoIHead,
+            PointPartHead,
+            UNetDecoder,
+            gather_point_voxel_features,
+        )
+        from .voxel_backbone import (
+            VoxelBackBone8x,
+            height_compression,
+            mean_vfe,
+        )
+
+        cfg = self.cfg
+        dense, mask = mean_vfe(
+            batch["points"], batch["points_valid"], cfg.pc_range,
+            cfg.voxel_size, cfg.grid_size,
+        )
+        x3d, _, stages = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+            dense.astype(cfg.dtype), mask, train
+        )
+        # part-aware stage: decode back to stride 1, per-point heads
+        voxel_feats, _ = UNetDecoder(dtype=cfg.dtype, name="unet_decoder")(
+            stages, train
+        )
+        point_feats = gather_point_voxel_features(
+            voxel_feats.astype(jnp.float32), batch["points"],
+            batch["points_valid"], cfg.pc_range, cfg.voxel_size,
+            cfg.grid_size,
+        )
+        seg_logits, part_pred = PointPartHead(
+            num_class=cfg.num_class, dtype=cfg.dtype, name="point_head"
+        )(point_feats, train)
+
+        bev = height_compression(x3d)
+        feats2d = BaseBEVBackbone(
+            layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
+            upsample_strides=(1, 2), num_upsample_filters=(256, 256),
+            dtype=cfg.dtype, name="backbone_2d",
+        )(bev, train)
+        rpn = AnchorHeadSingle(
+            num_class=cfg.num_class,
+            num_anchors_per_location=cfg.num_anchors_per_location,
+            code_size=cfg.code_size,
+            num_dir_bins=cfg.num_dir_bins,
+            name="dense_head",
+        )(feats2d)
+
+        rois, roi_scores, roi_labels, roi_valid = _RPNProposals.build(
+            rpn, batch, cfg, cfg.pv_num_rois, cfg.pv_nms_thresh
+        )
+        seg_scores = jnp.max(jax.nn.sigmoid(seg_logits), -1)
+        rcnn_cls, rcnn_reg = PartA2RoIHead(
+            pool_size=cfg.parta2_pool_size, dtype=cfg.dtype, name="roi_head"
+        )(
+            rois, roi_valid, batch["points"][..., :3], batch["points_valid"],
+            point_feats, jax.lax.stop_gradient(seg_scores),
+            jax.lax.stop_gradient(jax.nn.sigmoid(part_pred)), train,
+        )
+        return {
+            **rpn,
+            "seg_logits": seg_logits, "part_pred": part_pred,
+            "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
+            "roi_valid": roi_valid, "rcnn_cls": rcnn_cls,
+            "rcnn_reg": rcnn_reg,
+        }
+
+
+class MPPNetModel(nn.Module):
+    """MPPNet detector (zoo family): multi-frame trajectory refinement of
+    precomputed first-stage proposals.
+
+    Topology: pcdet/models/detectors/mppnet.py — the network is the second
+    stage; `roi_boxes` (per-frame first-stage proposals with velocity) come
+    in through the batch, exactly like the reference's
+    batch_dict['roi_boxes'] -> 'proposals_list'. See models/mppnet.py for
+    the per-module references and the grouped-attention deviation note.
+    MPPNetE2E's streaming memory bank is a documented skip (inference-time
+    amortization of the same window).
+
+    Batch contract: points_multi (B, T, N, >=3), points_multi_valid
+    (B, T, N), roi_boxes (B, T, P, 9) [box7|vx vy] sorted by score,
+    roi_scores (B, T, P), roi_labels (B, T, P).
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .mppnet import MPPNetHead, generate_trajectory
+
+        cfg = self.cfg
+        props = batch["roi_boxes"]
+        b, t, p = props.shape[:3]
+        r = min(cfg.pv_num_rois, p)
+        cur = props[:, 0, :r]  # (B, R, 9) current-frame top proposals
+        traj, matched = jax.vmap(
+            lambda cu, pr: generate_trajectory(cu, pr)
+        )(cur, props)  # (B, T, R, 7), (B, T, R)
+
+        rcnn_cls, rcnn_reg = MPPNetHead(
+            num_frames=t, dtype=cfg.dtype, name="roi_head"
+        )(
+            traj, matched, batch["points_multi"],
+            batch["points_multi_valid"], train,
+        )
+        roi_valid = jnp.any(cur[..., 3:6] > 0, axis=-1)
+        return {
+            "rois": cur[..., :7],
+            "roi_scores": batch["roi_scores"][:, 0, :r],
+            "roi_labels": batch["roi_labels"][:, 0, :r],
+            "roi_valid": roi_valid,
+            "trajectory": traj,
+            "rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg,
         }
 
 

@@ -1,0 +1,215 @@
+"""MPPNet detector family: multi-frame proposal trajectory refinement.
+
+Behavior references (not copied):
+  pcdet/models/detectors/mppnet.py (MPPNet consumes precomputed per-frame
+    first-stage proposals: batch_dict['roi_boxes'] -> 'proposals_list'; the
+    network IS the second stage),
+  pcdet/models/roi_heads/mppnet_head.py (generate_trajectory:635-660 —
+    current-frame rois propagated backward by their velocity and matched to
+    that frame's proposals; per-frame point crops inside the trajectory
+    boxes; proposal-aware geometry features = offsets to box corner/center
+    proxy points + spherical coords:454-468,551-575; motion features = time
+    embeddings:577-606; grouped transformer over frames; cls/reg),
+  pcdet/models/detectors/mppnet_e2e.py (streaming memory bank — documented
+    skip: it exists to amortize the sliding window at inference; the fixed
+    T-frame window below covers the training/eval semantics).
+
+TPU-first, compact (documented deviations): the 3-level grouped attention
+(intra-group proxy attention over 4-frame groups + cross-group) is replaced
+by per-frame PointNet encoders + a standard transformer over the T frame
+tokens — same information flow (within-frame aggregation then cross-frame
+exchange) with fixed shapes; proposal matching uses nearest-center distance
+instead of IoU (equal for the propagated-box gating it implements).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.roiaware_pool import roipoint_pool3d
+from .point_rcnn import _FCStack
+from .pvrcnn import _GroupMLP
+
+
+def box_corners_and_center(boxes):
+    """(..., 7) -> (..., 9, 3) the 8 corners + center (the reference's
+    corner+center proxy points, mppnet_head.get_corner_points_of_roi)."""
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        jnp.float32,
+    )  # (8, 3)
+    half = boxes[..., None, 3:6] / 2.0 * signs  # (..., 8, 3)
+    c = jnp.cos(boxes[..., 6])[..., None]
+    s = jnp.sin(boxes[..., 6])[..., None]
+    rx = half[..., 0] * c - half[..., 1] * s
+    ry = half[..., 0] * s + half[..., 1] * c
+    rot = jnp.stack([rx, ry, half[..., 2]], axis=-1)
+    corners = boxes[..., None, :3] + rot
+    center = boxes[..., None, :3]
+    return jnp.concatenate([corners, center], axis=-2)  # (..., 9, 3)
+
+
+def generate_trajectory(cur_rois, proposals, frame_dt: float = 0.1,
+                        match_radius: float = 2.0):
+    """Backward trajectory per current-frame RoI (mppnet_head:635-660).
+
+    cur_rois (R, 9) [box7 | vx vy]; proposals (T, P, 9) per-frame
+    first-stage boxes (t=0 is the current frame). Each frame's trajectory
+    box = the nearest same-frame proposal to the velocity-propagated
+    current box if within match_radius, else the propagated box itself.
+    Returns (T, R, 7) + (T, R) validity.
+    """
+    t_n = proposals.shape[0]
+    vel = cur_rois[:, 7:9]
+
+    def one_frame(t, props):
+        dtv = t.astype(jnp.float32) * frame_dt
+        prop_center = cur_rois[:, :2] - vel * dtv  # (R, 2)
+        propagated = jnp.concatenate(
+            [prop_center, cur_rois[:, 2:7]], axis=1
+        )
+        d = jnp.linalg.norm(
+            propagated[:, None, :2] - props[None, :, :2], axis=-1
+        )  # (R, P)
+        pvalid = jnp.any(props[:, 3:6] > 0, axis=-1)
+        d = jnp.where(pvalid[None, :], d, 1e9)
+        nearest = jnp.argmin(d, axis=1)
+        dist = jnp.min(d, axis=1)
+        matched = props[nearest, :7]
+        out = jnp.where(
+            (dist < match_radius)[:, None], matched, propagated
+        )
+        return out, dist < match_radius
+
+    traj, matched = jax.vmap(one_frame)(
+        jnp.arange(t_n), proposals
+    )
+    # the current frame always uses the roi itself
+    traj = traj.at[0].set(cur_rois[:, :7])
+    matched = matched.at[0].set(True)
+    return traj, matched
+
+
+def proposal_aware_features(local_pts, boxes):
+    """Per-point geometry features in the roi frame (mppnet_head:551-575):
+    offsets to the 9 corner/center proxy points (flattened) + spherical
+    coordinates normalized by the box diagonal.
+
+    local_pts (R, K, 3) canonical in-box points; boxes (R, 7).
+    Returns (R, K, 9*3 + 3)."""
+    local_boxes = jnp.concatenate(
+        [jnp.zeros_like(boxes[:, :3]), boxes[:, 3:6],
+         jnp.zeros_like(boxes[:, 6:7])], axis=1
+    )
+    proxies = box_corners_and_center(local_boxes)  # (R, 9, 3)
+    off = local_pts[:, :, None, :] - proxies[:, None, :, :]  # (R, K, 9, 3)
+    off = off.reshape(off.shape[0], off.shape[1], -1)
+    diag = jnp.linalg.norm(boxes[:, 3:6], axis=-1)[:, None] + 1e-6
+    r = jnp.linalg.norm(local_pts, axis=-1) / diag
+    theta = jnp.arctan2(local_pts[..., 1], local_pts[..., 0])
+    phi = jnp.arctan2(
+        local_pts[..., 2], jnp.linalg.norm(local_pts[..., :2], axis=-1) + 1e-6
+    )
+    sph = jnp.stack([r, theta, phi], axis=-1)
+    return jnp.concatenate([off, sph], axis=-1)
+
+
+class _TransformerBlock(nn.Module):
+    """Pre-norm self-attention + MLP over (B, T, C) tokens."""
+
+    num_heads: int = 4
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.LayerNorm(name="ln1")(x)
+        attn_mask = mask[:, None, None, :] & mask[:, None, :, None]
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn",
+        )(h, mask=attn_mask)
+        x = x + h
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(4 * x.shape[-1], dtype=self.dtype, name="mlp1")(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp2")(nn.gelu(h))
+        return x + h
+
+
+class MPPNetHead(nn.Module):
+    """Trajectory-box point encoding + cross-frame transformer + cls/reg."""
+
+    num_frames: int = 4
+    points_per_frame: int = 64
+    channels: int = 128
+    num_layers: int = 2
+    enlarge: float = 1.0  # metric box enlargement for point cropping
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, traj, traj_valid, points_multi, points_valid, train):
+        """traj (B, T, R, 7); points_multi (B, T, N, >=3); -> cls/reg."""
+        b, t, r = traj.shape[:3]
+
+        def crop(boxes, pts, pv):
+            big = jnp.concatenate(
+                [boxes[:, :3], boxes[:, 3:6] + self.enlarge, boxes[:, 6:7]],
+                axis=1,
+            )
+            pooled, empty, counts = roipoint_pool3d(
+                big, pts[..., :3], pts[..., 3:], pv,
+                num_sampled=self.points_per_frame,
+            )
+            return pooled, empty, counts
+
+        pooled, empty, counts = jax.vmap(jax.vmap(crop))(
+            traj, points_multi, points_valid
+        )  # (B, T, R, K, 3+C)
+        # canonical transform into each trajectory box
+        local = pooled[..., :3] - traj[:, :, :, None, :3]
+        c = jnp.cos(-traj[..., 6])[..., None]
+        s = jnp.sin(-traj[..., 6])[..., None]
+        lx = local[..., 0] * c - local[..., 1] * s
+        ly = local[..., 0] * s + local[..., 1] * c
+        local = jnp.stack([lx, ly, local[..., 2]], axis=-1)
+
+        geo = jax.vmap(jax.vmap(proposal_aware_features))(local, traj)
+        # motion feature: learned per-frame (time-offset) embedding
+        time_emb = self.param(
+            "time_emb", nn.initializers.normal(0.02),
+            (self.num_frames, self.channels),
+        )
+        feats = jnp.concatenate([geo, pooled[..., 3:]], axis=-1)
+        slot_ok = (
+            jnp.arange(self.points_per_frame)[None, None, None, :]
+            < counts[..., None]
+        ) & traj_valid[..., None]  # (B, T, R, K)
+
+        # per-frame PointNet: shared MLP + masked max -> frame token
+        grouped = feats.reshape(b * t * r, 1, self.points_per_frame, -1)
+        gvalid = slot_ok.reshape(b * t * r, 1, self.points_per_frame)
+        tok = _GroupMLP(
+            (self.channels, self.channels), dtype=self.dtype, name="pointnet"
+        )(grouped, gvalid, train)[:, 0]
+        tok = tok.reshape(b, t, r, self.channels).transpose(0, 2, 1, 3)
+        tok = tok + time_emb[None, None, : t]
+        tok = tok.reshape(b * r, t, self.channels)
+        tmask = traj_valid.transpose(0, 2, 1).reshape(b * r, t)
+        tmask = tmask.at[:, 0].set(True)
+
+        for i in range(self.num_layers):
+            tok = _TransformerBlock(dtype=self.dtype, name=f"xfrm{i}")(
+                tok, tmask
+            )
+        # masked mean over frames
+        w = tmask[..., None].astype(tok.dtype)
+        agg = jnp.sum(tok * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        h = agg.reshape(b, r, -1)
+        cls = nn.Dense(1, dtype=self.dtype, name="cls_pred")(
+            _FCStack((256, 256), dtype=self.dtype, name="cls_fc")(h, train)
+        )
+        reg = nn.Dense(7, dtype=self.dtype, name="reg_pred")(
+            _FCStack((256, 256), dtype=self.dtype, name="reg_fc")(h, train)
+        )
+        return cls[..., 0].astype(jnp.float32), reg.astype(jnp.float32)

@@ -139,30 +139,58 @@ class VoxelSetAbstraction(nn.Module):
     voxel_size: Tuple[float, ...]
     bev_stride: int = 8
     out_channels: int = 128
+    # "sa" = PV-RCNN multi-radius set abstraction; "vectorpool" = PV-RCNN++
+    # position-dependent VectorPool aggregation (VectorPoolLocal)
+    aggregation: str = "sa"
     dtype: object = None
 
     @nn.compact
-    def __call__(self, points, points_valid, bev, stages, train: bool):
+    def __call__(self, points, points_valid, bev, stages, train: bool,
+                 rois=None, roi_valid=None):
         xyz = points[..., :3]
-        keypoints = jax.vmap(
-            lambda x, v: x[farthest_point_sample(x, v, self.num_keypoints)]
-        )(xyz, points_valid)  # (B, K, 3)
+        if rois is not None:
+            # PV-RCNN++ sectorized-proposal-centric sampling
+            keypoints = jax.vmap(
+                lambda x, v, ro, rv: sample_keypoints_proposal_centric(
+                    x, v, ro, rv, self.num_keypoints
+                )
+            )(xyz, points_valid, rois, roi_valid)
+        else:
+            keypoints = jax.vmap(
+                lambda x, v: x[farthest_point_sample(x, v, self.num_keypoints)]
+            )(xyz, points_valid)  # (B, K, 3)
 
         feats = [
             interpolate_bev(bev, keypoints[..., :2], self.pc_range,
                             self.voxel_size, self.bev_stride)
         ]
-        feats.append(
-            SALayer(
-                radii=(0.4, 0.8), nsamples=(16, 16),
-                mlps=((16, 16), (16, 16)), dtype=self.dtype, name="sa_raw",
-            )(keypoints, xyz, points[..., 3:], points_valid, train)
-        )
+        if self.aggregation == "vectorpool":
+            feats.append(
+                VectorPoolLocal(
+                    radius=0.8, out_channels=32, dtype=self.dtype,
+                    name="vp_raw",
+                )(keypoints, xyz, points[..., 3:], points_valid, train)
+            )
+        else:
+            feats.append(
+                SALayer(
+                    radii=(0.4, 0.8), nsamples=(16, 16),
+                    mlps=((16, 16), (16, 16)), dtype=self.dtype, name="sa_raw",
+                )(keypoints, xyz, points[..., 3:], points_valid, train)
+            )
         for name, radii in (("x_conv3", (1.2, 2.4)), ("x_conv4", (2.4, 4.8))):
             centers, sf, sv = _stage_point_set(
                 stages[name], self.pc_range, self.voxel_size
             )
             ctr = jnp.broadcast_to(centers[None], (points.shape[0],) + centers.shape)
+            if self.aggregation == "vectorpool":
+                feats.append(
+                    VectorPoolLocal(
+                        radius=radii[-1], out_channels=64, dtype=self.dtype,
+                        name=f"vp_{name}",
+                    )(keypoints, ctr, sf, sv, train)
+                )
+                continue
             feats.append(
                 SALayer(
                     radii=radii, nsamples=(16, 16), mlps=((32, 32), (32, 32)),
@@ -197,6 +225,95 @@ class KeypointWeighting(nn.Module):
             h = nn.relu(h)
         logit = nn.Dense(1, dtype=self.dtype, name="cls")(h).astype(jnp.float32)
         return feats * jax.nn.sigmoid(logit), logit
+
+
+# ---------------------------------------------------------------------------
+# PV-RCNN++ : proposal-centric keypoints + VectorPool aggregation
+# ---------------------------------------------------------------------------
+
+def sample_keypoints_proposal_centric(xyz, valid, rois, roi_valid,
+                                      num_keypoints: int,
+                                      radius_extra: float = 1.6):
+    """Sectorized-proposal-centric keypoint sampling, fixed-shape.
+
+    pv_rcnn_plusplus + voxel_set_abstraction.py:206-225
+    (sample_points_with_roi: keep points within roi_half_diagonal +
+    SAMPLE_RADIUS_WITH_ROI of any proposal center, then sector_fps). The
+    sector split exists to parallelize CUDA FPS; here the masked FPS loop
+    covers the same proposal-centric point set directly (documented
+    deviation: one global FPS instead of per-sector FPS — same support
+    set, near-identical coverage).
+
+    Returns (num_keypoints, 3) keypoints.
+    """
+    half_diag = jnp.linalg.norm(rois[:, 3:6], axis=-1) / 2.0
+    d = jnp.linalg.norm(xyz[:, None, :] - rois[None, :, :3], axis=-1)
+    near = jnp.any(
+        (d < (half_diag + radius_extra)[None, :]) & roi_valid[None, :],
+        axis=1,
+    )
+    # fall back to all valid points when no proposal survives
+    sel = jnp.where(jnp.any(near & valid), near & valid, valid)
+    idx = farthest_point_sample(xyz, sel, num_keypoints)
+    return xyz[idx]
+
+
+class VectorPoolLocal(nn.Module):
+    """VectorPool aggregation: position-dependent local kernel weights.
+
+    pcdet/ops/pointnet2/pointnet2_stack (VectorPoolAggregationModuleMSG):
+    each keypoint's neighborhood is split into a dense n^3 sub-voxel grid;
+    every sub-voxel gets the average of its points' features + relative
+    position, and the flattened (n^3 x (C+3)) vector passes one Dense —
+    giving each sub-voxel position its own weight slice (the paper's
+    "separate local kernel weights"), vs. the shared-MLP+max of SALayer.
+    """
+
+    radius: float
+    nsample: int = 32
+    grid_n: int = 3
+    out_channels: int = 32
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, new_xyz, xyz, features, valid, train: bool):
+        from ..ops.pointnet2 import ball_query
+
+        n3 = self.grid_n ** 3
+
+        def one(nx_, x_, f_, v_):
+            idx, any_nb = ball_query(nx_, x_, v_, self.radius, self.nsample)
+            rel = (x_[idx] - nx_[:, None, :]) / self.radius  # (M, S, 3) in [-1,1]
+            feats = jnp.concatenate([rel, f_[idx]], axis=-1)
+            # neighbor slot validity: repeated-fill slots after the first
+            # occurrence are duplicates; keep them (the reference's grouped
+            # average also counts repeats) but zero empty centers
+            cell = jnp.clip(
+                jnp.floor((rel + 1.0) / 2.0 * self.grid_n), 0, self.grid_n - 1
+            ).astype(jnp.int32)
+            flat = (cell[..., 0] * self.grid_n + cell[..., 1]) * self.grid_n \
+                + cell[..., 2]  # (M, S)
+
+            def percell(fl, ft):
+                ssum = jax.ops.segment_sum(ft, fl, num_segments=n3)
+                cnt = jax.ops.segment_sum(
+                    jnp.ones_like(fl, ft.dtype), fl, num_segments=n3
+                )
+                return ssum / jnp.maximum(cnt[:, None], 1.0)
+
+            cells = jax.vmap(percell)(flat, feats)  # (M, n3, 3+C)
+            out = cells.reshape(cells.shape[0], -1)
+            return out * any_nb[:, None].astype(out.dtype)
+
+        pooled = jax.vmap(one)(new_xyz, xyz, features, valid)
+        h = nn.Dense(
+            self.out_channels, use_bias=False, dtype=self.dtype, name="fc"
+        )(pooled)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(h)
+        return nn.relu(h)
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +432,7 @@ class RoIGridPool(nn.Module):
     radii: Tuple[float, ...] = (0.8, 1.6)
     nsamples: Tuple[int, ...] = (16, 16)
     mlps: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64))
+    aggregation: str = "sa"  # "vectorpool" for PV-RCNN++
     dtype: object = None
 
     @nn.compact
@@ -323,10 +441,16 @@ class RoIGridPool(nn.Module):
         grid = jax.vmap(lambda ro: roi_grid_points(ro, self.grid_size))(rois)
         grid = grid.reshape(b, r * self.grid_size ** 3, 3)
         kv = jnp.ones(keypoints.shape[:2], bool)
-        pooled = SALayer(
-            radii=self.radii, nsamples=self.nsamples, mlps=self.mlps,
-            dtype=self.dtype, name="pool",
-        )(grid, keypoints, kp_feats, kv, train)
+        if self.aggregation == "vectorpool":
+            pooled = VectorPoolLocal(
+                radius=self.radii[-1], out_channels=128, dtype=self.dtype,
+                name="pool_vp",
+            )(grid, keypoints, kp_feats, kv, train)
+        else:
+            pooled = SALayer(
+                radii=self.radii, nsamples=self.nsamples, mlps=self.mlps,
+                dtype=self.dtype, name="pool",
+            )(grid, keypoints, kp_feats, kv, train)
         return pooled.reshape(b, r, self.grid_size ** 3, -1)
 
 

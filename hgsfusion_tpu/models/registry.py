@@ -12,9 +12,15 @@ from .detector import (
     BEVFusionModel,
     CenterPointModel,
     DSVTModel,
+    MPPNetModel,
+    PartA2Model,
+    PointRCNNModel,
     PVRCNNModel,
+    PVRCNNPlusPlusModel,
+    SECONDIoUModel,
     TransFusionModel,
     VoxelNeXtModel,
+    VoxelRCNNModel,
     HGSFusionConfig,
     HGSFusionModel,
     PointPillarModel,
@@ -38,6 +44,14 @@ DETECTORS = {
     "BevFusion": BEVFusionModel,  # camera LSS + voxel lidar fusion
     "BEVFusion": BEVFusionModel,
     "DSVT": DSVTModel,  # window-attention sparse voxel transformer
+    "VoxelRCNN": VoxelRCNNModel,  # voxel RoI grid pooling two-stage
+    "PVRCNNPlusPlus": PVRCNNPlusPlusModel,  # proposal-centric + VectorPool
+    "PV-RCNN++": PVRCNNPlusPlusModel,
+    "SECONDNetIoU": SECONDIoUModel,  # SECOND + IoU-rectification head
+    "PointRCNN": PointRCNNModel,  # point-wise two-stage
+    "PartA2Net": PartA2Model,  # part-aware/aggregation two-stage
+    "PartA2": PartA2Model,
+    "MPPNet": MPPNetModel,  # multi-frame trajectory refinement
 }
 
 

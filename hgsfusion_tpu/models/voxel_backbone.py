@@ -156,7 +156,7 @@ class VoxelBackBone8x(nn.Module):
         x = _SubMConvBN3D(16, dtype=self.dtype, name="conv_input")(x, mask, train)
         x = _SubMConvBN3D(16, dtype=self.dtype, name="conv1")(x, mask, train)
 
-        stages = {}
+        stages = {"x_conv1": (x, mask, 1)}
         x, mask = _SparseDown3D(32, dtype=self.dtype, name="conv2_down")(
             x, mask, train
         )

@@ -70,7 +70,8 @@ def roipoint_pool3d(rois, points, features, valid, num_sampled: int = 512):
     """First `num_sampled` in-box points per RoI, index order, zero-padded.
 
     pcdet/ops/roipoint_pool3d: returns (R, num_sampled, 3 + C) stacked
-    [xyz | features] plus (R,) empty flags (1 when the RoI has no points).
+    [xyz | features] plus (R,) empty flags (1 when the RoI has no points)
+    and (R,) in-box point counts (for per-slot validity masks).
     """
     def one(box):
         local = _to_local(points, box)
@@ -82,7 +83,7 @@ def roipoint_pool3d(rois, points, features, valid, num_sampled: int = 512):
         stacked = jnp.concatenate([points, features], axis=1)
         out = jnp.zeros((num_sampled + 1, stacked.shape[1]), stacked.dtype)
         out = out.at[slot].set(stacked, mode="drop")[:num_sampled]
-        return out, ~jnp.any(inside)
+        return out, ~jnp.any(inside), jnp.sum(inside.astype(jnp.int32))
 
-    pooled, empty = jax.vmap(one)(rois)
-    return pooled, empty
+    pooled, empty, counts = jax.vmap(one)(rois)
+    return pooled, empty, counts

@@ -34,6 +34,9 @@ MODEL_BATCH_KEYS = (
     "points", "points_valid", "images", "trans_lidar_to_cam",
     "trans_cam_to_img", "lidar_aug_matrix", "gt_boxes", "gt_boxes2d",
     "depth_maps",
+    # MPPNet multi-frame contract (models/detector.py MPPNetModel)
+    "points_multi", "points_multi_valid", "roi_boxes", "roi_scores",
+    "roi_labels",
 )
 
 
@@ -187,57 +190,121 @@ def make_center_eval_step(model, cfg, post_cfg: Dict) -> Callable:
     return eval_step
 
 
-def make_pvrcnn_train_step(model, assigner: TargetAssigner, tx,
-                           loss_weights: Dict, cfg) -> Callable:
-    """PV-RCNN two-stage training: RPN anchor loss + keypoint fg BCE +
-    RCNN roi_iou cls / canonical-residual reg (pv_rcnn.get_training_loss)."""
-    from ..models.pvrcnn import point_fg_loss, rcnn_losses, roi_targets
-    from ..utils.box_coder import ResidualCoder
+def make_twostage_train_step(model, assigner, tx, loss_weights: Dict, cfg,
+                             family: str = "pvrcnn") -> Callable:
+    """Generic two-stage training step (the RoIHeadTemplate families).
 
-    anchors = assigner.flat_anchors
+    Loss terms by family (get_training_loss of the respective detectors):
+      pvrcnn / pvrcnnpp: RPN anchor + keypoint fg BCE + RCNN cls/reg
+      voxelrcnn:         RPN anchor + RCNN cls/reg
+      secondiou:         RPN anchor + IoU-head BCE (second_net_iou.py)
+      pointrcnn:         point head (focal cls + point-residual reg) + RCNN
+      parta2:            RPN anchor + part head (focal + part BCE) + RCNN
+    """
+    from ..models.pvrcnn import point_fg_loss, rcnn_losses, roi_targets
+
+    anchors = assigner.flat_anchors if assigner is not None else None
     coder = ResidualCoder()
 
     def loss_fn(params, batch_stats, batch):
-        inputs = {**model_inputs(batch), "anchors": anchors}
+        inputs = model_inputs(batch)
+        if anchors is not None:
+            inputs = {**inputs, "anchors": anchors}
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             inputs, True, mutable=["batch_stats"],
         )
-        targets = assigner(batch["gt_boxes"])
-        rpn_loss, tb = anchor_head_loss(
-            preds, targets, anchors, cfg.num_class, loss_weights,
-            dir_offset=cfg.dir_offset, num_dir_bins=cfg.num_dir_bins,
-        )
-        pt_loss = point_fg_loss(
-            preds["point_logits"], preds["keypoints"], batch["gt_boxes"]
-        )
+        total = jnp.zeros(())
+        tb: Dict = {}
+        if anchors is not None:
+            targets = assigner(batch["gt_boxes"])
+            rpn_loss, tb = anchor_head_loss(
+                preds, targets, anchors, cfg.num_class, loss_weights,
+                dir_offset=cfg.dir_offset, num_dir_bins=cfg.num_dir_bins,
+            )
+            total = total + rpn_loss
+        if family in ("pvrcnn", "pvrcnnpp"):
+            pt_loss = point_fg_loss(
+                preds["point_logits"], preds["keypoints"], batch["gt_boxes"]
+            )
+            total = total + pt_loss
+            tb = {**tb, "point_fg": pt_loss}
+        elif family == "pointrcnn":
+            from ..models.point_rcnn import point_head_loss, point_targets
+            from ..utils.box_coder import PointResidualCoder
+
+            pcoder = PointResidualCoder(mean_size=cfg.point_mean_sizes)
+            xyz = batch["points"][..., :3]
+            pt = point_targets(xyz, batch["points_valid"], batch["gt_boxes"])
+            pl, ptb = point_head_loss(
+                preds["point_cls_logits"], preds["point_box_encodings"],
+                xyz, pt, pcoder,
+            )
+            total = total + pl
+            tb = {**tb, **ptb}
+        elif family == "parta2":
+            from ..models.parta2 import part_head_loss, part_targets
+
+            pt = part_targets(
+                batch["points"][..., :3], batch["points_valid"],
+                batch["gt_boxes"],
+            )
+            pl, ptb = part_head_loss(
+                preds["seg_logits"], preds["part_pred"], pt
+            )
+            total = total + pl
+            tb = {**tb, **ptb}
+
         rt = jax.vmap(roi_targets)(
             preds["rois"], preds["roi_valid"], batch["gt_boxes"]
         )
-        rcnn_loss, rtb = rcnn_losses(
-            preds["rcnn_cls"], preds["rcnn_reg"], rt, preds["rois"], coder,
-        )
-        total = rpn_loss + pt_loss + rcnn_loss
-        tb = {**tb, **rtb, "point_fg": pt_loss, "loss": total}
+        if "iou_preds" in preds:
+            from ..models.roi_heads import iou_head_loss
+
+            il = iou_head_loss(preds["iou_preds"], rt)
+            total = total + il
+            tb = {**tb, "rcnn_iou": il}
+        else:
+            rcnn_loss, rtb = rcnn_losses(
+                preds["rcnn_cls"], preds["rcnn_reg"], rt, preds["rois"],
+                coder,
+            )
+            total = total + rcnn_loss
+            tb = {**tb, **rtb}
+        tb = {**tb, "loss": total}
         return total, (tb, mutated["batch_stats"])
 
     return _grad_step(loss_fn, tx)
 
 
-def make_pvrcnn_eval_step(model, assigner: TargetAssigner, cfg,
-                          post_cfg: Dict) -> Callable:
-    """PV-RCNN inference: refined boxes = decode_canonical(rcnn_reg, rois),
-    scores = sigmoid(rcnn_cls), labels from the RPN proposals, final NMS."""
+def make_pvrcnn_train_step(model, assigner: TargetAssigner, tx,
+                           loss_weights: Dict, cfg) -> Callable:
+    """PV-RCNN two-stage training: RPN anchor loss + keypoint fg BCE +
+    RCNN roi_iou cls / canonical-residual reg (pv_rcnn.get_training_loss)."""
+    return make_twostage_train_step(
+        model, assigner, tx, loss_weights, cfg, family="pvrcnn"
+    )
+
+
+def make_pvrcnn_eval_step(model, assigner, cfg, post_cfg: Dict) -> Callable:
+    """Two-stage inference: refined boxes = decode_canonical(rcnn_reg, rois),
+    scores = sigmoid(rcnn_cls), labels from the RPN proposals, final NMS.
+
+    Serves every RoIHeadTemplate family with a reg branch (PV-RCNN(++),
+    VoxelRCNN, PartA2, PointRCNN — the latter passes assigner=None since it
+    has no anchors)."""
     from ..models.pvrcnn import decode_canonical
     from ..ops.nms import greedy_nms_lazy
     from ..utils.box_coder import ResidualCoder
 
-    anchors = assigner.flat_anchors
+    anchors = assigner.flat_anchors if assigner is not None else None
     coder = ResidualCoder()
     post_max = post_cfg["NMS_CONFIG"]["NMS_POST_MAXSIZE"]
 
     def eval_step(params, batch_stats, batch):
-        inputs = {**model_inputs(batch), "anchors": anchors}
+        inputs = model_inputs(batch)
+        if anchors is not None:
+            inputs = {**inputs, "anchors": anchors}
         preds = model.apply(
             {"params": params, "batch_stats": batch_stats}, inputs, False,
         )
@@ -266,6 +333,33 @@ def make_pvrcnn_eval_step(model, assigner: TargetAssigner, cfg,
         )
         return {"boxes": boxes, "scores": s_out, "labels": labels,
                 "valid": valid}
+
+    return eval_step
+
+
+def make_secondiou_eval_step(model, assigner: TargetAssigner, cfg,
+                             post_cfg: Dict) -> Callable:
+    """SECOND-IoU inference (second_net_iou.post_processing): the boxes ARE
+    the NMS'd proposals; the NMS/confidence score is the rectified IoU
+    prediction (SCORE_TYPE cfg.iou_score_type), final score-thresh mask."""
+    from ..models.roi_heads import rectified_scores
+
+    anchors = assigner.flat_anchors
+
+    def eval_step(params, batch_stats, batch):
+        inputs = {**model_inputs(batch), "anchors": anchors}
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats}, inputs, False,
+        )
+        iou = jax.nn.sigmoid(preds["iou_preds"])
+        scores = rectified_scores(
+            preds["roi_scores"], iou, score_type=cfg.iou_score_type
+        ) * preds["roi_valid"]
+        ok = (scores > post_cfg.get("SCORE_THRESH", 0.1)) & preds["roi_valid"]
+        return {
+            "boxes": preds["rois"], "scores": scores,
+            "labels": preds["roi_labels"], "valid": ok,
+        }
 
     return eval_step
 

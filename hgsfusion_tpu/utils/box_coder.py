@@ -70,3 +70,48 @@ class ResidualCoder:
             off = 7
         cgs = [box_encodings[..., off + i] + anchors[..., 7 + i] for i in range(n_extra)]
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *cgs], axis=-1)
+
+
+class PointResidualCoder:
+    """Point-anchored 8-dof coder (PointRCNN-family point head).
+
+    Reference: pcdet/utils/box_coder_utils.py:144-236 (PointResidualCoder):
+    each point acts as an anchor positioned at itself with a per-class mean
+    size; xy residuals are diagonal-normalized, z by the mean height, sizes
+    log-ratio, and the heading is encoded as (cos, sin).
+    """
+
+    def __init__(self, mean_size, code_size: int = 8):
+        self.code_size = code_size
+        self.mean_size = jnp.asarray(mean_size, jnp.float32)  # (num_class, 3)
+
+    def _anchor_dims(self, classes):
+        """classes: (...,) 1-based class ids -> (..., 3) mean sizes."""
+        idx = jnp.clip(classes - 1, 0, self.mean_size.shape[0] - 1)
+        return self.mean_size[idx]
+
+    def encode(self, gt_boxes, points, gt_classes):
+        dims = jnp.clip(gt_boxes[..., 3:6], 1e-5, None)
+        da = self._anchor_dims(gt_classes)
+        diagonal = jnp.sqrt(da[..., 0] ** 2 + da[..., 1] ** 2)
+        xt = (gt_boxes[..., 0] - points[..., 0]) / diagonal
+        yt = (gt_boxes[..., 1] - points[..., 1]) / diagonal
+        zt = (gt_boxes[..., 2] - points[..., 2]) / da[..., 2]
+        dt = jnp.log(dims / da)
+        rg = gt_boxes[..., 6]
+        return jnp.concatenate(
+            [jnp.stack([xt, yt, zt], -1), dt,
+             jnp.stack([jnp.cos(rg), jnp.sin(rg)], -1)], axis=-1
+        )
+
+    def decode(self, encodings, points, pred_classes):
+        da = self._anchor_dims(pred_classes)
+        diagonal = jnp.sqrt(da[..., 0] ** 2 + da[..., 1] ** 2)
+        xg = encodings[..., 0] * diagonal + points[..., 0]
+        yg = encodings[..., 1] * diagonal + points[..., 1]
+        zg = encodings[..., 2] * da[..., 2] + points[..., 2]
+        dg = jnp.exp(encodings[..., 3:6]) * da
+        rg = jnp.arctan2(encodings[..., 7], encodings[..., 6])
+        return jnp.concatenate(
+            [jnp.stack([xg, yg, zg], -1), dg, rg[..., None]], axis=-1
+        )

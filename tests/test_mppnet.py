@@ -1,0 +1,110 @@
+"""MPPNet family: trajectory generation, geometry features, full head."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from hgsfusion_tpu.models.detector import HGSFusionConfig, MPPNetModel
+from hgsfusion_tpu.models.mppnet import (
+    box_corners_and_center,
+    generate_trajectory,
+    proposal_aware_features,
+)
+from hgsfusion_tpu.train.trainer import (
+    TrainState,
+    make_pvrcnn_eval_step,
+    make_twostage_train_step,
+)
+
+
+class TestTrajectory:
+    def test_velocity_propagation_and_matching(self):
+        # one current roi moving +x at 10 m/s; frame_dt 0.1 -> -1 m per frame
+        cur = np.zeros((1, 9), np.float32)
+        cur[0, :7] = [10, 0, 0, 4, 2, 1.5, 0.0]
+        cur[0, 7] = 10.0  # vx
+        props = np.zeros((3, 4, 9), np.float32)
+        props[0, 0, :7] = cur[0, :7]
+        # frame 1: proposal near the propagated center (9, 0)
+        props[1, 0, :7] = [9.1, 0.2, 0, 4, 2, 1.5, 0.1]
+        # frame 2: nothing near (8, 0) -> falls back to propagated box
+        traj, matched = generate_trajectory(
+            jnp.asarray(cur), jnp.asarray(props)
+        )
+        assert traj.shape == (3, 1, 7)
+        np.testing.assert_allclose(np.asarray(traj[0, 0, :2]), [10, 0], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(traj[1, 0, :2]), [9.1, 0.2], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(traj[2, 0, :2]), [8.0, 0.0], atol=1e-5)
+        assert bool(matched[1, 0]) and not bool(matched[2, 0])
+
+    def test_corners(self):
+        box = jnp.asarray([[0.0, 0.0, 0.0, 2.0, 4.0, 6.0, 0.0]])
+        pts = np.asarray(box_corners_and_center(box))[0]
+        assert pts.shape == (9, 3)
+        np.testing.assert_allclose(pts[-1], [0, 0, 0], atol=1e-6)
+        assert np.all(np.abs(pts[:8, 0]) == 1.0)
+        assert np.all(np.abs(pts[:8, 1]) == 2.0)
+        assert np.all(np.abs(pts[:8, 2]) == 3.0)
+
+    def test_geometry_features_shape(self, rng):
+        pts = jnp.asarray(rng.randn(2, 8, 3).astype(np.float32))
+        boxes = jnp.asarray(
+            np.tile([0, 0, 0, 2, 2, 2, 0.3], (2, 1)).astype(np.float32)
+        )
+        f = proposal_aware_features(pts, boxes)
+        assert f.shape == (2, 8, 30)
+        assert np.all(np.isfinite(np.asarray(f)))
+
+
+class TestMPPNetModel:
+    def test_train_eval(self, rng):
+        cfg = HGSFusionConfig(pv_num_rois=4)
+        model = MPPNetModel(cfg=cfg)
+        b, t, n, p = 1, 4, 64, 6
+        pts = np.zeros((b, t, n, 4), np.float32)
+        pts[..., 0] = rng.uniform(0, 16, (b, t, n))
+        pts[..., 1] = rng.uniform(-8, 8, (b, t, n))
+        pts[..., 2] = rng.uniform(-2, 1, (b, t, n))
+        props = np.zeros((b, t, p, 9), np.float32)
+        props[..., 3:6] = [3.9, 1.6, 1.56]
+        props[..., 0] = rng.uniform(2, 14, (b, t, p))
+        gt = np.zeros((b, 2, 8), np.float32)
+        gt[0, 0] = [*props[0, 0, 0, :7], 1]
+        batch = {
+            "points_multi": jnp.asarray(pts),
+            "points_multi_valid": jnp.ones((b, t, n), bool),
+            "roi_boxes": jnp.asarray(props),
+            "roi_scores": jnp.asarray(rng.uniform(0, 1, (b, t, p)).astype(np.float32)),
+            "roi_labels": jnp.ones((b, t, p), jnp.int32),
+            "gt_boxes": jnp.asarray(gt),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        preds = model.apply(variables, batch, False)
+        assert preds["rois"].shape == (b, 4, 7)
+        assert preds["trajectory"].shape == (b, t, 4, 7)
+        assert preds["rcnn_cls"].shape == (b, 4)
+        assert preds["rcnn_reg"].shape == (b, 4, 7)
+
+        tx = optax.adam(1e-3)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = jax.jit(make_twostage_train_step(
+            model, None, tx, {}, cfg, family="mppnet"
+        ))
+        state2, tb = step(state, batch)
+        assert np.isfinite(float(tb["loss"]))
+        for k in ("rcnn_cls", "rcnn_reg"):
+            assert np.isfinite(float(tb[k])), k
+
+        ev = jax.jit(make_pvrcnn_eval_step(
+            model, None, cfg,
+            {"SCORE_THRESH": 0.0,
+             "NMS_CONFIG": {"NMS_THRESH": 0.1, "NMS_POST_MAXSIZE": 4}},
+        ))
+        out = ev(state2.params, state2.batch_stats, batch)
+        assert out["boxes"].shape == (b, 4, 7)
+        assert np.all(np.isfinite(np.asarray(out["boxes"])))

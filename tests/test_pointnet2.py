@@ -155,12 +155,13 @@ class TestRoIAware:
             [0, 0, 0, 2.0, 2.0, 2.0, 0.0],
             [50, 50, 50, 1.0, 1.0, 1.0, 0.0],  # empty
         ], np.float32)
-        pooled, empty = roipoint_pool3d(
+        pooled, empty, counts = roipoint_pool3d(
             jnp.asarray(rois), jnp.asarray(pts), jnp.asarray(feats),
             jnp.ones(100, bool), num_sampled=8,
         )
         assert pooled.shape == (2, 8, 6)
         assert not bool(empty[0]) and bool(empty[1])
+        assert int(counts[1]) == 0 and int(counts[0]) > 0
         inside = np.all(np.abs(pts) < 1.0, axis=1)
         first = np.nonzero(inside)[0][:8]
         np.testing.assert_allclose(

@@ -67,18 +67,27 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
                 model, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
             )
         )
-    elif cfg.MODEL.NAME in ("PVRCNN", "PV-RCNN"):
-        from hgsfusion_tpu.train.trainer import make_pvrcnn_eval_step
+    elif cfg.MODEL.NAME in (
+        "PVRCNN", "PV-RCNN", "PVRCNNPlusPlus", "PV-RCNN++", "VoxelRCNN",
+        "PartA2Net", "PartA2", "PointRCNN", "SECONDNetIoU",
+    ):
+        from hgsfusion_tpu.train.trainer import (
+            make_pvrcnn_eval_step, make_secondiou_eval_step,
+        )
 
-        assigner = TargetAssigner(
-            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-            model_cfg.grid_size, model_cfg.pc_range,
-            class_names=model_cfg.class_names,
+        assigner = None
+        if cfg.MODEL.NAME != "PointRCNN":
+            assigner = TargetAssigner(
+                [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+                model_cfg.grid_size, model_cfg.pc_range,
+                class_names=model_cfg.class_names,
+            )
+        maker = (
+            make_secondiou_eval_step if cfg.MODEL.NAME == "SECONDNetIoU"
+            else make_pvrcnn_eval_step
         )
         eval_step = jax.jit(
-            make_pvrcnn_eval_step(
-                model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
-            )
+            maker(model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
         )
     else:
         assigner = TargetAssigner(

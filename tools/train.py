@@ -106,8 +106,19 @@ def main():
     head_name = cfg.MODEL.DENSE_HEAD.NAME
     center_head = head_name == "CenterHead"
     transfusion_head = head_name == "TransFusionHead"
-    pvrcnn = cfg.MODEL.NAME in ("PVRCNN", "PV-RCNN")
-    if not center_head and not transfusion_head:
+    # two-stage (RoIHeadTemplate) families and their loss recipes
+    TWOSTAGE_FAMILIES = {
+        "PVRCNN": "pvrcnn", "PV-RCNN": "pvrcnn",
+        "PVRCNNPlusPlus": "pvrcnnpp", "PV-RCNN++": "pvrcnnpp",
+        "VoxelRCNN": "voxelrcnn",
+        "SECONDNetIoU": "secondiou",
+        "PointRCNN": "pointrcnn",
+        "PartA2Net": "parta2", "PartA2": "parta2",
+    }
+    twostage = TWOSTAGE_FAMILIES.get(cfg.MODEL.NAME)
+    pvrcnn = twostage is not None and twostage != "pointrcnn"
+    assigner = None
+    if not center_head and not transfusion_head and twostage != "pointrcnn":
         assigner = TargetAssigner(
             [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
             model_cfg.grid_size, model_cfg.pc_range,
@@ -159,11 +170,13 @@ def main():
         train_step = jax.jit(
             make_transfusion_train_step(model, tx, loss_weights, model_cfg)
         )
-    elif pvrcnn:
-        from hgsfusion_tpu.train.trainer import make_pvrcnn_train_step
+    elif twostage is not None:
+        from hgsfusion_tpu.train.trainer import make_twostage_train_step
 
         train_step = jax.jit(
-            make_pvrcnn_train_step(model, assigner, tx, loss_weights, model_cfg)
+            make_twostage_train_step(
+                model, assigner, tx, loss_weights, model_cfg, family=twostage
+            )
         )
     else:
         train_step = jax.jit(
