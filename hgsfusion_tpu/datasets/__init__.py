@@ -12,6 +12,12 @@ from .kitti import KittiDataset
 from .vod import VODDataset
 from .tj4d import TJ4DDataset
 from .custom import CustomDataset
+from .nuscenes import NuScenesDataset
+from .once import ONCEDataset
+from .waymo import WaymoDataset
+from .lyft import LyftDataset
+from .pandaset import PandasetDataset
+from .argo2 import Argo2Dataset
 
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
@@ -19,6 +25,12 @@ __all__ = {
     "VODDataset": VODDataset,
     "TJ4DDataset": TJ4DDataset,
     "CustomDataset": CustomDataset,
+    "NuScenesDataset": NuScenesDataset,
+    "ONCEDataset": ONCEDataset,
+    "WaymoDataset": WaymoDataset,
+    "LyftDataset": LyftDataset,
+    "PandasetDataset": PandasetDataset,
+    "Argo2Dataset": Argo2Dataset,
 }
 
 

@@ -112,7 +112,7 @@ class TestMasked3DConv:
         # z: 41 -> 21 -> 11 -> (pad0) 5 -> (k3 s2 p0) 2; xy stride 8
         assert y.shape == (1, 2, 4, 4, 128)
         assert m.shape[:-1] == y.shape[:-1]
-        assert set(stages) == {"x_conv2", "x_conv3", "x_conv4"}
+        assert set(stages) == {"x_conv1", "x_conv2", "x_conv3", "x_conv4"}
         assert stages["x_conv3"][2] == 4
 
     def test_backbone_rejects_shallow_z(self):
