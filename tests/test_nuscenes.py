@@ -380,3 +380,63 @@ class TestNuScenesDataset:
         assert set(db) <= {"car", "pedestrian"}
         assert (tmp_path / VERSION /
                 "nuscenes_dbinfos_2sweeps_withvelo.pkl").exists()
+
+
+class TestNuScenesCenterPointIntegration:
+    def test_config_dataset_model_forward(self, tmp_path):
+        """centerpoint_nuscenes.yaml end-to-end on a synthetic raw tree:
+        create infos -> dataset batch -> CenterPointModel forward."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.config import load_config, model_config_from_yaml
+        from hgsfusion_tpu.datasets import build_dataset
+        from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+        from hgsfusion_tpu.models.registry import build_network
+
+        _make_raw_tree(tmp_path)
+        create_nuscenes_info(
+            VERSION, tmp_path, tmp_path / VERSION, max_sweeps=2,
+            train_scenes=["synth-0"], val_scenes=["synth-1"],
+        )
+        cfg = load_config("configs/centerpoint_nuscenes.yaml")
+        # shrink to test scale: small grid, synthetic tree, 2-sweep infos
+        cfg.DATA_CONFIG.DATA_PATH = str(tmp_path)
+        cfg.DATA_CONFIG.VERSION = VERSION
+        cfg.DATA_CONFIG.MAX_SWEEPS = 2
+        cfg.DATA_CONFIG.BALANCED_RESAMPLING = False
+        cfg.DATA_CONFIG.FILTER_MIN_POINTS_IN_GT = 1
+        cfg.DATA_CONFIG.MAX_POINTS = 512
+        cfg.DATA_CONFIG.MAX_GT_BOXES = 16
+        cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [
+            -32.0, -32.0, -5.0, 32.0, 32.0, 3.0]
+        cfg.DATA_CONFIG.INFO_PATH = {
+            "train": ["nuscenes_infos_2sweeps_train.pkl"],
+            "test": ["nuscenes_infos_2sweeps_val.pkl"],
+        }
+        for p in cfg.DATA_CONFIG.DATA_PROCESSOR:
+            if p["NAME"] == "calculate_grid_size":
+                p["VOXEL_SIZE"] = [1.0, 1.0, 8.0]
+        cfg.MODEL.FusionVFE.RadarBackbone.READER.PILLAR_SIZE = 1.0
+
+        mc = model_config_from_yaml(cfg)
+        mc = dataclasses.replace(
+            mc, pc_range=tuple(cfg.DATA_CONFIG.POINT_CLOUD_RANGE))
+        assert mc.num_class == 10
+        ds = build_dataset(
+            cfg.DATA_CONFIG, list(cfg.CLASS_NAMES), training=True)
+        assert len(ds) == 2
+        batch = DatasetTemplate.collate_batch([ds[0]])
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k in ("points", "points_valid", "gt_boxes")
+        }
+        model = build_network(cfg, mc)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        preds = model.apply(variables, batch, False)
+        # center head emits a 10-class heatmap on the stride-2 BEV grid
+        assert preds["hm"].shape[0] == 1
+        assert preds["hm"].shape[-1] == 10

@@ -416,3 +416,35 @@ class TestNestedGatherMerge:
             (pre - mean) / np.sqrt(var + 1e-5) * scale + bbias, 0.0
         )
         np.testing.assert_allclose(merged, want, atol=1e-4)
+
+
+class TestIngroupInds:
+    def test_order_of_appearance(self):
+        from hgsfusion_tpu.ops.ingroup_inds import ingroup_inds
+
+        ids = jnp.asarray([3, 1, 3, 3, 1, 7])
+        out = np.asarray(ingroup_inds(ids))
+        np.testing.assert_array_equal(out, [0, 0, 1, 2, 1, 0])
+
+    def test_random_vs_numpy_oracle(self, rng):
+        from hgsfusion_tpu.ops.ingroup_inds import ingroup_inds
+
+        ids = rng.randint(0, 50, 1000)
+        out = np.asarray(ingroup_inds(jnp.asarray(ids)))
+        counters = {}
+        for i, g in enumerate(ids):
+            expect = counters.get(g, 0)
+            counters[g] = expect + 1
+            assert out[i] == expect
+        # each group receives a permutation of 0..k-1 (reference contract)
+        for g in np.unique(ids):
+            got = np.sort(out[ids == g])
+            np.testing.assert_array_equal(got, np.arange(len(got)))
+
+    def test_jit_static_shape(self):
+        import jax
+
+        from hgsfusion_tpu.ops.ingroup_inds import ingroup_inds
+
+        out = jax.jit(ingroup_inds)(jnp.asarray([0, 0, 0, 0]))
+        np.testing.assert_array_equal(np.asarray(out), [0, 1, 2, 3])
