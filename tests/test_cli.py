@@ -1,0 +1,227 @@
+"""End-to-end CLI coverage: tools/train.py -> tools/test.py as real
+subprocesses on a synthetic VoD tree (radar-only family, tiny shapes)."""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _write_cfg(path, data_root):
+    feats = (["x", "y", "z", "rcs", "v_r", "v_r_comp", "time"]
+             + [f"label{i}" for i in range(1, 9)] + ["idf1", "idf2"])
+    pc_range = [0, -12.8, -3, 25.6, 12.8, 2]
+    cfg = {
+        "CLASS_NAMES": ["Car", "Pedestrian", "Cyclist"],
+        "DATA_CONFIG": {
+            "DATASET": "VODDataset",
+            "DATA_PATH": str(data_root),
+            "POINT_CLOUD_RANGE": pc_range,
+            "DATA_SPLIT": {"train": "train", "test": "val"},
+            "INFO_PATH": {"train": ["kitti_infos_train.pkl"],
+                          "test": ["kitti_infos_val.pkl"]},
+            "GET_ITEM_LIST": ["points"],
+            "FOV_POINTS_ONLY": True,
+            "USE_VIRTUAL_POINTS": True,
+            "VIRTUAL_POINT_PREFIX": "virtual_points",
+            "MAX_POINTS": 512,
+            "MAX_GT_BOXES": 16,
+            "POINT_FEATURE_ENCODING": {
+                "encoding_type": "absolute_coordinates_encoding",
+                "used_feature_list": feats, "src_feature_list": feats,
+            },
+            "DATA_PROCESSOR": [
+                {"NAME": "mask_points_and_boxes_outside_range",
+                 "REMOVE_OUTSIDE_BOXES": True},
+                {"NAME": "calculate_grid_size",
+                 "VOXEL_SIZE": [0.8, 0.8, 0.5]},
+                {"NAME": "shuffle_points",
+                 "SHUFFLE_ENABLED": {"train": True, "test": False}},
+            ],
+            "DATA_AUGMENTOR": {
+                "DISABLE_AUG_LIST": ["gt_sampling"],
+                "AUG_CONFIG_LIST": [
+                    {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
+                ],
+            },
+        },
+        "MODEL": {
+            "NAME": "PillarNet",
+            "COMPUTE_DTYPE": "float32",
+            "FusionVFE": {
+                "NAME": "FusionVFE",
+                "ImageVFE": {
+                    "NAME": "ImageVFE",
+                    "USE_DEPTH": False,
+                    "FFN": {
+                        "NAME": "DepthFFN",
+                        "DDN": {"NAME": "DDNDeepLabV3",
+                                "BACKBONE_NAME": "ResNet50", "ARGS": {}},
+                        "CHANNEL_REDUCE": {
+                            "in_channels": [256, 512, 1024, 2048],
+                            "out_channels": 16, "kernel_size": 1,
+                            "stride": 1, "bias": False},
+                        "DISCRETIZE": {"mode": "LID", "num_bins": 16,
+                                       "depth_min": 1.0, "depth_max": 25.6},
+                    },
+                    "F2V": {"NAME": "FrustumToVoxelMultiScale",
+                            "FEATURE_NUM": 4, "FUSE_MODE": "CONCAT",
+                            "OUT_CHANNELS": 32,
+                            "SAMPLER": {"mode": "bilinear",
+                                        "padding_mode": "zeros"},
+                            "BEV_AUG": False},
+                },
+                "RadarBackbone": {
+                    "NAME": "PillarNet",
+                    "READER": {"USE_VIRTUAL_POINT": True,
+                               "PILLAR_SIZE": 0.8,
+                               "NUM_FILTERS": [32],
+                               "NUM_INPUT_FEATURES": 29,
+                               "PC_RANGE": pc_range},
+                    "BACKBONE": {"IN_PLANES": 32, "DS_FACTOR": 4,
+                                 "OUT_INDICES": [0, 1, 2]},
+                    "NECK": {"IN_CHANNELS": [160, 192],
+                             "OUT_CHANNELS": [128, 128],
+                             "SCALE_FACTOR": 2},
+                },
+                "RadarOccupancy": {
+                    "NAME": "RadarOccupancy2DV2",
+                    "RADAR_INPUT_CHANNELS": 128,
+                    "USE_OCC_LOSS": True, "USE_ASPP": True,
+                    "ASPP_SHAPE": 6,
+                    "MAP_TO_BEV": {"NUM_BEV_FEATURES": 128,
+                                   "ARGS": {"kernel_size": 1, "stride": 1,
+                                            "bias": False}},
+                },
+                "NUM_OUT_BEV_FEATURES": 128,
+            },
+            "FUSION_AFTER_BEV": {"NAME": "FusionAfterBEVSEDirect",
+                                 "NUM_BEV_FEATURES": 256,
+                                 "RADAR_IN_CHANNELS": 128,
+                                 "IMAGE_OUT_CHANNELS": 128,
+                                 "RADAR_OUT_CHANNELS": 128},
+            "DENSE_HEAD": {
+                "NAME": "AnchorHeadSingle",
+                "CLASS_AGNOSTIC": False,
+                "USE_DIRECTION_CLASSIFIER": True,
+                "DIR_OFFSET": 0.78539, "DIR_LIMIT_OFFSET": 0.0,
+                "NUM_DIR_BINS": 2,
+                "ANCHOR_GENERATOR_CONFIG": [
+                    {"class_name": "Car",
+                     "anchor_sizes": [[3.9, 1.6, 1.56]],
+                     "anchor_rotations": [0, 1.57],
+                     "anchor_bottom_heights": [-1.78],
+                     "align_center": False, "feature_map_stride": 1,
+                     "matched_threshold": 0.6,
+                     "unmatched_threshold": 0.45},
+                    {"class_name": "Pedestrian",
+                     "anchor_sizes": [[0.8, 0.6, 1.73]],
+                     "anchor_rotations": [0, 1.57],
+                     "anchor_bottom_heights": [-0.6],
+                     "align_center": False, "feature_map_stride": 1,
+                     "matched_threshold": 0.5,
+                     "unmatched_threshold": 0.35},
+                    {"class_name": "Cyclist",
+                     "anchor_sizes": [[1.76, 0.6, 1.73]],
+                     "anchor_rotations": [0, 1.57],
+                     "anchor_bottom_heights": [-0.6],
+                     "align_center": False, "feature_map_stride": 1,
+                     "matched_threshold": 0.5,
+                     "unmatched_threshold": 0.35},
+                ],
+                "TARGET_ASSIGNER_CONFIG": {
+                    "NAME": "AxisAlignedTargetAssigner",
+                    "POS_FRACTION": -1.0, "SAMPLE_SIZE": 512,
+                    "NORM_BY_NUM_EXAMPLES": False,
+                    "MATCH_HEIGHT": False,
+                    "BOX_CODER": "ResidualCoder"},
+                "LOSS_CONFIG": {
+                    "LOSS_WEIGHTS": {"cls_weight": 1.0,
+                                     "loc_weight": 2.0,
+                                     "dir_weight": 0.2,
+                                     "code_weights":
+                                     [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]}},
+            },
+            "POST_PROCESSING": {
+                "RECALL_THRESH_LIST": [0.3, 0.5, 0.7],
+                "SCORE_THRESH": 0.1,
+                "OUTPUT_RAW_SCORE": False,
+                "EVAL_METRIC": "kitti",
+                "NMS_CONFIG": {"MULTI_CLASSES_NMS": False,
+                               "NMS_TYPE": "nms_gpu",
+                               "NMS_THRESH": 0.01,
+                               "NMS_PRE_MAXSIZE": 256,
+                               "NMS_POST_MAXSIZE": 50},
+            },
+        },
+        "OPTIMIZATION": {
+            "BATCH_SIZE_PER_DEVICE": 1, "NUM_EPOCHS": 1,
+            "OPTIMIZER": "adam_onecycle", "LR": 0.001,
+            "WEIGHT_DECAY": 0.01, "MOMENTUM": 0.9,
+            "MOMS": [0.95, 0.85], "PCT_START": 0.4, "DIV_FACTOR": 10,
+            "DECAY_STEP_LIST": [35, 45], "LR_DECAY": 0.1,
+            "LR_CLIP": 1.0e-07, "LR_WARMUP": False, "WARMUP_EPOCH": 1,
+            "GRAD_NORM_CLIP": 10,
+        },
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+
+def _run(args, cwd, timeout=900):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": (env.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=1").strip(),
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.2",
+        "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "0",
+    })
+    proc = subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, (
+        f"{args} failed:\nSTDOUT:\n{proc.stdout[-3000:]}"
+        f"\nSTDERR:\n{proc.stderr[-3000:]}")
+    return proc
+
+
+class TestTrainTestCLI:
+    def test_train_then_eval(self, tmp_path):
+        from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+
+        data_root = tmp_path / "data"
+        make_synthetic_kitti(data_root, num_frames=3, num_points=256,
+                             num_virtual=32)
+        cfg_path = tmp_path / "tiny_radar.yaml"
+        _write_cfg(cfg_path, data_root)
+        out_dir = tmp_path / "out"
+
+        proc = _run([
+            "tools/create_infos.py", "--cfg_file", str(cfg_path),
+        ], cwd=REPO)
+
+        proc = _run([
+            "tools/train.py", "--cfg_file", str(cfg_path),
+            "--output_dir", str(out_dir), "--max_steps", "2",
+            "--workers", "0", "--fix_random_seed",
+        ], cwd=REPO)
+
+        run_dir = out_dir / "tiny_radar" / "default"
+        ckpt_dir = run_dir / "ckpt"
+        assert ckpt_dir.exists(), list(out_dir.rglob("*"))[:20]
+
+        proc = _run([
+            "tools/test.py", "--cfg_file", str(cfg_path),
+            "--output_dir", str(out_dir), "--ckpt_dir", str(ckpt_dir),
+            "--max_frames", "2", "--infer_time",
+        ], cwd=REPO)
+        combined = proc.stdout + proc.stderr
+        assert "recall@0.3" in combined
+        assert "Car" in combined  # KITTI-protocol AP table printed

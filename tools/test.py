@@ -171,7 +171,23 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
         logger.info(
             f"recall@{t}: {recall[t] / max(total_gt, 1):.4f} ({recall[t]}/{total_gt})"
         )
-    result_str, result_dict = dataset.evaluation(det_annos, dataset.class_names)
+    # --max_frames truncates the eval loop; the official evaluators compare
+    # dets against the dataset's full info list, so trim it to match
+    for attr in ("infos", "once_infos", "argo2_infos", "pandaset_infos"):
+        infos = getattr(dataset, attr, None)
+        if infos is not None and len(infos) > len(det_annos):
+            setattr(dataset, attr, infos[: len(det_annos)])
+
+    # reference eval dispatch: POST_PROCESSING.EVAL_METRIC selects the
+    # protocol for datasets with several (waymo/kitti, lyft/kitti, ...)
+    eval_kwargs = {}
+    eval_metric = cfg.MODEL.get("POST_PROCESSING", {}).get("EVAL_METRIC")
+    if eval_metric:
+        eval_kwargs["eval_metric"] = eval_metric
+    if result_dir:
+        eval_kwargs["output_path"] = result_dir
+    result_str, result_dict = dataset.evaluation(
+        det_annos, dataset.class_names, **eval_kwargs)
     logger.info("\n" + result_str)
     return det_annos, result_dict
 
