@@ -76,6 +76,14 @@ class RadarOccupancy2D(nn.Module):
     aspp_dilation: int = 6  # ASPP_SHAPE (6 VoD default, 3 TJ4D)
     occupancy_init: float = 0.01
     fuse_mode: str = "MUL"
+    # radial-Gaussian confidence blend (radar_occupancy_2d_v2.py:273-310,
+    # USE_MASK; off in all shipped configs): gate = occ*ratio + (1-ratio)
+    # with ratio = exp(-(x^2 + y_centered^2) / (2*240^2)) over the BEV grid,
+    # so far-range cells trust the image BEV unmodified. The reference's
+    # [-3]-indexed bias fill under this flag lands on a BatchNorm bias (a
+    # latent indexing quirk) and is not replicated.
+    use_mask: bool = False
+    mask_sigma: float = 240.0
     dtype: object = None
 
     @nn.compact
@@ -117,6 +125,15 @@ class RadarOccupancy2D(nn.Module):
         )(h)
         # occupancy probabilities in f32 (loss stability + gating precision)
         occupancy = nn.sigmoid(h.astype(jnp.float32))
+
+        if self.use_mask:
+            ny, nx = radar_bev.shape[1:3]
+            ys = (jnp.arange(ny, dtype=jnp.float32) - ny // 2)[:, None]
+            xs = jnp.arange(nx, dtype=jnp.float32)[None, :]
+            ratio = jnp.exp(
+                -(xs * xs + ys * ys) / (2.0 * self.mask_sigma ** 2)
+            )[None, :, :, None]
+            return image_bev * (occupancy * ratio + (1.0 - ratio)), occupancy
 
         if self.fuse_mode == "MUL":
             gated = image_bev * occupancy

@@ -279,3 +279,39 @@ class TestTJ4DConfigModel:
         assert preds["cls_preds"].shape == (1, 32, 32, 8 * 4)
         assert preds["box_preds"].shape == (1, 32, 32, 8 * 7)
         assert np.all(np.isfinite(np.asarray(preds["cls_preds"])))
+
+
+class TestOccupancyGateVariants:
+    def test_use_mask_radial_blend(self):
+        """USE_MASK gate: image * (occ*ratio + (1-ratio)) with the radial
+        Gaussian ratio (radar_occupancy_2d_v2.py:273-310). Far cells
+        (ratio ~ 0) pass the image BEV through unchanged."""
+        import jax
+
+        from hgsfusion_tpu.models.occupancy import RadarOccupancy2D
+
+        rng = np.random.RandomState(0)
+        ny = nx = 32
+        image = jnp.asarray(rng.randn(1, ny, nx, 8).astype(np.float32))
+        radar = jnp.asarray(rng.randn(1, ny, nx, 8).astype(np.float32))
+        mod = RadarOccupancy2D(
+            radar_input_channels=8, use_aspp=False, use_mask=True,
+            mask_sigma=4.0,
+        )
+        variables = mod.init(jax.random.PRNGKey(0), image, radar, False)
+        gated, occ = mod.apply(variables, image, radar, False)
+        assert gated.shape == image.shape and occ.shape == (1, ny, nx, 1)
+
+        # explicit ratio oracle
+        ys = (np.arange(ny) - ny // 2)[:, None]
+        xs = np.arange(nx)[None, :]
+        ratio = np.exp(-(xs * xs + ys * ys) / (2 * 4.0 ** 2))
+        expect = np.asarray(image) * (
+            np.asarray(occ) * ratio[None, :, :, None]
+            + (1 - ratio)[None, :, :, None]
+        )
+        np.testing.assert_allclose(np.asarray(gated), expect, atol=1e-5)
+        # far corner: ratio ~ 0 -> image passes through
+        np.testing.assert_allclose(
+            np.asarray(gated)[0, -1, -1], np.asarray(image)[0, -1, -1],
+            atol=1e-5)
