@@ -71,19 +71,11 @@ class Argo2Dataset(DatasetTemplate):
 
     # -- pipeline -------------------------------------------------------
     def __len__(self):
-        if self._merge_all_iters_to_one_epoch:
-            return len(self.argo2_infos) * self.total_epochs
-        return len(self.argo2_infos)
+        return self.merged_len(len(self.argo2_infos))
 
     def __getitem__(self, index):
-        if self._merge_all_iters_to_one_epoch:
-            index = index % len(self.argo2_infos)
-        for _ in range(len(self.argo2_infos) + 1):
-            data = self._get_one(index)
-            if data is not None:
-                return self.pad_to_static(data)
-            index = np.random.randint(len(self.argo2_infos))
-        raise RuntimeError("no frame with gt boxes in the dataset")
+        return self.getitem_with_resample(
+            index, self._get_one, len(self.argo2_infos))
 
     def _get_one(self, index):
         info = copy.deepcopy(self.argo2_infos[index])

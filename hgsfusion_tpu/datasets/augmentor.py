@@ -48,10 +48,14 @@ class DataAugmentor:
                     gt[:, 1] = -gt[:, 1]
                     gt[:, 6] = -gt[:, 6]
                     pts[:, 1] = -pts[:, 1]
+                    if gt.shape[1] > 7:  # velocity vy (augmentor_utils:23)
+                        gt[:, 8] = -gt[:, 8]
                 else:  # reflect across the y axis: negate x
                     gt[:, 0] = -gt[:, 0]
                     gt[:, 6] = -(gt[:, 6] + np.pi)
                     pts[:, 0] = -pts[:, 0]
+                    if gt.shape[1] > 7:  # velocity vx (augmentor_utils:44)
+                        gt[:, 7] = -gt[:, 7]
             data_dict[f"flip_{axis}"] = enable
         return data_dict
 
@@ -67,6 +71,11 @@ class DataAugmentor:
         gt = data_dict["gt_boxes"]
         gt[:, 0:3] = rotate_points_along_z(gt[None, :, 0:3], np.array([noise_rot]))[0]
         gt[:, 6] += noise_rot
+        if gt.shape[1] > 7:  # velocity (vx, vy) rotates too (augmentor_utils:64-67)
+            vel3 = np.concatenate(
+                [gt[:, 7:9], np.zeros((len(gt), 1), gt.dtype)], axis=1)
+            gt[:, 7:9] = rotate_points_along_z(
+                vel3[None], np.array([noise_rot]))[0][:, 0:2]
         data_dict["noise_rot"] = noise_rot
         return data_dict
 
@@ -76,7 +85,10 @@ class DataAugmentor:
             return data_dict
         scale = np.random.uniform(lo, hi)
         data_dict["points"][:, :3] *= scale
-        data_dict["gt_boxes"][:, :6] *= scale
+        gt = data_dict["gt_boxes"]
+        gt[:, :6] *= scale
+        if gt.shape[1] > 7:  # velocity scales too (augmentor_utils:88-89)
+            gt[:, 7:] *= scale
         data_dict["noise_scale"] = scale
         return data_dict
 

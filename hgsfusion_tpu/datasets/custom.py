@@ -128,24 +128,23 @@ class CustomDataset(DatasetTemplate):
 
     # -- pipeline -------------------------------------------------------
     def __len__(self):
-        return len(self.infos)
+        return self.merged_len(len(self.infos))
 
     def __getitem__(self, index):
-        for _ in range(len(self.infos) + 1):
-            info = self.infos[index]
-            idx = info["point_cloud"]["lidar_idx"]
-            input_dict = {
-                "frame_id": idx,
-                "points": self.get_lidar(idx),
-            }
-            if "annos" in info:
-                input_dict["gt_boxes"] = info["annos"]["gt_boxes_lidar"]
-                input_dict["gt_names"] = info["annos"]["name"]
-            data = self.prepare_data(input_dict)
-            if data is not None:
-                return self.pad_to_static(data)
-            index = np.random.randint(len(self.infos))
-        raise RuntimeError("no frame with gt boxes in the dataset")
+        return self.getitem_with_resample(
+            index, self._get_one, len(self.infos))
+
+    def _get_one(self, index):
+        info = self.infos[index]
+        idx = info["point_cloud"]["lidar_idx"]
+        input_dict = {
+            "frame_id": idx,
+            "points": self.get_lidar(idx),
+        }
+        if "annos" in info:
+            input_dict["gt_boxes"] = info["annos"]["gt_boxes_lidar"]
+            input_dict["gt_names"] = info["annos"]["name"]
+        return self.prepare_data(input_dict)
 
     # -- prediction/eval ------------------------------------------------
     def generate_prediction_dicts(self, batch_dict, pred_dicts, class_names,

@@ -69,6 +69,28 @@ class DatasetTemplate:
     def __getitem__(self, index):
         raise NotImplementedError
 
+    def getitem_with_resample(self, index, get_one, num_infos):
+        """Shared __getitem__ skeleton: prepare one sample, redraw a random
+        index while training frames come back empty (the reference redraws
+        on empty-gt, dataset.py:212-214), then pad to static shapes.
+
+        get_one(index) -> prepared dict or None. Handles the
+        _merge_all_iters_to_one_epoch index wrap for every family."""
+        if self._merge_all_iters_to_one_epoch:
+            index = index % num_infos
+        for _ in range(num_infos + 1):
+            data = get_one(index)
+            if data is not None:
+                return self.pad_to_static(data)
+            index = np.random.randint(num_infos)
+        raise RuntimeError("no frame with gt boxes in the dataset")
+
+    def merged_len(self, num_infos):
+        """len() under the merge-all-iters-to-one-epoch flag."""
+        if self._merge_all_iters_to_one_epoch:
+            return num_infos * self.total_epochs
+        return num_infos
+
     # ------------------------------------------------------------------
     @staticmethod
     def set_lidar_aug_matrix(data_dict):

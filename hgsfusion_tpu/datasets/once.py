@@ -69,7 +69,7 @@ class ONCEDataset(DatasetTemplate):
                 continue
             with open(path, "rb") as f:
                 infos.extend(pickle.load(f))
-        if split != "raw":
+        if not split.startswith("raw"):  # raw_small/raw_medium/raw_large
             infos = [i for i in infos if "annos" in i]
         self.once_infos.extend(infos)
         if self.logger:
@@ -123,19 +123,11 @@ class ONCEDataset(DatasetTemplate):
 
     # -- pipeline -------------------------------------------------------
     def __len__(self):
-        if self._merge_all_iters_to_one_epoch:
-            return len(self.once_infos) * self.total_epochs
-        return len(self.once_infos)
+        return self.merged_len(len(self.once_infos))
 
     def __getitem__(self, index):
-        if self._merge_all_iters_to_one_epoch:
-            index = index % len(self.once_infos)
-        for _ in range(len(self.once_infos) + 1):
-            data = self._get_one(index)
-            if data is not None:
-                return self.pad_to_static(data)
-            index = np.random.randint(len(self.once_infos))
-        raise RuntimeError("no frame with gt boxes in the dataset")
+        return self.getitem_with_resample(
+            index, self._get_one, len(self.once_infos))
 
     def _get_one(self, index):
         info = copy.deepcopy(self.once_infos[index])

@@ -145,15 +145,11 @@ class PandasetDataset(DatasetTemplate):
 
     # -- pipeline -------------------------------------------------------
     def __len__(self):
-        return len(self.pandaset_infos)
+        return self.merged_len(len(self.pandaset_infos))
 
     def __getitem__(self, index):
-        for _ in range(len(self.pandaset_infos) + 1):
-            data = self._get_one(index)
-            if data is not None:
-                return self.pad_to_static(data)
-            index = np.random.randint(len(self.pandaset_infos))
-        raise RuntimeError("no frame with gt boxes in the dataset")
+        return self.getitem_with_resample(
+            index, self._get_one, len(self.pandaset_infos))
 
     def _get_one(self, index):
         info = self.pandaset_infos[index]

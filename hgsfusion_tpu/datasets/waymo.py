@@ -200,19 +200,11 @@ class WaymoDataset(DatasetTemplate):
 
     # -- pipeline -------------------------------------------------------
     def __len__(self):
-        if self._merge_all_iters_to_one_epoch:
-            return len(self.infos) * self.total_epochs
-        return len(self.infos)
+        return self.merged_len(len(self.infos))
 
     def __getitem__(self, index):
-        if self._merge_all_iters_to_one_epoch:
-            index = index % len(self.infos)
-        for _ in range(len(self.infos) + 1):
-            data = self._get_one(index)
-            if data is not None:
-                return self.pad_to_static(data)
-            index = np.random.randint(len(self.infos))
-        raise RuntimeError("no frame with gt boxes in the dataset")
+        return self.getitem_with_resample(
+            index, self._get_one, len(self.infos))
 
     def _get_one(self, index):
         info = copy.deepcopy(self.infos[index])

@@ -125,9 +125,10 @@ def argo2_detection_eval(gt_by_uuid_cat, dt_by_uuid_cat, categories,
                      "CDS": cds}
 
     avg = {
-        k: float(np.nanmean([rows[c][k] for c in categories]))
+        k: (float(np.nanmean([rows[c][k] for c in categories]))
+            if categories else float("nan"))
         for k in ("AP", "ATE", "ASE", "AOE", "CDS")
-    } if categories else {}
+    }
     rows["AVERAGE_METRICS"] = avg
 
     header = f"{'category':<24}{'AP':>8}{'ATE':>8}{'ASE':>8}" \

@@ -196,8 +196,13 @@ def nuscenes_detection_eval(gt_by_token, pred_by_token, class_names):
     gt_by_token = {
         tok: _filter_by_range(boxes) for tok, boxes in gt_by_token.items()
     }
+    # cap at 500 boxes/sample keeping the HIGHEST-scoring ones (the devkit
+    # asserts <=500; silent arbitrary-order truncation would drop good dets)
     pred_by_token = {
-        tok: _filter_by_range(boxes)[:500]
+        tok: sorted(
+            _filter_by_range(boxes),
+            key=lambda b: -b.get("detection_score", 0.0),
+        )[:500]
         for tok, boxes in pred_by_token.items()
     }
 

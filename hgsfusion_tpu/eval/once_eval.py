@@ -99,66 +99,65 @@ def get_thresholds(scores, num_gt, num_pr_points=50):
 
 def accumulate_scores(iou, pred_scores, gt_flag, pred_flag, iou_threshold):
     """TP candidate scores for threshold sampling (evaluation.py:177-208):
-    each gt greedily takes its highest-scoring unassigned overlap."""
+    each gt greedily takes its highest-scoring unassigned overlap. The
+    reference's numba inner loop over predictions is vectorized (argmax
+    keeps the first of tied scores, matching the strict-> scan)."""
     num_gt, num_pred = iou.shape
     assigned = np.zeros(num_pred, bool)
+    sel_ok = pred_flag != -1
     accum = []
     for i in range(num_gt):
         if gt_flag[i] == -1:
             continue
-        det_idx, det_score = -1, -1.0
-        for j in range(num_pred):
-            if pred_flag[j] == -1 or assigned[j]:
-                continue
-            if iou[i, j] > iou_threshold and pred_scores[j] > det_score:
-                det_idx, det_score = j, pred_scores[j]
-        if det_score == -1.0:
+        cand = sel_ok & ~assigned & (iou[i] > iou_threshold)
+        if not cand.any():
             continue
-        if gt_flag[i] == 1 or pred_flag[det_idx] == 1:
-            assigned[det_idx] = True
-        else:
+        det_idx = int(np.argmax(np.where(cand, pred_scores, -np.inf)))
+        assigned[det_idx] = True
+        if not (gt_flag[i] == 1 or pred_flag[det_idx] == 1):
             accum.append(pred_scores[det_idx])
-            assigned[det_idx] = True
     return np.asarray(accum, np.float64)
 
 
 def compute_statistics(iou, pred_scores, gt_flag, pred_flag, score_threshold,
                        iou_threshold):
     """tp/fp/fn at one score threshold (evaluation.py:211-257), with the
-    reference's best-IoU matching and ignore-preemption rules."""
+    reference's best-IoU matching and ignore-preemption rules. Inner loop
+    vectorized: a kept (flag 0) candidate always preempts ignored (flag 1)
+    candidates, the best-IoU kept candidate wins (first of ties, matching
+    the strict-> scan), and with only ignored candidates the first one in
+    scan order is taken."""
     num_gt, num_pred = iou.shape
     assigned = np.zeros(num_pred, bool)
     under = pred_scores < score_threshold
+    sel_ok = pred_flag != -1
+    is_kept = pred_flag == 0
+    is_ign = pred_flag == 1
     tp = fp = fn = 0
     for i in range(num_gt):
         if gt_flag[i] == -1:
             continue
-        det_idx = -1
+        avail = sel_ok & ~assigned & ~under & (iou[i] > iou_threshold)
         detected = False
-        best_iou = 0.0
         to_ignore = False
-        for j in range(num_pred):
-            if pred_flag[j] == -1 or assigned[j] or under[j]:
-                continue
-            iou_ij = iou[i, j]
-            if (iou_ij > iou_threshold
-                    and (iou_ij > best_iou or to_ignore)
-                    and pred_flag[j] == 0):
-                best_iou, det_idx, detected, to_ignore = iou_ij, j, True, False
-            elif (iou_ij > iou_threshold and not detected
-                  and pred_flag[j] == 1):
-                det_idx, detected, to_ignore = j, True, True
+        det_idx = -1
+        kept = avail & is_kept
+        if kept.any():
+            det_idx = int(np.argmax(np.where(kept, iou[i], -np.inf)))
+            detected = True
+        else:
+            ign = avail & is_ign
+            if ign.any():
+                det_idx = int(np.argmax(ign))  # first in scan order
+                detected, to_ignore = True, True
         if not detected and gt_flag[i] == 0:
             fn += 1
-        elif detected and (gt_flag[i] == 1 or pred_flag[det_idx] == 1):
+        elif detected and (gt_flag[i] == 1 or to_ignore):
             assigned[det_idx] = True
         elif detected:
             tp += 1
             assigned[det_idx] = True
-    for j in range(num_pred):
-        if not (assigned[j] or pred_flag[j] == -1 or pred_flag[j] == 1
-                or under[j]):
-            fp += 1
+    fp = int(np.sum(~(assigned | ~sel_ok | is_ign | under)))
     return tp, fp, fn
 
 

@@ -215,3 +215,61 @@ class TestRegistry:
         model = build_network(cfg, HGSFusionConfig())
         assert type(model).__name__ == "HGSFusionModel"
         assert "PillarNet" in DETECTORS
+
+
+class TestVelocityAugmentation:
+    """9-dim gt boxes (with vx, vy): flip/rotation/scaling must transform
+    the velocity columns (augmentor_utils.py:23,44,64-67,88-89)."""
+
+    def _aug(self, name, **cfg_kw):
+        from hgsfusion_tpu.datasets.augmentor import DataAugmentor
+
+        cfg = ConfigDict({
+            "DISABLE_AUG_LIST": [],
+            "AUG_CONFIG_LIST": [dict(NAME=name, **cfg_kw)],
+        })
+        return DataAugmentor(None, cfg, ["car"])
+
+    def test_flip_x_negates_vy(self):
+        aug = self._aug("random_world_flip", ALONG_AXIS_LIST=["x"])
+        gt = np.array([[5, 2, 0, 4, 2, 1.6, 0.3, 1.5, -2.5]], np.float32)
+        pts = np.zeros((4, 3), np.float32)
+        np.random.seed(0)
+        for _ in range(20):
+            d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                             "gt_names": np.array(["car"])})
+            if d["flip_x"]:
+                np.testing.assert_allclose(d["gt_boxes"][0, 7:9],
+                                           [1.5, 2.5])
+                break
+        else:
+            raise AssertionError("flip never enabled in 20 draws")
+
+    def test_rotation_rotates_velocity(self):
+        aug = self._aug("random_world_rotation",
+                        WORLD_ROT_ANGLE=[0.5, 0.5])
+        gt = np.array([[5, 2, 0, 4, 2, 1.6, 0.0, 2.0, 0.0]], np.float32)
+        pts = np.zeros((4, 3), np.float32)
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        c, s = np.cos(0.5), np.sin(0.5)
+        np.testing.assert_allclose(
+            d["gt_boxes"][0, 7:9], [2 * c, 2 * s], atol=1e-5)
+
+    def test_scaling_scales_velocity(self):
+        aug = self._aug("random_world_scaling",
+                        WORLD_SCALE_RANGE=[1.1, 1.1 + 2e-3])
+        gt = np.array([[5, 2, 0, 4, 2, 1.6, 0.0, 2.0, -1.0]], np.float32)
+        pts = np.zeros((4, 4), np.float32)
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        np.testing.assert_allclose(
+            d["gt_boxes"][0, 7:9], [2.0 * 1.1, -1.0 * 1.1], rtol=2e-3)
+
+    def test_7dof_boxes_untouched(self):
+        aug = self._aug("random_world_flip", ALONG_AXIS_LIST=["x"])
+        gt = np.array([[5, 2, 0, 4, 2, 1.6, 0.3]], np.float32)
+        pts = np.zeros((4, 3), np.float32)
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        assert d["gt_boxes"].shape == (1, 7)
