@@ -74,6 +74,12 @@ class RadarOccupancy2D(nn.Module):
     radar_input_channels: int = 128
     use_aspp: bool = True
     aspp_dilation: int = 6  # ASPP_SHAPE (6 VoD default, 3 TJ4D)
+    # parallel-ASPP variant (ASPP_DIAL, radar_occupancy_2d_v2.py:210-268):
+    # one branch per dilation (1 -> 1x1 conv, else 3x3 dilated), optionally
+    # deformable (USE_DCN; mmcv ModulatedDeformConv2dPack -> our
+    # ops/deform_conv.py), concat -> 1x1 fuse. None = serial ASPP (shipped).
+    aspp_dilations: tuple | None = None
+    use_dcn: tuple | None = None
     occupancy_init: float = 0.01
     fuse_mode: str = "MUL"
     # radial-Gaussian confidence blend (radar_occupancy_2d_v2.py:273-310,
@@ -103,7 +109,36 @@ class RadarOccupancy2D(nn.Module):
 
         c = self.radar_input_channels
         h = radar_bev
-        if self.use_aspp:
+        if self.use_aspp and self.aspp_dilations is not None:
+            # parallel ASPP (+ optional deformable branches)
+            from ..ops.deform_conv import ModulatedDeformConv2d
+
+            dcn_flags = self.use_dcn or (False,) * len(self.aspp_dilations)
+            branches = []
+            for bi, (dial, dcn) in enumerate(
+                    zip(self.aspp_dilations, dcn_flags)):
+                if dcn:
+                    hb = ModulatedDeformConv2d(
+                        c, kernel_size=1 if dial == 1 else 3,
+                        dilation=dial, dtype=self.dtype,
+                        name=f"aspp_dcn{bi}",
+                    )(h)
+                else:
+                    ks = 1 if dial == 1 else 3
+                    pad = 0 if dial == 1 else dial
+                    hb = nn.Conv(
+                        c, (ks, ks), padding=((pad, pad), (pad, pad)),
+                        kernel_dilation=(dial, dial), use_bias=False,
+                        dtype=self.dtype, name=f"aspp_branch{bi}",
+                    )(h)
+                hb = nn.relu(bn(f"aspp_branch_bn{bi}")(hb))
+                branches.append(hb)
+            h = nn.Conv(
+                c, (1, 1), use_bias=False, dtype=self.dtype,
+                name="aspp_fuse",
+            )(jnp.concatenate(branches, axis=-1))
+            h = nn.relu(bn("aspp_fuse_bn")(h))
+        elif self.use_aspp:
             h = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
                         name="aspp_conv1")(h)
             h = nn.relu(bn("aspp_bn1")(h))

@@ -315,3 +315,78 @@ class TestOccupancyGateVariants:
         np.testing.assert_allclose(
             np.asarray(gated)[0, -1, -1], np.asarray(image)[0, -1, -1],
             atol=1e-5)
+
+
+class TestDeformConvAndParallelASPP:
+    def test_zero_offset_equals_halfweight_dilated_conv(self):
+        """At init the offset conv is zero, so DCNv2 output == 0.5 * a
+        standard dilated conv with the same kernel (sigmoid(0) masks)."""
+        import jax
+
+        from hgsfusion_tpu.ops.deform_conv import ModulatedDeformConv2d
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 12, 14, 6).astype(np.float32))
+        mod = ModulatedDeformConv2d(8, kernel_size=3, dilation=2)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(variables, x)
+        assert out.shape == (1, 12, 14, 8)
+
+        # oracle: dilated 3x3 conv with the SAME kernel (flax HWIO layout)
+        k = np.asarray(variables["params"]["kernel"])  # (9, C, O)
+        kernel_hwio = k.reshape(3, 3, 6, 8)
+        import jax.numpy as jnp2
+        ref = jax.lax.conv_general_dilated(
+            jnp.transpose(x, (0, 3, 1, 2)),
+            jnp.transpose(jnp.asarray(kernel_hwio), (3, 2, 0, 1)),
+            window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            rhs_dilation=(2, 2),
+        )
+        ref = jnp.transpose(ref, (0, 2, 3, 1))
+        np.testing.assert_allclose(
+            np.asarray(out), 0.5 * np.asarray(ref), atol=1e-4)
+
+    def test_learned_offset_shifts_sampling(self):
+        """A constant +1-pixel x offset on a 1x1 'kernel' shifts the input
+        by one column (bilinear at integer coords is exact)."""
+        import jax
+
+        from hgsfusion_tpu.ops.deform_conv import ModulatedDeformConv2d
+
+        x = jnp.asarray(
+            np.arange(1 * 4 * 5 * 1, dtype=np.float32).reshape(1, 4, 5, 1))
+        mod = ModulatedDeformConv2d(1, kernel_size=1, dilation=1)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        p = jax.tree_util.tree_map(lambda a: a, variables["params"])
+        # identity kernel, offset bias: off_y=0, off_x=+1, mask logit big
+        p["kernel"] = jnp.ones((1, 1, 1))
+        bias = np.zeros(3, np.float32)
+        bias[1] = 1.0      # off_x
+        bias[2] = 20.0     # mask -> sigmoid ~ 1
+        p["conv_offset"]["bias"] = jnp.asarray(bias)
+        out = mod.apply({"params": p}, x)
+        np.testing.assert_allclose(
+            np.asarray(out)[0, :, :-1, 0], np.asarray(x)[0, :, 1:, 0],
+            atol=1e-4)
+        # right edge samples out of bounds -> zeros padding
+        np.testing.assert_allclose(np.asarray(out)[0, :, -1, 0], 0.0,
+                                   atol=1e-4)
+
+    def test_parallel_aspp_with_dcn_branch(self):
+        import jax
+
+        from hgsfusion_tpu.models.occupancy import RadarOccupancy2D
+
+        rng = np.random.RandomState(0)
+        image = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+        radar = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+        mod = RadarOccupancy2D(
+            radar_input_channels=8, use_aspp=True,
+            aspp_dilations=(1, 2, 4), use_dcn=(False, True, False),
+        )
+        variables = mod.init(jax.random.PRNGKey(0), image, radar, False)
+        gated, occ = mod.apply(variables, image, radar, False)
+        assert gated.shape == image.shape
+        assert occ.shape == (1, 16, 16, 1)
+        assert "aspp_dcn1" in variables["params"]
+        assert "aspp_branch0" in variables["params"]
