@@ -78,6 +78,34 @@ class WaymoDataset(DatasetTemplate):
         )
         self.infos = []
         self.seq_name_to_infos = self.include_waymo_data(self.mode)
+        self.pred_boxes_dict = (
+            self.load_pred_boxes_to_dict(
+                dataset_cfg.ROI_BOXES_PATH[self.mode])
+            if dataset_cfg.get("USE_PREDBOX", False) else {}
+        )
+
+    def load_pred_boxes_to_dict(self, pred_boxes_path):
+        """First-stage detections -> {seq: {sample_idx: (N, 11)}} boxes
+        [x y z dx dy dz yaw vx vy score label] for trajectory refinement
+        (waymo_dataset.py:94-112)."""
+        with open(pred_boxes_path, "rb") as f:
+            pred_dicts = pickle.load(f)
+        out = {}
+        for box_dict in pred_dicts:
+            seq_name = box_dict["frame_id"][:-4].replace(
+                "training_", "").replace("validation_", "")
+            sample_idx = int(box_dict["frame_id"][-3:])
+            labels = np.array([
+                self.class_names.index(n) + 1 for n in box_dict["name"]])
+            boxes = np.concatenate([
+                np.asarray(box_dict["boxes_lidar"], np.float32).reshape(
+                    len(labels), -1),
+                np.asarray(box_dict["score"],
+                           np.float32)[:, None],
+                labels[:, None].astype(np.float32),
+            ], axis=-1)
+            out.setdefault(seq_name, {})[sample_idx] = boxes
+        return out
 
     def include_waymo_data(self, mode):
         infos = []
@@ -154,11 +182,21 @@ class WaymoDataset(DatasetTemplate):
             out[i, :len(b)] = b
         return out
 
+    def _load_pred_boxes(self, sequence_name, sample_idx):
+        """(N, 11) first-stage boxes with speed converted to per-frame
+        negative motion (waymo_dataset.py:265-274)."""
+        seq = sequence_name.replace("training_", "").replace(
+            "validation_", "")
+        boxes = self.pred_boxes_dict[seq][int(sample_idx)].copy()
+        assert boxes.shape[-1] == 11
+        boxes[:, 7:9] = -0.1 * boxes[:, 7:9]
+        return boxes
+
     def get_sequence_data(self, info, points, sequence_name, sample_idx,
-                          sequence_cfg):
+                          sequence_cfg, load_pred_boxes=False):
         """Accumulate past sweeps into the current frame with a timestamp
-        channel (waymo_dataset.py:250-338; pred-box plumbing omitted — our
-        MPPNet consumes roi_boxes directly)."""
+        channel; optionally carry first-stage box trajectories for MPPNet
+        refinement (waymo_dataset.py:250-338)."""
 
         def remove_ego(p, radius=1.0):
             return p[~((np.abs(p[:, 0]) < radius)
@@ -173,6 +211,10 @@ class WaymoDataset(DatasetTemplate):
             [points, np.zeros((len(points), 1), points.dtype)])
         seq_infos = self.seq_name_to_infos[sequence_name]
         pts_pre_all, num_pre, poses = [], [], [pose_cur]
+        pred_boxes_all = (
+            [self._load_pred_boxes(sequence_name, sample_idx)]
+            if load_pred_boxes else []
+        )
         for idx_pre in offsets:
             pts = self.get_lidar(sequence_name, int(idx_pre))
             pose_pre = np.asarray(seq_infos[int(idx_pre)]["pose"]).reshape(
@@ -193,10 +235,19 @@ class WaymoDataset(DatasetTemplate):
             pts_pre_all.append(pts)
             num_pre.append(len(pts))
             poses.append(pose_pre)
+            if load_pred_boxes:
+                pred_boxes_all.append(self.transform_prebox_to_current(
+                    self._load_pred_boxes(sequence_name, idx_pre),
+                    pose_pre, pose_cur))
         points = np.concatenate(
             [points] + pts_pre_all, axis=0).astype(np.float32)
         num_all = np.asarray([num_cur] + num_pre, np.int32)
-        return points, num_all, offsets, np.concatenate(poses, axis=0)
+        poses = np.concatenate(poses, axis=0)
+        if load_pred_boxes:
+            ordered = self.reorder_rois_for_refining(pred_boxes_all)
+            return (points, num_all, offsets, poses,
+                    ordered[:, :, 0:9], ordered[:, :, 9], ordered[:, :, 10])
+        return points, num_all, offsets, poses
 
     # -- pipeline -------------------------------------------------------
     def __len__(self):
@@ -215,9 +266,18 @@ class WaymoDataset(DatasetTemplate):
         input_dict = {"sample_idx": sample_idx}
         seq_cfg = self.dataset_cfg.get("SEQUENCE_CONFIG", None)
         if seq_cfg and seq_cfg.ENABLED:
-            points, _, _, poses = self.get_sequence_data(
-                info, points, sequence_name, sample_idx, seq_cfg)
+            use_predbox = self.dataset_cfg.get("USE_PREDBOX", False)
+            seq_out = self.get_sequence_data(
+                info, points, sequence_name, sample_idx, seq_cfg,
+                load_pred_boxes=use_predbox)
+            points, _, _, poses = seq_out[:4]
             input_dict["poses"] = poses
+            if use_predbox:
+                input_dict.update({
+                    "roi_boxes": seq_out[4],
+                    "roi_scores": seq_out[5],
+                    "roi_labels": seq_out[6],
+                })
         input_dict.update({
             "points": points, "frame_id": info["frame_id"],
         })

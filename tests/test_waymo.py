@@ -240,3 +240,50 @@ class TestWaymoDataset:
             tmp_path / "waymo_processed_data" / SEQ / f"{SEQ}.pkl",
             tmp_path, split="train", sampled_interval=1)
         assert "Vehicle" in db
+
+
+class TestWaymoPredBoxTrajectories:
+    def test_use_predbox_roi_plumbing(self, tmp_path):
+        """USE_PREDBOX: first-stage boxes load per frame, past-frame boxes
+        transform into the current frame, and roi_boxes/scores/labels reach
+        the prepared sample (waymo_dataset.py:94-112,265-338)."""
+        import pickle
+
+        _make_processed_tree(tmp_path)
+        # first-stage predictions for all 3 frames
+        pred_dicts = []
+        for i in range(3):
+            pred_dicts.append({
+                "frame_id": f"{SEQ}_{i:03d}",
+                "name": np.array(["Vehicle"]),
+                "score": np.array([0.9], np.float32),
+                "boxes_lidar": np.array(
+                    [[12.0 + i, 1.0, 0.5, 4.6, 1.9, 1.6, 0.2, 1.0, 0.0]],
+                    np.float32),
+            })
+        roi_path = tmp_path / "pred_boxes.pkl"
+        with open(roi_path, "wb") as f:
+            pickle.dump(pred_dicts, f)
+
+        cfg = _cfg(tmp_path, sequence=True)
+        cfg["USE_PREDBOX"] = True
+        cfg["ROI_BOXES_PATH"] = {"train": str(roi_path),
+                                 "test": str(roi_path)}
+        ds = WaymoDataset(cfg, ["Vehicle", "Pedestrian", "Cyclist"],
+                          training=False)
+        assert SEQ in ds.pred_boxes_dict
+        # speed converted to negative per-frame motion on load
+        np.testing.assert_allclose(
+            ds._load_pred_boxes(SEQ, 0)[0, 7:9], [-0.1, 0.0], atol=1e-6)
+
+        sample = ds[1]
+        assert "roi_boxes" in sample
+        # frames = [prev, current] (SAMPLE_OFFSET [-1, 0] reversed + cur)
+        assert sample["roi_boxes"].shape == (2, 1, 9)
+        assert sample["roi_scores"].shape == (2, 1)
+        assert sample["roi_labels"][0, 0] == 1
+        # past frame's box shifted by ego motion (-2 m in x; identity rot)
+        cur_box = sample["roi_boxes"][0, 0]
+        past_box = sample["roi_boxes"][1, 0]
+        assert cur_box[0] == pytest.approx(13.0)
+        assert past_box[0] == pytest.approx(12.0 - 2.0)
