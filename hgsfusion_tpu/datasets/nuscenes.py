@@ -472,7 +472,8 @@ class NuScenesDataset(DatasetTemplate):
         camera_cfg = dataset_cfg.get("CAMERA_CONFIG", None)
         self.use_camera = bool(
             camera_cfg and camera_cfg.get("USE_CAMERA", True))
-        self.camera_image_cfg = camera_cfg.IMAGE if self.use_camera else None
+        self.camera_image_cfg = (camera_cfg["IMAGE"] if self.use_camera
+                                 else None)
         self.include_nuscenes_data(self.mode)
         if self.training and dataset_cfg.get("BALANCED_RESAMPLING", False):
             self.infos = self.balanced_infos_resampling(self.infos)
@@ -573,15 +574,15 @@ class NuScenesDataset(DatasetTemplate):
             imgs.append(Image.open(
                 str(self.root_path / cam_info["data_path"])))
 
-        fh, fw = self.camera_image_cfg.FINAL_DIM
+        fh, fw = self.camera_image_cfg["FINAL_DIM"]
         w, h = imgs[0].size
         crops, infos_out = [], []
         for img in imgs:
             if self.training:
                 resize = float(np.random.uniform(
-                    *self.camera_image_cfg.RESIZE_LIM_TRAIN))
+                    *self.camera_image_cfg["RESIZE_LIM_TRAIN"]))
             else:
-                resize = float(np.mean(self.camera_image_cfg.RESIZE_LIM_TEST))
+                resize = float(np.mean(self.camera_image_cfg["RESIZE_LIM_TEST"]))
             new_w, new_h = int(w * resize), int(h * resize)
             crop_h = new_h - fh
             crop_w = (

@@ -440,3 +440,80 @@ class TestNuScenesCenterPointIntegration:
         # center head emits a 10-class heatmap on the stride-2 BEV grid
         assert preds["hm"].shape[0] == 1
         assert preds["hm"].shape[-1] == 10
+
+
+class TestNuScenesMultiCam:
+    def test_with_cam_infos_and_loading(self, tmp_path):
+        """with_cam=True records per-camera sensor2lidar transforms and
+        load_camera_info yields stacked crops + matrices
+        (nuscenes_utils.obtain_sensor2top + nuscenes_dataset.py:155-212)."""
+        from PIL import Image
+
+        _make_raw_tree(tmp_path)
+        root = tmp_path / VERSION
+        # extend the tables with one camera per sample
+        tdir = root / VERSION
+        for name in ("sensor", "calibrated_sensor", "sample_data"):
+            pass
+        sensors = json.load(open(tdir / "sensor.json"))
+        sensors.append({"token": "sens-cam", "channel": "CAM_FRONT",
+                        "modality": "camera"})
+        json.dump(sensors, open(tdir / "sensor.json", "w"))
+        calib = json.load(open(tdir / "calibrated_sensor.json"))
+        calib.append({
+            "token": "cs-cam", "sensor_token": "sens-cam",
+            "translation": [1.5, 0.0, 1.5], "rotation": _quat(0.0),
+            "camera_intrinsic": [[800, 0, 400], [0, 800, 225], [0, 0, 1]],
+        })
+        json.dump(calib, open(tdir / "calibrated_sensor.json", "w"))
+        sds = json.load(open(tdir / "sample_data.json"))
+        (root / "samples" / "CAM_FRONT").mkdir(parents=True)
+        new_sds = []
+        for sd in sds:
+            if sd["is_key_frame"]:
+                cam_tok = "cam-" + sd["token"]
+                fname = f"samples/CAM_FRONT/{cam_tok}.jpg"
+                Image.new("RGB", (800, 450), (90, 120, 150)).save(
+                    root / fname)
+                new_sds.append({
+                    "token": cam_tok, "sample_token": sd["sample_token"],
+                    "ego_pose_token": sd["ego_pose_token"],
+                    "calibrated_sensor_token": "cs-cam",
+                    "timestamp": sd["timestamp"], "filename": fname,
+                    "is_key_frame": True, "fileformat": "jpg",
+                    "prev": "", "next": "",
+                })
+        json.dump(sds + new_sds, open(tdir / "sample_data.json", "w"))
+
+        train_infos, _ = create_nuscenes_info(
+            VERSION, tmp_path, tmp_path / VERSION, max_sweeps=2,
+            train_scenes=["synth-0"], val_scenes=["synth-1"], with_cam=True,
+        )
+        info = train_infos[0]
+        assert "cams" in info and "CAM_FRONT" in info["cams"]
+        cam = info["cams"]["CAM_FRONT"]
+        # identity rotations: sensor2lidar translation = cs_cam - cs_lidar
+        np.testing.assert_allclose(
+            cam["sensor2lidar_translation"], [0.6, 0.0, -0.3], atol=1e-9)
+        np.testing.assert_allclose(
+            cam["sensor2lidar_rotation"], np.eye(3), atol=1e-12)
+
+        cfg = _cfg(tmp_path)
+        cfg["CAMERA_CONFIG"] = {
+            "USE_CAMERA": True,
+            "IMAGE": {
+                "FINAL_DIM": [128, 352],
+                "RESIZE_LIM_TRAIN": [0.4, 0.5],
+                "RESIZE_LIM_TEST": [0.45, 0.45],
+            },
+        }
+        ds = NuScenesDataset(cfg, ["car", "pedestrian"], training=False)
+        input_dict = ds.load_camera_info(
+            {"points": np.zeros((1, 5), np.float32)}, ds.infos[0])
+        assert input_dict["camera_imgs"].shape == (1, 128, 352, 3)
+        assert input_dict["lidar2camera"].shape == (1, 4, 4)
+        assert input_dict["camera_intrinsics"].shape == (1, 4, 4)
+        # lidar2camera is the inverse of camera2lidar
+        np.testing.assert_allclose(
+            input_dict["lidar2camera"][0] @ input_dict["camera2lidar"][0],
+            np.eye(4), atol=1e-5)
