@@ -225,3 +225,53 @@ class TestTrainTestCLI:
         combined = proc.stdout + proc.stderr
         assert "recall@0.3" in combined
         assert "Car" in combined  # KITTI-protocol AP table printed
+
+
+class TestDemoCLI:
+    def test_demo_renders_bev(self, tmp_path):
+        from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+
+        data_root = tmp_path / "data"
+        make_synthetic_kitti(data_root, num_frames=2, num_points=256,
+                             num_virtual=32)
+        cfg_path = tmp_path / "tiny_radar.yaml"
+        _write_cfg(cfg_path, data_root)
+        _run(["tools/create_infos.py", "--cfg_file", str(cfg_path)],
+             cwd=REPO)
+        out_dir = tmp_path / "demo"
+        _run([
+            "tools/demo.py", "--cfg_file", str(cfg_path),
+            "--frames", "1", "--out_dir", str(out_dir),
+        ], cwd=REPO)
+        pngs = list(out_dir.glob("*_bev.png"))
+        assert pngs, list(out_dir.iterdir())
+
+
+class TestImageProjectionRender:
+    def test_draw_image_boxes(self, tmp_path):
+        import sys
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        sys.path.insert(0, str(REPO / "tools"))
+        from demo import draw_image_boxes
+
+        from hgsfusion_tpu.utils.calibration import Calibration
+
+        calib = Calibration({
+            "P2": np.array([[700.0, 0, 480, 0], [0, 700, 250, 0],
+                            [0, 0, 1, 0]]),
+            "R0": np.eye(3),
+            "Tr_velo2cam": np.array(
+                [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], np.float64),
+        })
+        image = np.zeros((512, 960, 3), np.float32)
+        boxes = np.array([[8.0, 0.0, -0.5, 4.0, 2.0, 1.6, 0.3]])
+        fig, ax = plt.subplots()
+        draw_image_boxes(ax, image, boxes, calib, color="lime",
+                         scores=np.array([0.9]))
+        # 12 edges drawn for the single in-view box
+        assert len(ax.lines) == 12
+        plt.close(fig)

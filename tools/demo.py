@@ -34,6 +34,40 @@ def draw_bev(ax, points, boxes=None, labels=None, scores=None, color="lime",
     ax.set_aspect("equal")
 
 
+def draw_image_boxes(ax, image, boxes, calib, color="lime", scores=None,
+                     show_image=True):
+    """Project 3D boxes onto the camera image and draw the 12 box edges
+    (visual_result_vod_graps.py lidar2img/plot_boxes:130-171)."""
+    import numpy as np
+
+    from hgsfusion_tpu.utils.box_utils import boxes_to_corners_3d
+
+    if show_image:
+        ax.imshow(image.astype("uint8") if image.max() > 1.5 else image)
+    if boxes is None or not len(boxes):
+        return
+    corners = np.asarray(boxes_to_corners_3d(np.asarray(boxes)))  # (N, 8, 3)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    h, w = image.shape[:2]
+    for bi, c in enumerate(corners):
+        uv, depth = calib.lidar_to_img(c)
+        if (depth <= 0.5).any():  # behind or at the camera: skip the box
+            continue
+        if ((uv[:, 0] < 0) | (uv[:, 0] >= w)
+                | (uv[:, 1] < 0) | (uv[:, 1] >= h)).all():
+            continue
+        for a, b in edges:
+            ax.plot([uv[a, 0], uv[b, 0]], [uv[a, 1], uv[b, 1]],
+                    color=color, linewidth=0.8)
+        if scores is not None:
+            ax.text(uv[0, 0], uv[0, 1], f"{scores[bi]:.2f}", color=color,
+                    fontsize=5)
+    ax.set_xlim(0, w)
+    ax.set_ylim(h, 0)
+    ax.set_axis_off()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -111,6 +145,20 @@ def main():
                     facecolor="gray")
         plt.close(fig)
         logger.info(f"wrote {out_dir}/{batch['frame_id'][0]}_bev.png")
+
+        # camera view with projected 3D boxes, when the frame carries one
+        if "images" in batch and batch.get("calib") is not None:
+            image = np.asarray(batch["images"][0])
+            calib = batch["calib"][0]
+            fig, ax = plt.subplots(figsize=(10, 4), dpi=150)
+            draw_image_boxes(ax, image, gt[:, :7], calib, color="cyan")
+            draw_image_boxes(
+                ax, image, preds["pred_boxes"], calib, color="lime",
+                scores=preds["pred_scores"], show_image=False,
+            )
+            fig.savefig(out_dir / f"{batch['frame_id'][0]}_img.png")
+            plt.close(fig)
+            logger.info(f"wrote {out_dir}/{batch['frame_id'][0]}_img.png")
 
 
 if __name__ == "__main__":
