@@ -182,6 +182,14 @@ def model_config_from_yaml(cfg: ConfigDict):
                 (-75.0, -75.0, -10.0, 75.0, 75.0, 10.0),
             )
         ),
+        center_head_order=tuple(
+            head.get("SEPARATE_HEAD_CFG", {}).get(
+                "HEAD_ORDER", ("center", "center_z", "dim", "rot"))
+        ),
+        center_head_channels=tuple(
+            head["SEPARATE_HEAD_CFG"]["HEAD_DICT"][k]["out_channels"]
+            for k in head["SEPARATE_HEAD_CFG"]["HEAD_ORDER"]
+        ) if "SEPARATE_HEAD_CFG" in head else (2, 1, 3, 2),
         pv_num_keypoints=model.get("PFE", {}).get("NUM_KEYPOINTS", 1024),
         pv_num_rois=model.get("ROI_HEAD", {}).get("NUM_ROIS", 128),
         pv_nms_thresh=model.get("ROI_HEAD", {}).get("NMS_THRESH_TRAIN", 0.8),

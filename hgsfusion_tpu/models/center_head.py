@@ -289,8 +289,9 @@ def decode_center_boxes(
     hm = jax.nn.sigmoid(preds["hm"].astype(jnp.float32))  # (B, H, W, C)
     b, h, w, c = hm.shape
     k_eff = min(k, c * h * w)  # tiny feature maps: fewer cells than K
+    has_vel = "vel" in preds
 
-    def one(hm_i, center_i, z_i, dim_i, rot_i):
+    def one(hm_i, center_i, z_i, dim_i, rot_i, vel_i):
         scores, flat_idx = exact_top_k(hm_i.transpose(2, 0, 1).reshape(-1), k_eff)
         cls_id = flat_idx // (h * w)
         spatial = flat_idx % (h * w)
@@ -316,10 +317,12 @@ def decode_center_boxes(
         ok = jnp.all(boxes[:, :3] >= lim[:3], axis=1)
         ok &= jnp.all(boxes[:, :3] <= lim[3:], axis=1)
         ok &= scores > score_thresh
-        return boxes, scores, cls_id + 1, ok
+        vels = gather(vel_i) if has_vel else jnp.zeros((k_eff, 2))
+        return boxes, scores, cls_id + 1, ok, vels
 
-    boxes, scores, labels, valid = jax.vmap(one)(
-        hm, preds["center"], preds["center_z"], preds["dim"], preds["rot"]
+    boxes, scores, labels, valid, vels = jax.vmap(one)(
+        hm, preds["center"], preds["center_z"], preds["dim"], preds["rot"],
+        preds["vel"] if has_vel else jnp.zeros((b, h, w, 2)),
     )
     if k_eff < k:  # pad back to the caller's fixed K with invalid slots
         pad = [(0, 0), (0, k - k_eff)]
@@ -327,4 +330,8 @@ def decode_center_boxes(
         scores = jnp.pad(scores, pad)
         labels = jnp.pad(labels, pad)
         valid = jnp.pad(valid, pad)
-    return {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}
+        vels = jnp.pad(vels, pad + [(0, 0)])
+    out = {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}
+    if has_vel:
+        out["vels"] = vels  # (B, K, 2) decoded velocities (nuScenes boxes)
+    return out

@@ -86,6 +86,10 @@ class HGSFusionConfig:
     center_post_limit: Tuple[float, ...] = (
         -75.0, -75.0, -10.0, 75.0, 75.0, 10.0
     )
+    # CenterHead branch layout (SEPARATE_HEAD_CFG HEAD_ORDER/HEAD_DICT);
+    # append ("vel", 2) for nuScenes-style velocity regression
+    center_head_order: Tuple[str, ...] = ("center", "center_z", "dim", "rot")
+    center_head_channels: Tuple[int, ...] = (2, 1, 3, 2)
     # PV-RCNN second stage (models/pvrcnn.py)
     pv_num_keypoints: int = 1024
     pv_num_rois: int = 128
@@ -372,7 +376,10 @@ class DSVTModel(nn.Module):
             x, train
         )
         return CenterHead(
-            num_class=cfg.num_class, dtype=cfg.dtype, name="dense_head"
+            num_class=cfg.num_class,
+            head_order=cfg.center_head_order,
+            head_channels=cfg.center_head_channels,
+            dtype=cfg.dtype, name="dense_head",
         )(feats, train)
 
 
@@ -1038,8 +1045,10 @@ class VoxelNeXtModel(nn.Module):
             dtype=cfg.dtype, name="backbone_3d"
         )(dense.astype(cfg.dtype), mask, train)
         return CenterHead(
-            num_class=cfg.num_class, shared_channels=128, dtype=cfg.dtype,
-            name="dense_head",
+            num_class=cfg.num_class, shared_channels=128,
+            head_order=cfg.center_head_order,
+            head_channels=cfg.center_head_channels,
+            dtype=cfg.dtype, name="dense_head",
         )(bev, train)
 
 
@@ -1075,7 +1084,10 @@ class CenterPointModel(nn.Module):
             pillar_bev, train
         )
         return CenterHead(
-            num_class=cfg.num_class, dtype=cfg.dtype, name="dense_head"
+            num_class=cfg.num_class,
+            head_order=cfg.center_head_order,
+            head_channels=cfg.center_head_channels,
+            dtype=cfg.dtype, name="dense_head",
         )(feats, train)
 
 

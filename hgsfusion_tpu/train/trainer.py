@@ -144,9 +144,9 @@ def make_center_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
     gx, gy, _ = cfg.grid_size
     stride = cfg.center_feature_map_stride
     fmap_hw = (gy // stride, gx // stride)
-    code_weights = loss_weights.get(
-        "code_weights", [1.0] * (2 + 1 + 3 + 2)
-    )
+    head_order = tuple(cfg.center_head_order)
+    code_size = int(sum(cfg.center_head_channels))  # 8 (+2 with vel)
+    code_weights = loss_weights.get("code_weights", [1.0] * code_size)
 
     def loss_fn(params, batch_stats, batch):
         preds, mutated = model.apply(
@@ -158,9 +158,10 @@ def make_center_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
             cfg.pc_range, cfg.voxel_size,
             gaussian_overlap=cfg.center_gaussian_overlap,
             min_radius=cfg.center_min_radius,
+            code_size=code_size,
         )
         total, tb = center_head_loss(
-            preds, targets, ("center", "center_z", "dim", "rot"), code_weights,
+            preds, targets, head_order, code_weights,
             cls_weight=loss_weights.get("cls_weight", 1.0),
             loc_weight=loss_weights.get("loc_weight", 2.0),
         )
@@ -438,6 +439,8 @@ def detections_to_pred_dicts(out: Dict, batch: Dict) -> list:
     import numpy as np
 
     boxes = np.asarray(out["boxes"])
+    if "vels" in out:  # nuScenes-style velocity: 9-dof boxes_lidar
+        boxes = np.concatenate([boxes, np.asarray(out["vels"])], axis=-1)
     scores = np.asarray(out["scores"])
     labels = np.asarray(out["labels"])
     valid = np.asarray(out["valid"])

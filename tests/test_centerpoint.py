@@ -278,3 +278,49 @@ class TestCenterPointModel:
         out = ev(state2.params, state2.batch_stats, batch)
         assert out["boxes"].shape == (1, 16, 7)
         assert np.all(np.isfinite(np.asarray(out["boxes"])))
+
+
+class TestVelocityHead:
+    def test_targets_decode_loss_with_velocity(self):
+        """nuScenes-style vel branch: targets carry (vx, vy) extras at
+        code_size 10, decode returns 'vels', and the loss consumes the
+        10-wide regression stack."""
+        gt = np.zeros((1, 3, 10), np.float32)
+        gt[0, 0] = [10.0, 5.0, 0.5, 4.6, 1.9, 1.6, 0.3, 3.0, -1.0, 1]
+        gt[0, 1] = [-8.0, 2.0, 0.2, 0.8, 0.8, 1.8, 0.0, 0.0, 0.5, 2]
+        hw = (32, 32)
+        pc_range = (-25.6, -25.6, -5, 25.6, 25.6, 3)
+        voxel = (0.8, 0.8, 8.0)
+        tgt = center_targets(
+            jnp.asarray(gt), 2, hw, 2, pc_range, voxel, code_size=10)
+        assert tgt["boxes"].shape == (1, 3, 10)
+        np.testing.assert_allclose(
+            np.asarray(tgt["boxes"])[0, 0, 8:10], [3.0, -1.0], atol=1e-6)
+
+        rng = np.random.RandomState(0)
+        preds = {
+            "hm": jnp.asarray(rng.randn(1, 32, 32, 2).astype(np.float32)),
+            "center": jnp.asarray(rng.randn(1, 32, 32, 2).astype(np.float32)),
+            "center_z": jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)),
+            "dim": jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32)),
+            "rot": jnp.asarray(rng.randn(1, 32, 32, 2).astype(np.float32)),
+            "vel": jnp.asarray(rng.randn(1, 32, 32, 2).astype(np.float32)),
+        }
+        total, tb = center_head_loss(
+            preds, tgt, ("center", "center_z", "dim", "rot", "vel"),
+            [1.0] * 8 + [0.2, 0.2])
+        assert np.isfinite(float(total))
+
+        out = decode_center_boxes(
+            preds, 16, 2, pc_range, voxel,
+            (-60, -60, -10, 60, 60, 10), score_thresh=0.0)
+        assert out["vels"].shape == (1, 16, 2)
+        # vels gathered at the same peak pixels as the boxes
+        flat_vel = np.asarray(preds["vel"]).reshape(32 * 32, 2)
+        hm = np.asarray(jax.nn.sigmoid(preds["hm"]))
+        # find the argmax peak: its velocity must appear in out["vels"]
+        peak = np.unravel_index(hm[0].transpose(2, 0, 1).reshape(-1).argmax(),
+                                (2, 32, 32))
+        spatial = peak[1] * 32 + peak[2]
+        np.testing.assert_allclose(
+            np.asarray(out["vels"][0, 0]), flat_vel[spatial], atol=1e-6)
