@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--output_dir", default="output")
     p.add_argument("--max_ckpt_save_num", type=int, default=30)
     p.add_argument("--fix_random_seed", action="store_true")
+    p.add_argument("--merge_all_iters_to_one_epoch", action="store_true",
+                   help="fold all epochs into one long epoch (reference flag)")
     p.add_argument("--workers", type=int, default=4,
                    help="prefetch loader threads (0 = synchronous)")
     p.add_argument("--max_steps", type=int, default=None,
@@ -90,6 +92,12 @@ def main():
 
     dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=True,
                             logger=logger)
+    if args.merge_all_iters_to_one_epoch:
+        # one long epoch instead of per-epoch boundaries (reference
+        # train.py --merge_all_iters_to_one_epoch)
+        dataset._merge_all_iters_to_one_epoch = True
+        dataset.total_epochs = epochs
+        epochs = 1
     if len(dataset) == 0:
         raise SystemExit(
             f"dataset is empty — generate info files first: "
