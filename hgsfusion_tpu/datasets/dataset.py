@@ -91,6 +91,41 @@ class DatasetTemplate:
             return num_infos * self.total_epochs
         return num_infos
 
+    @staticmethod
+    def gt_db_add_frame(points, gt_boxes, names, db_path, rel_root,
+                        filename_fn, all_db_infos, used_classes=None,
+                        extra=None):
+        """Shared gt-database frame body: crop each box's points, recenter,
+        write the bin, append the db_info row (the per-box loop every
+        family's create_groundtruth_database repeats).
+
+        filename_fn(i, name) -> bin filename; extra(i) -> dict of extra
+        db_info fields (sequence ids, difficulty, ...)."""
+        from ..ops.points_in_boxes import points_in_boxes
+
+        gt_boxes = np.asarray(gt_boxes, np.float32)
+        if len(gt_boxes) == 0:
+            return
+        inside = np.asarray(points_in_boxes(points[:, :3], gt_boxes[:, :7]))
+        for i in range(len(gt_boxes)):
+            name = str(names[i])
+            if used_classes is not None and name not in used_classes:
+                continue
+            gt_points = points[inside[i]]
+            gt_points[:, :3] -= gt_boxes[i, :3]
+            filename = filename_fn(i, name)
+            gt_points.astype(np.float32).tofile(db_path / filename)
+            info = {
+                "name": name,
+                "path": str((db_path / filename).relative_to(rel_root)),
+                "gt_idx": i,
+                "box3d_lidar": gt_boxes[i],
+                "num_points_in_gt": int(inside[i].sum()),
+            }
+            if extra is not None:
+                info.update(extra(i))
+            all_db_infos.setdefault(name, []).append(info)
+
     # ------------------------------------------------------------------
     @staticmethod
     def set_lidar_aug_matrix(data_dict):

@@ -202,8 +202,6 @@ class LyftDataset(DatasetTemplate):
 
     # -- gt database -----------------------------------------------------
     def create_groundtruth_database(self, used_classes=None, max_sweeps=10):
-        from ..ops.points_in_boxes import points_in_boxes
-
         db_path = self.root_path / "gt_database"
         db_info_path = self.root_path / f"lyft_dbinfos_{max_sweeps}sweeps.pkl"
         db_path.mkdir(parents=True, exist_ok=True)
@@ -213,26 +211,12 @@ class LyftDataset(DatasetTemplate):
             if "gt_boxes" not in info:
                 continue
             points = self.get_lidar_with_sweeps(idx, max_sweeps=max_sweeps)
-            gt_boxes = np.asarray(info["gt_boxes"], np.float32)
-            names = info["gt_names"]
-            inside = np.asarray(points_in_boxes(
-                points[:, :3], gt_boxes[:, :7]))
-            for i in range(len(gt_boxes)):
-                name = str(names[i])
-                if used_classes is not None and name not in used_classes:
-                    continue
-                gt_points = points[inside[i]]
-                gt_points[:, :3] -= gt_boxes[i, :3]
-                filename = f"{idx}_{name}_{i}.bin"
-                gt_points.astype(np.float32).tofile(db_path / filename)
-                all_db_infos.setdefault(name, []).append({
-                    "name": name,
-                    "path": str((db_path / filename).relative_to(
-                        self.root_path)),
-                    "image_idx": idx, "gt_idx": i,
-                    "box3d_lidar": gt_boxes[i],
-                    "num_points_in_gt": int(inside[i].sum()),
-                })
+            self.gt_db_add_frame(
+                points, info["gt_boxes"], info["gt_names"], db_path,
+                self.root_path, lambda i, n: f"{idx}_{n}_{i}.bin",
+                all_db_infos, used_classes,
+                extra=lambda i: {"image_idx": idx},
+            )
         with open(db_info_path, "wb") as f:
             pickle.dump(all_db_infos, f)
         return all_db_infos

@@ -210,8 +210,6 @@ class ONCEDataset(DatasetTemplate):
 
     def create_groundtruth_database(self, info_path=None, used_classes=None,
                                     split="train"):
-        from ..ops.points_in_boxes import points_in_boxes
-
         db_path = self.root_path / (
             "gt_database" if split == "train" else f"gt_database_{split}")
         db_info_path = self.root_path / f"once_dbinfos_{split}.pkl"
@@ -223,26 +221,13 @@ class ONCEDataset(DatasetTemplate):
             if "annos" not in info:
                 continue
             points = self.get_lidar(info["sequence_id"], info["frame_id"])
-            names = info["annos"]["name"]
-            gt_boxes = np.asarray(info["annos"]["boxes_3d"], np.float32)
-            inside = np.asarray(points_in_boxes(
-                points[:, :3], gt_boxes[:, :7]))
-            for i in range(len(gt_boxes)):
-                name = str(names[i])
-                if used_classes is not None and name not in used_classes:
-                    continue
-                gt_points = points[inside[i]]
-                gt_points[:, :3] -= gt_boxes[i, :3]
-                filename = f"{info['frame_id']}_{name}_{i}.bin"
-                gt_points.astype(np.float32).tofile(db_path / filename)
-                all_db_infos.setdefault(name, []).append({
-                    "name": name,
-                    "path": str((db_path / filename).relative_to(
-                        self.root_path)),
-                    "gt_idx": i,
-                    "box3d_lidar": gt_boxes[i],
-                    "num_points_in_gt": int(inside[i].sum()),
-                })
+            fid = info["frame_id"]
+            self.gt_db_add_frame(
+                points, info["annos"]["boxes_3d"], info["annos"]["name"],
+                db_path, self.root_path,
+                lambda i, n: f"{fid}_{n}_{i}.bin", all_db_infos,
+                used_classes,
+            )
         with open(db_info_path, "wb") as f:
             pickle.dump(all_db_infos, f)
         return all_db_infos

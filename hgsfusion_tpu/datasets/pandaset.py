@@ -193,8 +193,6 @@ class PandasetDataset(DatasetTemplate):
 
     def create_groundtruth_database(self, info_path=None, used_classes=None,
                                     split="train"):
-        from ..ops.points_in_boxes import points_in_boxes
-
         db_path = self.root_path / (
             "gt_database" if split == "train" else f"gt_database_{split}")
         db_info_path = self.root_path / f"pandaset_dbinfos_{split}.pkl"
@@ -206,27 +204,15 @@ class PandasetDataset(DatasetTemplate):
             pose = self._get_pose(info)
             points = self._get_lidar_points(info, pose)
             gt_boxes, names, _ = self._get_annotations(info, pose)
-            if len(gt_boxes) == 0:
-                continue
-            inside = np.asarray(points_in_boxes(
-                points[:, :3], gt_boxes[:, :7]))
-            for i in range(len(gt_boxes)):
-                name = str(names[i])
-                if used_classes is not None and name not in used_classes:
-                    continue
-                gt_points = points[inside[i]]
-                gt_points[:, :3] -= gt_boxes[i, :3]
-                safe = name.replace("/", "").replace(" ", "")
-                filename = f"{info['frame_idx']}_{safe}_{i}.bin"
-                gt_points.astype(np.float32).tofile(db_path / filename)
-                all_db_infos.setdefault(name, []).append({
-                    "name": name,
-                    "path": os.path.relpath(
-                        db_path / filename, self.root_path),
-                    "gt_idx": i, "box3d_lidar": gt_boxes[i],
-                    "num_points_in_gt": int(inside[i].sum()),
-                    "difficulty": -1,
-                })
+            fidx = info["frame_idx"]
+            self.gt_db_add_frame(
+                points, gt_boxes, names, db_path, self.root_path,
+                lambda i, n: (
+                    f"{fidx}_{n.replace('/', '').replace(' ', '')}_{i}.bin"
+                ),
+                all_db_infos, used_classes,
+                extra=lambda i: {"difficulty": -1},
+            )
         with open(db_info_path, "wb") as f:
             pickle.dump(all_db_infos, f)
         return all_db_infos

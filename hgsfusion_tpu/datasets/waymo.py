@@ -350,8 +350,6 @@ class WaymoDataset(DatasetTemplate):
                                     used_classes=None, split="train",
                                     sampled_interval=10):
         """waymo_dataset.py:463-561 (single-process, no SharedArray)."""
-        from ..ops.points_in_boxes import points_in_boxes
-
         save_path = Path(save_path)
         db_path = save_path / (
             f"gt_database_{split}_sampled_{sampled_interval}")
@@ -374,28 +372,17 @@ class WaymoDataset(DatasetTemplate):
             gt_boxes = np.asarray(
                 annos["gt_boxes_lidar"], np.float32).reshape(
                     len(names), -1)[:, :7]
-            if len(gt_boxes) == 0:
-                continue
-            inside = np.asarray(points_in_boxes(points[:, :3], gt_boxes))
-            for i in range(len(gt_boxes)):
-                name = str(names[i])
-                if used_classes is not None and name not in used_classes:
-                    continue
-                gt_points = points[inside[i]]
-                gt_points[:, :3] -= gt_boxes[i, :3]
-                filename = f"{seq_name}_{sample_idx}_{name}_{i}.bin"
-                gt_points.astype(np.float32).tofile(db_path / filename)
-                all_db_infos.setdefault(name, []).append({
-                    "name": name,
-                    "path": str((db_path / filename).relative_to(save_path)),
-                    "sequence_name": seq_name,
-                    "sample_idx": sample_idx, "gt_idx": i,
-                    "box3d_lidar": gt_boxes[i],
-                    "num_points_in_gt": int(inside[i].sum()),
-                    "difficulty": int(np.asarray(
-                        annos["difficulty"]).reshape(-1)[i])
-                    if "difficulty" in annos else 0,
-                })
+            diff = (np.asarray(annos["difficulty"]).reshape(-1)
+                    if "difficulty" in annos else np.zeros(len(names)))
+            self.gt_db_add_frame(
+                points, gt_boxes, names, db_path, save_path,
+                lambda i, n: f"{seq_name}_{sample_idx}_{n}_{i}.bin",
+                all_db_infos, used_classes,
+                extra=lambda i: {
+                    "sequence_name": seq_name, "sample_idx": sample_idx,
+                    "difficulty": int(diff[i]),
+                },
+            )
         with open(db_info_path, "wb") as f:
             pickle.dump(all_db_infos, f)
         return all_db_infos
