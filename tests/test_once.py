@@ -215,3 +215,98 @@ class TestOnceDataset:
         with open(tmp_path / "once_dbinfos_train.pkl", "rb") as f:
             saved = pickle.load(f)
         assert set(saved) == set(db)
+
+
+def _compute_statistics_loop(iou, pred_scores, gt_flag, pred_flag,
+                             score_threshold, iou_threshold):
+    """Direct transcription of the reference numba kernel
+    (once_eval/evaluation.py:211-257) as a fuzz oracle."""
+    num_gt, num_pred = iou.shape
+    assigned = np.zeros(num_pred, bool)
+    under = pred_scores < score_threshold
+    tp = fp = fn = 0
+    for i in range(num_gt):
+        if gt_flag[i] == -1:
+            continue
+        det_idx = -1
+        detected = False
+        best_iou = 0.0
+        to_ignore = False
+        for j in range(num_pred):
+            if pred_flag[j] == -1 or assigned[j] or under[j]:
+                continue
+            iou_ij = iou[i, j]
+            if (iou_ij > iou_threshold
+                    and (iou_ij > best_iou or to_ignore)
+                    and pred_flag[j] == 0):
+                best_iou, det_idx, detected, to_ignore = \
+                    iou_ij, j, True, False
+            elif (iou_ij > iou_threshold and not detected
+                  and pred_flag[j] == 1):
+                det_idx, detected, to_ignore = j, True, True
+        if not detected and gt_flag[i] == 0:
+            fn += 1
+        elif detected and (gt_flag[i] == 1 or pred_flag[det_idx] == 1):
+            assigned[det_idx] = True
+        elif detected:
+            tp += 1
+            assigned[det_idx] = True
+    for j in range(num_pred):
+        if not (assigned[j] or pred_flag[j] == -1 or pred_flag[j] == 1
+                or under[j]):
+            fp += 1
+    return tp, fp, fn
+
+
+def _accumulate_scores_loop(iou, pred_scores, gt_flag, pred_flag,
+                            iou_threshold):
+    """Reference accumulate_scores transcription (evaluation.py:177-208)."""
+    num_gt, num_pred = iou.shape
+    assigned = np.zeros(num_pred, bool)
+    accum = []
+    for i in range(num_gt):
+        if gt_flag[i] == -1:
+            continue
+        det_idx, det_score = -1, -1.0
+        for j in range(num_pred):
+            if pred_flag[j] == -1 or assigned[j]:
+                continue
+            if iou[i, j] > iou_threshold and pred_scores[j] > det_score:
+                det_idx, det_score = j, pred_scores[j]
+        if det_score == -1.0:
+            continue
+        if gt_flag[i] == 1 or pred_flag[det_idx] == 1:
+            assigned[det_idx] = True
+        else:
+            accum.append(pred_scores[det_idx])
+            assigned[det_idx] = True
+    return np.asarray(accum, np.float64)
+
+
+class TestOnceMatcherFuzz:
+    def test_vectorized_matches_reference_loops(self):
+        from hgsfusion_tpu.eval.once_eval import (
+            accumulate_scores,
+            compute_statistics,
+        )
+
+        rng = np.random.RandomState(7)
+        for trial in range(200):
+            ng = rng.randint(0, 8)
+            npd = rng.randint(0, 10)
+            iou = rng.rand(ng, npd)
+            # quantize IoUs to force plenty of exact ties
+            iou = np.round(iou * 4) / 4
+            scores = np.round(rng.rand(npd) * 4) / 4
+            gt_flag = rng.choice([-1, 0, 1], ng)
+            pred_flag = rng.choice([-1, 0, 1], npd)
+            th = rng.choice([0.2, 0.5])
+            s_th = rng.choice([0.0, 0.4])
+            assert compute_statistics(
+                iou, scores, gt_flag, pred_flag, s_th, th
+            ) == _compute_statistics_loop(
+                iou, scores, gt_flag, pred_flag, s_th, th), trial
+            np.testing.assert_array_equal(
+                accumulate_scores(iou, scores, gt_flag, pred_flag, th),
+                _accumulate_scores_loop(iou, scores, gt_flag, pred_flag,
+                                        th), err_msg=str(trial))
