@@ -110,6 +110,24 @@ def cfg_from_list(cfg: ConfigDict, kv_list):
     return cfg
 
 
+_DEFAULT_CENTER_CHANNELS = {"center": 2, "center_z": 1, "dim": 3, "rot": 2,
+                            "vel": 2, "iou": 1}
+
+
+def _center_head_layout(head):
+    """(order, channels) from SEPARATE_HEAD_CFG, with defaults for missing
+    HEAD_ORDER / HEAD_DICT entries."""
+    sep = head.get("SEPARATE_HEAD_CFG", {})
+    order = tuple(sep.get("HEAD_ORDER", ("center", "center_z", "dim", "rot")))
+    head_dict = sep.get("HEAD_DICT", {})
+    channels = tuple(
+        head_dict.get(k, {}).get(
+            "out_channels", _DEFAULT_CENTER_CHANNELS.get(k, 2))
+        for k in order
+    )
+    return order, channels
+
+
 def model_config_from_yaml(cfg: ConfigDict):
     """Build the static HGSFusionConfig dataclass from a reference-schema YAML."""
     from .models.detector import HGSFusionConfig
@@ -162,6 +180,10 @@ def model_config_from_yaml(cfg: ConfigDict):
         radar_input_channels=occ.RADAR_INPUT_CHANNELS,
         aspp_dilation=occ.get("ASPP_SHAPE", 6),
         use_aspp=occ.get("USE_ASPP", False),
+        aspp_dilations=(tuple(occ["ASPP_DIAL"])
+                        if occ.get("ASPP_DIAL") else None),
+        use_dcn=(tuple(occ["USE_DCN"]) if occ.get("USE_DCN") else None),
+        occ_use_mask=occ.get("USE_MASK", False),
         occ_fuse_mode=occ.get("FUSE_MODE", "MUL"),
         fusion_image_out=fuse.IMAGE_OUT_CHANNELS,
         fusion_radar_out=fuse.RADAR_OUT_CHANNELS,
@@ -182,14 +204,8 @@ def model_config_from_yaml(cfg: ConfigDict):
                 (-75.0, -75.0, -10.0, 75.0, 75.0, 10.0),
             )
         ),
-        center_head_order=tuple(
-            head.get("SEPARATE_HEAD_CFG", {}).get(
-                "HEAD_ORDER", ("center", "center_z", "dim", "rot"))
-        ),
-        center_head_channels=tuple(
-            head["SEPARATE_HEAD_CFG"]["HEAD_DICT"][k]["out_channels"]
-            for k in head["SEPARATE_HEAD_CFG"]["HEAD_ORDER"]
-        ) if "SEPARATE_HEAD_CFG" in head else (2, 1, 3, 2),
+        center_head_order=tuple(_center_head_layout(head)[0]),
+        center_head_channels=tuple(_center_head_layout(head)[1]),
         pv_num_keypoints=model.get("PFE", {}).get("NUM_KEYPOINTS", 1024),
         pv_num_rois=model.get("ROI_HEAD", {}).get("NUM_ROIS", 128),
         pv_nms_thresh=model.get("ROI_HEAD", {}).get("NMS_THRESH_TRAIN", 0.8),

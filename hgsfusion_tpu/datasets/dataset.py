@@ -234,6 +234,21 @@ class DatasetTemplate:
             padded[:ch, :cw] = img[:ch, :cw]
             out["images"] = padded
 
+        if data_dict.get("roi_boxes", None) is not None:
+            # first-stage trajectory proposals (T, P, 9): pad the ragged P
+            # to MAX_ROI_BOXES so batches stack (MPPNet USE_PREDBOX)
+            max_r = int(self.dataset_cfg.get("MAX_ROI_BOXES", 128))
+            rb = np.asarray(data_dict["roi_boxes"], np.float32)
+            t, p = rb.shape[0], min(rb.shape[1], max_r)
+            roi_boxes = np.zeros((t, max_r, rb.shape[-1]), np.float32)
+            roi_boxes[:, :p] = rb[:, :p]
+            out["roi_boxes"] = roi_boxes
+            for key in ("roi_scores", "roi_labels"):
+                v = np.asarray(data_dict[key], np.float32)
+                padded = np.zeros((t, max_r), np.float32)
+                padded[:, :p] = v[:, :p]
+                out[key] = padded
+
         if "lidar_aug_matrix" not in out:
             out["lidar_aug_matrix"] = np.eye(4, dtype=np.float32)
         return out
@@ -244,7 +259,7 @@ class DatasetTemplate:
         stack_keys = [
             "points", "points_valid", "gt_boxes", "gt_boxes2d", "images",
             "trans_lidar_to_cam", "trans_cam_to_img", "lidar_aug_matrix",
-            "image_shape",
+            "image_shape", "roi_boxes", "roi_scores", "roi_labels", "poses",
         ]
         out = {}
         for key in batch_list[0]:

@@ -97,13 +97,16 @@ class WaymoDataset(DatasetTemplate):
             sample_idx = int(box_dict["frame_id"][-3:])
             labels = np.array([
                 self.class_names.index(n) + 1 for n in box_dict["name"]])
-            boxes = np.concatenate([
-                np.asarray(box_dict["boxes_lidar"], np.float32).reshape(
-                    len(labels), -1),
-                np.asarray(box_dict["score"],
-                           np.float32)[:, None],
-                labels[:, None].astype(np.float32),
-            ], axis=-1)
+            if len(labels) == 0:  # sparse frames: no first-stage boxes
+                boxes = np.zeros((0, 11), np.float32)
+            else:
+                boxes = np.concatenate([
+                    np.asarray(box_dict["boxes_lidar"], np.float32).reshape(
+                        len(labels), -1),
+                    np.asarray(box_dict["score"],
+                               np.float32)[:, None],
+                    labels[:, None].astype(np.float32),
+                ], axis=-1)
             out.setdefault(seq_name, {})[sample_idx] = boxes
         return out
 

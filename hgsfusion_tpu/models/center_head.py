@@ -129,7 +129,14 @@ def center_targets(
     boxes = boxes.at[..., 6].set(jnp.cos(gt_boxes[..., 6]))
     boxes = boxes.at[..., 7].set(jnp.sin(gt_boxes[..., 6]))
     if code_size > 8:  # extras (e.g. velocity), gt cols 7:-1
-        boxes = boxes.at[..., 8:].set(gt_boxes[..., 7 : 7 + code_size - 8])
+        n_extra = code_size - 8
+        if gt_boxes.shape[-1] < 8 + n_extra:
+            raise ValueError(
+                f"code_size {code_size} needs gt boxes with {7 + n_extra} "
+                f"feature columns (+class), got width {gt_boxes.shape[-1]} "
+                "— enable PRED_VELOCITY (or drop the extra head branch)"
+            )
+        boxes = boxes.at[..., 8:].set(gt_boxes[..., 7 : 7 + n_extra])
     boxes = boxes * valid[..., None].astype(boxes.dtype)
 
     inds = jnp.where(valid, cy_int * w + cx_int, 0).astype(jnp.int32)

@@ -58,6 +58,10 @@ class HGSFusionConfig:
     radar_input_channels: int = 128
     aspp_dilation: int = 6
     use_aspp: bool = True
+    # parallel-ASPP variant (ASPP_DIAL / USE_DCN; None = serial, shipped)
+    aspp_dilations: tuple | None = None
+    use_dcn: tuple | None = None
+    occ_use_mask: bool = False
     occ_fuse_mode: str = "MUL"
     fusion_image_out: int = 128
     fusion_radar_out: int = 128
@@ -231,6 +235,9 @@ class HGSFusionModel(nn.Module):
             radar_input_channels=cfg.radar_input_channels,
             use_aspp=cfg.use_aspp,
             aspp_dilation=cfg.aspp_dilation,
+            aspp_dilations=cfg.aspp_dilations,
+            use_dcn=cfg.use_dcn,
+            use_mask=cfg.occ_use_mask,
             fuse_mode=cfg.occ_fuse_mode,
             dtype=cfg.dtype,
             name="radar_occupancy",

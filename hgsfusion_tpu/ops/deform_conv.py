@@ -44,9 +44,11 @@ class ModulatedDeformConv2d(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="conv_offset",
         )(x)
-        # mmcv layout: [offset_y (nk), offset_x (nk), mask (nk)]
-        off_y = om[..., 0:nk]
-        off_x = om[..., nk:2 * nk]
+        # mmcv layout: channels [0:2nk] are per-tap INTERLEAVED offsets
+        # (dy_k at 2k, dx_k at 2k+1 — the Pack's chunk(3)+cat(o1,o2) is an
+        # identity permutation) and [2nk:3nk] are the masks
+        off_y = om[..., 0:2 * nk:2]
+        off_x = om[..., 1:2 * nk:2]
         mask = nn.sigmoid(om[..., 2 * nk:3 * nk])
 
         # base sampling positions: output pixel + dilated kernel grid

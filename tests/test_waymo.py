@@ -278,12 +278,46 @@ class TestWaymoPredBoxTrajectories:
 
         sample = ds[1]
         assert "roi_boxes" in sample
-        # frames = [prev, current] (SAMPLE_OFFSET [-1, 0] reversed + cur)
-        assert sample["roi_boxes"].shape == (2, 1, 9)
-        assert sample["roi_scores"].shape == (2, 1)
+        # frames = [current, prev]; ragged P padded to MAX_ROI_BOXES
+        max_r = int(cfg.get("MAX_ROI_BOXES", 128))
+        assert sample["roi_boxes"].shape == (2, max_r, 9)
+        assert sample["roi_scores"].shape == (2, max_r)
         assert sample["roi_labels"][0, 0] == 1
         # past frame's box shifted by ego motion (-2 m in x; identity rot)
         cur_box = sample["roi_boxes"][0, 0]
         past_box = sample["roi_boxes"][1, 0]
         assert cur_box[0] == pytest.approx(13.0)
         assert past_box[0] == pytest.approx(12.0 - 2.0)
+
+        # batches stack and survive the device/model filters (the MPPNet
+        # (B, T, P, 9) contract)
+        from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+        from hgsfusion_tpu.train.trainer import device_batch, model_inputs
+
+        batch = DatasetTemplate.collate_batch([ds[1], ds[2]])
+        assert batch["roi_boxes"].shape == (2, 2, max_r, 9)
+        kept = model_inputs(device_batch(batch))
+        assert "roi_boxes" in kept and "roi_scores" in kept
+        assert "roi_labels" in kept
+
+
+class TestEmptyPredBoxFrames:
+    def test_zero_box_frames_load(self, tmp_path):
+        import pickle
+
+        _make_processed_tree(tmp_path)
+        pred_dicts = [{
+            "frame_id": f"{SEQ}_000",
+            "name": np.zeros(0, dtype="<U10"),
+            "score": np.zeros(0, np.float32),
+            "boxes_lidar": np.zeros((0, 9), np.float32),
+        }]
+        roi_path = tmp_path / "pred_boxes.pkl"
+        with open(roi_path, "wb") as f:
+            pickle.dump(pred_dicts, f)
+        cfg = _cfg(tmp_path)
+        cfg["USE_PREDBOX"] = True
+        cfg["ROI_BOXES_PATH"] = {"train": str(roi_path),
+                                 "test": str(roi_path)}
+        ds = WaymoDataset(cfg, ["Vehicle"], training=False)
+        assert ds.pred_boxes_dict[SEQ][0].shape == (0, 11)
