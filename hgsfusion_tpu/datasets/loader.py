@@ -51,14 +51,19 @@ class PrefetchLoader:
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)
         self.drop_last = drop_last
+        # own RNG, seeded from the global stream at construction: the index
+        # schedule is then deterministic for a fixed caller seed AND immune
+        # to other threads (e.g. an abandoned loader's producer) racing the
+        # global legacy np.random state
+        self._rng = np.random.default_rng(np.random.randint(0, 2**31))
 
     def _epoch_order(self):
         n = len(self.dataset)
-        order = np.random.permutation(n) if self.shuffle else np.arange(n)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         if self.batch_size > n:
             # global batch exceeds the dataset: top up with replacement so
             # each epoch yields at least one batch
-            extra = np.random.randint(0, n, self.batch_size - n)
+            extra = self._rng.integers(0, n, self.batch_size - n)
             order = np.concatenate([order, extra])
         return order
 
