@@ -260,6 +260,7 @@ class DatasetTemplate:
             "points", "points_valid", "gt_boxes", "gt_boxes2d", "images",
             "trans_lidar_to_cam", "trans_cam_to_img", "lidar_aug_matrix",
             "image_shape", "roi_boxes", "roi_scores", "roi_labels", "poses",
+            "points_multi", "points_multi_valid",
         ]
         out = {}
         for key in batch_list[0]:

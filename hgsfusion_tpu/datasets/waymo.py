@@ -273,10 +273,26 @@ class WaymoDataset(DatasetTemplate):
             seq_out = self.get_sequence_data(
                 info, points, sequence_name, sample_idx, seq_cfg,
                 load_pred_boxes=use_predbox)
-            points, _, _, poses = seq_out[:4]
+            points, num_all, _, poses = seq_out[:4]
             input_dict["poses"] = poses
             if use_predbox:
+                # per-frame clouds for the MPPNet contract: split the merged
+                # cloud back at the frame boundaries, statically padded
+                n_frame = int(self.dataset_cfg.get(
+                    "MAX_POINTS_PER_FRAME", self.max_points))
+                t = len(num_all)
+                pm = np.zeros((t, n_frame, points.shape[-1]), np.float32)
+                pv = np.zeros((t, n_frame), bool)
+                off = 0
+                for fi, cnt in enumerate(num_all):
+                    cnt = int(cnt)
+                    keep = min(cnt, n_frame)
+                    pm[fi, :keep] = points[off:off + keep]
+                    pv[fi, :keep] = True
+                    off += cnt
                 input_dict.update({
+                    "points_multi": pm,
+                    "points_multi_valid": pv,
                     "roi_boxes": seq_out[4],
                     "roi_scores": seq_out[5],
                     "roi_labels": seq_out[6],

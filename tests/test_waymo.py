@@ -321,3 +321,57 @@ class TestEmptyPredBoxFrames:
                                  "test": str(roi_path)}
         ds = WaymoDataset(cfg, ["Vehicle"], training=False)
         assert ds.pred_boxes_dict[SEQ][0].shape == (0, 11)
+
+
+class TestWaymoToMPPNetIntegration:
+    def test_dataset_feeds_mppnet_forward(self, tmp_path):
+        """Waymo USE_PREDBOX batches satisfy the MPPNet batch contract end
+        to end: per-frame points_multi + padded roi trajectories -> model
+        forward."""
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+        from hgsfusion_tpu.models.detector import (
+            HGSFusionConfig,
+            MPPNetModel,
+        )
+        from hgsfusion_tpu.train.trainer import device_batch, model_inputs
+
+        _make_processed_tree(tmp_path)
+        pred_dicts = []
+        for i in range(3):
+            pred_dicts.append({
+                "frame_id": f"{SEQ}_{i:03d}",
+                "name": np.array(["Vehicle"]),
+                "score": np.array([0.9], np.float32),
+                "boxes_lidar": np.array(
+                    [[12.0 + i, 1.0, 0.5, 4.6, 1.9, 1.6, 0.2, 1.0, 0.0]],
+                    np.float32),
+            })
+        roi_path = tmp_path / "pred_boxes.pkl"
+        with open(roi_path, "wb") as f:
+            pickle.dump(pred_dicts, f)
+        cfg = _cfg(tmp_path, sequence=True)
+        cfg["USE_PREDBOX"] = True
+        cfg["ROI_BOXES_PATH"] = {"train": str(roi_path),
+                                 "test": str(roi_path)}
+        cfg["MAX_ROI_BOXES"] = 8
+        cfg["MAX_POINTS_PER_FRAME"] = 512
+        ds = WaymoDataset(cfg, ["Vehicle"], training=False)
+
+        batch = DatasetTemplate.collate_batch([ds[1]])
+        assert batch["points_multi"].shape == (1, 2, 512, 6)
+        assert batch["points_multi_valid"].shape == (1, 2, 512)
+        inputs = {k: jnp.asarray(v)
+                  for k, v in model_inputs(device_batch(batch)).items()}
+        assert set(inputs) >= {"points_multi", "points_multi_valid",
+                               "roi_boxes", "roi_scores", "roi_labels"}
+
+        model = MPPNetModel(cfg=HGSFusionConfig(pv_num_rois=4))
+        variables = model.init(jax.random.PRNGKey(0), inputs, False)
+        preds = model.apply(variables, inputs, False)
+        assert preds["rois"].shape == (1, 4, 7)
+        assert preds["trajectory"].shape == (1, 2, 4, 7)
