@@ -1,0 +1,76 @@
+"""parallel/: data mesh sharding + multi-host eval merge helpers.
+
+Runs on the 8-virtual-device CPU mesh from conftest — coverage the CUDA
+reference could never have (its DDP needs real GPUs, SURVEY.md §4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hgsfusion_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from hgsfusion_tpu.parallel.multihost import (
+    merge_detections_across_hosts,
+    shard_indices_for_host,
+)
+
+
+class TestMesh:
+    def test_make_mesh_all_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == len(jax.devices()) == 8
+        assert mesh.axis_names == ("data",)
+
+    def test_make_mesh_subset(self):
+        mesh = make_mesh(n_devices=4)
+        assert mesh.devices.size == 4
+
+    def test_shard_batch_places_leading_dim(self):
+        mesh = make_mesh()
+        batch = {
+            "points": np.zeros((8, 16, 4), np.float32),
+            "frame_id": ["a"] * 8,  # metadata lists pass through
+            "scalar": np.float32(3.0),
+        }
+        out = shard_batch(batch, mesh)
+        sh = out["points"].sharding
+        assert sh.is_equivalent_to(batch_sharding(mesh), ndim=3)
+        # each device holds 1/8 of the batch
+        assert out["points"].addressable_shards[0].data.shape == (1, 16, 4)
+        assert out["frame_id"] == ["a"] * 8
+
+    def test_psum_over_sharded_batch(self):
+        """Gradient-style all-reduce: a jitted global-array sum over the
+        sharded batch equals the host-side sum (the DDP allreduce
+        equivalent under jit)."""
+        mesh = make_mesh()
+        x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+        xs = jax.device_put(x, batch_sharding(mesh))
+
+        @jax.jit
+        def global_mean(v):
+            return jnp.mean(v)
+
+        assert float(global_mean(xs)) == pytest.approx(float(x.mean()))
+
+    def test_replicated_spec(self):
+        mesh = make_mesh()
+        p = jax.device_put(np.ones((3, 3), np.float32), replicated(mesh))
+        assert p.addressable_shards[0].data.shape == (3, 3)
+        assert len(p.addressable_shards) == 8
+
+
+class TestMultihost:
+    def test_single_host_merge_is_noop(self):
+        out = {"boxes": np.zeros((2, 5, 7)), "valid": np.ones((2, 5), bool)}
+        merged = merge_detections_across_hosts(out)
+        assert merged is out
+
+    def test_shard_indices_cover_all_frames(self):
+        # single-host: this host gets everything
+        assert shard_indices_for_host(10) == list(range(10))
