@@ -76,7 +76,13 @@ class FrustumGridGenerator:
         pts = jnp.broadcast_to(
             self.lidar_grid[None], (b,) + self.lidar_grid.shape
         )  # (B, Y, X, Z, 3)
-        if self.bev_aug and bda is not None:
+        if self.bev_aug:
+            if bda is None:
+                raise ValueError(
+                    "BEV_AUG is enabled but the batch has no "
+                    "lidar_aug_matrix — sampling would silently use the "
+                    "augmented (misaligned) voxel positions"
+                )
             inv_bda = jnp.linalg.inv(bda)  # (B, 4, 4)
             rot = inv_bda[:, :3, :3]
             trans = inv_bda[:, :3, 3]
@@ -226,6 +232,14 @@ class FrustumToVoxelMultiScale(nn.Module):
 
         uv = grid[..., 0:2]
         if self.fuse_mode == "ADD":
+            if depth_probs is not None:
+                # depth-weighted frustum volumes summed across scales
+                # (reference ADD mode over create_frustum_features outputs)
+                cdt0 = self.dtype or jnp.float32
+                return sum(
+                    self._sample_with_depth(f, p, grid, cdt0)
+                    for f, p in zip(features, depth_probs)
+                )
             return sum(grid_sample_2d(f, uv) for f in features)
         # Dense(concat(samples)) computed as a sum of per-scale matmuls so the
         # (B, Y, X, Z, sum_C) concat volume (GBs at full VoD scale) is never

@@ -114,6 +114,12 @@ class RadarOccupancy2D(nn.Module):
             from ..ops.deform_conv import ModulatedDeformConv2d
 
             dcn_flags = self.use_dcn or (False,) * len(self.aspp_dilations)
+            if len(dcn_flags) != len(self.aspp_dilations):
+                raise ValueError(
+                    f"USE_DCN has {len(dcn_flags)} entries for "
+                    f"{len(self.aspp_dilations)} ASPP_DIAL branches "
+                    "(the reference asserts equal lengths)"
+                )
             branches = []
             for bi, (dial, dcn) in enumerate(
                     zip(self.aspp_dilations, dcn_flags)):
@@ -184,10 +190,15 @@ class RadarOccupancy2D(nn.Module):
 
 
 def rasterize_gt_boxes_bev(gt_boxes, grid_size, pc_range, voxel_size,
-                           max_half_extent: int = 32):
+                           max_half_extent: int = 48):
     """Rasterize gt boxes to a binary BEV occupancy target (B, ny, nx).
 
     Vectorized equivalent of RadarOccupancy2DV2.get_loss:339-398: per box,
+    with one static bound the reference's unbounded torch.arange does not
+    have: a box's rasterized footprint is limited to +/-max_half_extent
+    voxels per axis (default 48 = 15.3 m at the VoD 0.16 m voxel), so the
+    ENDS of vehicles longer than 2*max_half_extent*voxel are not marked.
+    Raise max_half_extent for datasets with larger classes + fine voxels.
     integer voxel offsets dx in [-d, d), dy in [-d, d) (d = floor(half-dim /
     voxel)) are rotated by the heading (x-toward-y), floored, shifted by the
     floored center voxel, clamped into the grid, and set to 1. The per-box

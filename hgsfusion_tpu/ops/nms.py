@@ -14,7 +14,11 @@ import jax.numpy as jnp
 
 from .rotated_iou import boxes_iou_bev, boxes_iou_bev_blocked
 
-NEG_INF = -1e9
+# masked-score sentinel: scores are sigmoid probabilities in [0, 1], so -1
+# suffices and keeps the exact_top_k bisection bracket tight (a -1e9
+# sentinel would widen the bracket to ~1e9 and cost ~30 bits of the
+# fixed-pass bisection's precision on near-ties at rank k)
+NEG_INF = -1.0
 
 
 def greedy_nms_lazy(boxes, valid, nms_thresh: float, max_keep: int):
@@ -133,8 +137,6 @@ def class_agnostic_nms(box_scores, box_preds, score_thresh: float,
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     sel = keep & (rank < post_max_size)
     # scatter kept candidates into the output slots by rank
-    out_idx = jnp.zeros((post_max_size,), dtype=top_idx.dtype)
-    out_valid = jnp.zeros((post_max_size,), dtype=bool)
     slot = jnp.where(sel, rank, post_max_size)  # invalid -> dumped slot
     out_idx = jnp.zeros((post_max_size + 1,), dtype=top_idx.dtype).at[slot].set(top_idx)[
         :post_max_size

@@ -89,7 +89,7 @@ def _grad_step(loss_fn, tx) -> Callable:
 
 def make_train_step(model, assigner: TargetAssigner, tx,
                     loss_weights: Dict, cfg, use_occ_loss: bool = True,
-                    occ_max_half_extent: int = 32) -> Callable:
+                    occ_max_half_extent: int = 48) -> Callable:
     """One jitted training step: loss = rpn (cls+loc+dir) + occupancy focal.
 
     Mirrors CaDDN.get_training_loss (caddn.py:58-99) with USE_DEPTH False.
