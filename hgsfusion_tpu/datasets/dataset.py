@@ -234,6 +234,16 @@ class DatasetTemplate:
             padded[:ch, :cw] = img[:ch, :cw]
             out["images"] = padded
 
+        if data_dict.get("depth_maps", None) is not None:
+            # pad to the static (image_size / downsample) grid
+            dm = np.asarray(data_dict["depth_maps"], np.float32)
+            d = max(self.image_size[0] // max(dm.shape[0], 1), 1)
+            th, tw = self.image_size[0] // d, self.image_size[1] // d
+            padded_dm = np.zeros((th, tw), np.float32)
+            ch, cw = min(dm.shape[0], th), min(dm.shape[1], tw)
+            padded_dm[:ch, :cw] = dm[:ch, :cw]
+            out["depth_maps"] = padded_dm
+
         if data_dict.get("roi_boxes", None) is not None:
             # first-stage trajectory proposals (T, P, 9): pad the ragged P
             # to MAX_ROI_BOXES so batches stack (MPPNet USE_PREDBOX)
@@ -260,7 +270,7 @@ class DatasetTemplate:
             "points", "points_valid", "gt_boxes", "gt_boxes2d", "images",
             "trans_lidar_to_cam", "trans_cam_to_img", "lidar_aug_matrix",
             "image_shape", "roi_boxes", "roi_scores", "roi_labels", "poses",
-            "points_multi", "points_multi_valid",
+            "points_multi", "points_multi_valid", "depth_maps",
         ]
         out = {}
         for key in batch_list[0]:

@@ -102,6 +102,15 @@ class KittiFormatDataset(DatasetTemplate):
         img = np.asarray(Image.open(str(f)), dtype=np.float32) / 255.0
         return img
 
+    def get_depth_map(self, idx):
+        """(H, W) float32 depth map from depth_2/<idx>.png at 1/256 m
+        (vod_dataset.get_depth_map:142-155)."""
+        from PIL import Image
+
+        f = self.root_split_path / "depth_2" / f"{idx}.png"
+        depth = np.asarray(Image.open(str(f)), dtype=np.float32)
+        return depth / 256.0
+
     def get_image_shape(self, idx):
         from PIL import Image
 
@@ -295,6 +304,9 @@ class KittiFormatDataset(DatasetTemplate):
 
         if "images" in get_item_list:
             input_dict["images"] = self.get_image(sample_idx)
+
+        if "depth_maps" in get_item_list:
+            input_dict["depth_maps"] = self.get_depth_map(sample_idx)
 
         if "calib_matricies" in get_item_list:
             v2r, p2 = calib_to_matricies(calib)

@@ -78,6 +78,23 @@ class DataProcessor:
             self.voxel_size = voxel_size
         return data_dict
 
+    def downsample_depth_map(self, data_dict, config):
+        """Local-mean downscale of the gt depth map
+        (data_processor.downsample_depth_map:225-234; skimage
+        downscale_local_mean as a numpy block mean with edge padding)."""
+        d = int(config["DOWNSAMPLE_FACTOR"])
+        depth = data_dict.get("depth_maps")
+        if depth is None or d <= 1:
+            return data_dict
+        h, w = depth.shape
+        ph, pw = (-h) % d, (-w) % d
+        if ph or pw:  # skimage pads with zeros (cval=0)
+            depth = np.pad(depth, ((0, ph), (0, pw)))
+        hh, ww = depth.shape
+        data_dict["depth_maps"] = depth.reshape(
+            hh // d, d, ww // d, d).mean(axis=(1, 3))
+        return data_dict
+
     def shuffle_points(self, data_dict, config):
         if config["SHUFFLE_ENABLED"][self.mode]:
             pts = data_dict["points"]

@@ -61,7 +61,8 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
     rng = np.random.RandomState(seed)
     root = Path(root)
     training = root / "training"
-    for sub in ("velodyne", "image_2", "calib", "label_2", virtual_prefix):
+    for sub in ("velodyne", "image_2", "depth_2", "calib", "label_2",
+                virtual_prefix):
         (training / sub).mkdir(parents=True, exist_ok=True)
     (root / "ImageSets").mkdir(parents=True, exist_ok=True)
 
@@ -87,6 +88,11 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
 
         img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
         Image.fromarray(img).save(training / "image_2" / f"{sid}{image_ext}")
+
+        # gt depth map: uint16 png at 1/256 m (vod get_depth_map convention)
+        depth = rng.uniform(1.0, 50.0, (h, w)).astype(np.float32)
+        Image.fromarray((depth * 256.0).astype(np.uint16)).save(
+            training / "depth_2" / f"{sid}.png")
 
         _write_calib(training / "calib" / f"{sid}.txt", calib)
 
