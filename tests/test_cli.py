@@ -275,3 +275,33 @@ class TestImageProjectionRender:
         # 12 edges drawn for the single in-view box
         assert len(ax.lines) == 12
         plt.close(fig)
+
+
+class TestEvalAllCLI:
+    def test_eval_all_sweeps_existing_ckpts(self, tmp_path):
+        """--eval_all with a 0-minute budget evaluates every saved
+        checkpoint once and exits (reference repeat_eval_ckpt)."""
+        from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+
+        data_root = tmp_path / "data"
+        make_synthetic_kitti(data_root, num_frames=3, num_points=256,
+                             num_virtual=32)
+        cfg_path = tmp_path / "tiny_radar.yaml"
+        _write_cfg(cfg_path, data_root)
+        out_dir = tmp_path / "out"
+        _run(["tools/create_infos.py", "--cfg_file", str(cfg_path)],
+             cwd=REPO)
+        _run([
+            "tools/train.py", "--cfg_file", str(cfg_path),
+            "--output_dir", str(out_dir), "--max_steps", "2",
+            "--workers", "0",
+        ], cwd=REPO)
+        ckpt_dir = out_dir / "tiny_radar" / "default" / "ckpt"
+        proc = _run([
+            "tools/test.py", "--cfg_file", str(cfg_path),
+            "--output_dir", str(out_dir), "--ckpt_dir", str(ckpt_dir),
+            "--eval_all", "--max_waiting_mins", "0",
+        ], cwd=REPO, timeout=1200)
+        combined = proc.stdout + proc.stderr
+        assert "evaluated checkpoints" in combined
+        assert "evaluated checkpoints: []" not in combined

@@ -263,12 +263,18 @@ def main():
 
         evaluated = set()
         waited = 0.0
-        while waited < args.max_waiting_mins * 60:
+        budget = args.max_waiting_mins * 60
+        # first sweep always runs (a 0-minute budget means "evaluate what's
+        # there, don't wait for more"); the reference polls in 30 s steps
+        poll_s = max(min(30.0, budget), 0.5)
+        while True:
             mgr = CheckpointManager(args.ckpt_dir)
             steps = [s for s in mgr.manager.all_steps() if s not in evaluated]
             if not steps:
-                _time.sleep(30)
-                waited += 30
+                if waited >= budget:
+                    break
+                _time.sleep(poll_s)
+                waited += poll_s
                 continue
             waited = 0.0
             for step in sorted(steps):
