@@ -32,6 +32,8 @@ def _flip_x(sample, rng):
 def _image_flip_fusion(sample, rng, calib):
     if not sample.get("flip_x", False):
         return sample
+    if "images" not in sample:  # lidar/radar-only configs: nothing to flip
+        return sample
     img = sample["images"]
     w = img.shape[1]
     sample["images"] = np.ascontiguousarray(np.fliplr(img))

@@ -305,3 +305,25 @@ class TestEvalAllCLI:
         combined = proc.stdout + proc.stderr
         assert "evaluated checkpoints" in combined
         assert "evaluated checkpoints: []" not in combined
+
+
+class TestTTACLI:
+    def test_tta_eval(self, tmp_path):
+        """tools/test_tta.py: 4-variant augment-eval loop as a subprocess
+        (reference eval_utils.eval_one_epoch_tta)."""
+        from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+
+        data_root = tmp_path / "data"
+        make_synthetic_kitti(data_root, num_frames=2, num_points=256,
+                             num_virtual=32)
+        cfg_path = tmp_path / "tiny_radar.yaml"
+        _write_cfg(cfg_path, data_root)
+        out_dir = tmp_path / "out"
+        _run(["tools/create_infos.py", "--cfg_file", str(cfg_path)],
+             cwd=REPO)
+        proc = _run([
+            "tools/test_tta.py", "--cfg_file", str(cfg_path),
+            "--output_dir", str(out_dir), "--max_frames", "2",
+        ], cwd=REPO, timeout=1500)
+        combined = proc.stdout + proc.stderr
+        assert "tta" in combined.lower() or "Car" in combined
