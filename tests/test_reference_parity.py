@@ -1,0 +1,228 @@
+"""Direct numerical parity against the REFERENCE's own modules.
+
+These tests execute the vendored reference code (pure-torch files loaded
+standalone from /root/reference, heavy deps stubbed) on random inputs and
+compare our implementations bit-for-bit / to float tolerance — stronger
+than transcribed oracles because the reference itself produces the
+expected values. Skipped wholesale if the reference tree is absent.
+"""
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference/pcdet")
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference tree not available")
+
+torch = pytest.importorskip("torch")
+
+
+def _load(name, path, package_stubs=()):
+    """Load a reference file standalone; stub the given module names with
+    empty modules so unused relative imports resolve."""
+    for stub in package_stubs:
+        sys.modules.setdefault(stub, types.ModuleType(stub))
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_box_coder():
+    return _load("ref_box_coder", REF / "utils/box_coder_utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_anchor_gen():
+    # the reference .cuda()s the generated anchors; run it on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    return _load(
+        "ref_anchor_gen",
+        REF / "models/dense_heads/target_assigner/anchor_generator.py")
+
+
+@pytest.fixture(scope="module")
+def ref_transform_utils():
+    mod = _load("ref_transform_utils", REF / "utils/transform_utils.py")
+    # the kornia conversions the module expects at call time (not present
+    # in this environment); standard homogeneous-coordinate one-liners
+    if not hasattr(mod, "convert_points_to_homogeneous"):
+        mod.convert_points_to_homogeneous = lambda p: torch.cat(
+            [p, torch.ones_like(p[..., :1])], dim=-1)
+        mod.convert_points_from_homogeneous = (
+            lambda p: p[..., :-1] / p[..., -1:])
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_loss_utils():
+    # loss_utils does `from . import box_utils` and imports
+    # pcdet.ops.iou3d_nms; the functions under test touch neither
+    pkg = types.ModuleType("refpkg")
+    pkg.__path__ = [str(REF / "utils")]
+    sys.modules["refpkg"] = pkg
+    sys.modules["refpkg.box_utils"] = types.ModuleType("refpkg.box_utils")
+    pcdet = types.ModuleType("pcdet")
+    ops = types.ModuleType("pcdet.ops")
+    iou = types.ModuleType("pcdet.ops.iou3d_nms")
+    iou_utils = types.ModuleType("pcdet.ops.iou3d_nms.iou3d_nms_utils")
+    iou.iou3d_nms_utils = iou_utils
+    sys.modules.update({
+        "pcdet": pcdet, "pcdet.ops": ops, "pcdet.ops.iou3d_nms": iou,
+        "pcdet.ops.iou3d_nms.iou3d_nms_utils": iou_utils,
+    })
+    spec = importlib.util.spec_from_file_location(
+        "refpkg.loss_utils", REF / "utils/loss_utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refpkg.loss_utils"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestResidualCoderParity:
+    def test_encode_decode_match_reference(self, ref_box_coder):
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.utils.box_coder import ResidualCoder
+
+        rng = np.random.RandomState(0)
+        n = 257
+        boxes = np.concatenate([
+            rng.uniform(-40, 40, (n, 2)), rng.uniform(-2, 1, (n, 1)),
+            rng.uniform(0.5, 6, (n, 3)), rng.uniform(-np.pi, np.pi, (n, 1)),
+        ], axis=1).astype(np.float32)
+        anchors = np.concatenate([
+            boxes[:, :3] + rng.uniform(-1, 1, (n, 3)),
+            rng.uniform(0.5, 6, (n, 3)), rng.uniform(-np.pi, np.pi, (n, 1)),
+        ], axis=1).astype(np.float32)
+
+        ref = ref_box_coder.ResidualCoder(code_size=7)
+        ref_enc = ref.encode_torch(
+            torch.from_numpy(boxes), torch.from_numpy(anchors)).numpy()
+        ours = ResidualCoder()
+        our_enc = np.asarray(ours.encode(jnp.asarray(boxes),
+                                         jnp.asarray(anchors)))
+        np.testing.assert_allclose(our_enc, ref_enc, atol=2e-5)
+
+        ref_dec = ref.decode_torch(
+            torch.from_numpy(ref_enc), torch.from_numpy(anchors)).numpy()
+        our_dec = np.asarray(ours.decode(jnp.asarray(ref_enc),
+                                         jnp.asarray(anchors)))
+        np.testing.assert_allclose(our_dec, ref_dec, atol=2e-4)
+        np.testing.assert_allclose(our_dec, boxes, atol=2e-4)
+
+
+class TestAnchorGeneratorParity:
+    def test_vod_anchors_match_reference(self, ref_anchor_gen):
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+
+        anchor_cfg = [
+            {"class_name": "Car", "anchor_sizes": [[3.9, 1.6, 1.56]],
+             "anchor_rotations": [0, 1.57],
+             "anchor_bottom_heights": [-1.78], "align_center": False,
+             "feature_map_stride": 1, "matched_threshold": 0.6,
+             "unmatched_threshold": 0.45},
+            {"class_name": "Pedestrian", "anchor_sizes": [[0.8, 0.6, 1.73]],
+             "anchor_rotations": [0, 1.57],
+             "anchor_bottom_heights": [-0.6], "align_center": False,
+             "feature_map_stride": 1, "matched_threshold": 0.5,
+             "unmatched_threshold": 0.35},
+        ]
+        pc_range = [0, -12.8, -3, 25.6, 12.8, 2]
+        grid = (32, 32, 8)
+
+        ref = ref_anchor_gen.AnchorGenerator(pc_range, anchor_cfg)
+        # reference consumes per-class BEV grid sizes (grid // stride)
+        ref_anchors, ref_num = ref.generate_anchors(
+            [np.array(grid[:2]), np.array(grid[:2])])
+        ours = TargetAssigner(anchor_cfg, grid, pc_range,
+                              class_names=["Car", "Pedestrian"])
+        assert ours.num_anchors_per_location == sum(ref_num)
+        # flatten the reference layout the way the head consumes it
+        # ((Z, Y, X, sizes, rots, 7) per class, concatenated on sizes axis)
+        ref_flat = torch.cat(
+            [a for a in ref_anchors], dim=-3).view(-1, 7).numpy()
+        np.testing.assert_allclose(
+            np.asarray(ours.flat_anchors), ref_flat, atol=1e-5)
+
+
+class TestTransformUtilsParity:
+    def test_bin_depths_all_modes(self, ref_transform_utils):
+        from hgsfusion_tpu.models.frustum import bin_depths
+
+        depth = np.linspace(0.2, 70.0, 513).astype(np.float32)
+        for mode in ("UD", "LID", "SID"):
+            ref = ref_transform_utils.bin_depths(
+                torch.from_numpy(depth), mode=mode, depth_min=1.0,
+                depth_max=51.2, num_bins=80, target=False).numpy()
+            ours = np.asarray(bin_depths(depth, mode, 1.0, 51.2, 80))
+            np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_project_to_image(self, ref_transform_utils):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(1)
+        pts = rng.uniform(-10, 10, (1, 37, 3)).astype(np.float32)
+        pts[..., 2] += 15  # in front of the camera
+        proj = np.array(
+            [[[700.0, 0, 480, 45.0], [0, 700, 250, -0.3],
+              [0, 0, 1, 0.005]]], np.float32)
+        ref_pts, ref_depth = ref_transform_utils.project_to_image(
+            torch.from_numpy(proj), torch.from_numpy(pts))
+        # our frustum grid inlines the same math; reproduce it here
+        p = (jnp.einsum("bni,bji->bnj", jnp.asarray(pts),
+                        jnp.asarray(proj[:, :, :3]))
+             + jnp.asarray(proj)[:, None, :, 3])
+        depth = p[..., 2] - proj[:, 2, 3][:, None]
+        uv = p[..., 0:2] / p[..., 2:3]
+        np.testing.assert_allclose(np.asarray(uv), ref_pts.numpy(),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(depth), ref_depth.numpy(),
+                                   atol=1e-4)
+
+
+class TestLossParityDirect:
+    def test_sigmoid_focal_loss(self, ref_loss_utils):
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.anchor_head import sigmoid_focal_loss
+
+        rng = np.random.RandomState(2)
+        b, n, c = 2, 97, 3
+        logits = rng.randn(b, n, c).astype(np.float32)
+        targets = (rng.rand(b, n, c) > 0.7).astype(np.float32)
+        weights = rng.rand(b, n).astype(np.float32)
+
+        ref = ref_loss_utils.SigmoidFocalClassificationLoss()
+        ref_out = ref(torch.from_numpy(logits), torch.from_numpy(targets),
+                      torch.from_numpy(weights)).numpy()
+        ours = np.asarray(sigmoid_focal_loss(
+            jnp.asarray(logits), jnp.asarray(targets),
+            jnp.asarray(weights)))
+        np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+    def test_weighted_smooth_l1(self, ref_loss_utils):
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.anchor_head import weighted_smooth_l1
+
+        rng = np.random.RandomState(3)
+        b, n, d = 2, 61, 7
+        preds = rng.randn(b, n, d).astype(np.float32)
+        gts = rng.randn(b, n, d).astype(np.float32)
+        weights = rng.rand(b, n).astype(np.float32)
+        code_w = rng.rand(d).astype(np.float32).tolist()
+
+        ref = ref_loss_utils.WeightedSmoothL1Loss(code_weights=code_w)
+        ref_out = ref(torch.from_numpy(preds), torch.from_numpy(gts),
+                      torch.from_numpy(weights)).numpy()
+        ours = np.asarray(weighted_smooth_l1(
+            jnp.asarray(preds), jnp.asarray(gts), jnp.asarray(weights),
+            jnp.asarray(code_w)))
+        np.testing.assert_allclose(ours, ref_out, atol=1e-5)
