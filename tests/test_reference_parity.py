@@ -226,3 +226,136 @@ class TestLossParityDirect:
             jnp.asarray(preds), jnp.asarray(gts), jnp.asarray(weights),
             jnp.asarray(code_w)))
         np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_augmentor_utils():
+    """augmentor_utils via a stub package chain: common_utils needs only a
+    SharedArray stub; box_utils is referenced lazily and not exercised."""
+    sys.modules.setdefault("SharedArray", types.ModuleType("SharedArray"))
+    cu = _load("ref_common_utils_pkg", REF / "utils/common_utils.py")
+    pkg = types.ModuleType("rp")
+    pkg.__path__ = []
+    u = types.ModuleType("rp.utils")
+    u.__path__ = []
+    u.common_utils = cu
+    # imported at module top, untouched by the flip/rot/scale under test
+    u.box_utils = types.ModuleType("rp.utils.box_utils")
+    d = types.ModuleType("rp.datasets")
+    a = types.ModuleType("rp.datasets.augmentor")
+    sys.modules.update({"rp": pkg, "rp.utils": u, "rp.datasets": d,
+                        "rp.datasets.augmentor": a})
+    spec = importlib.util.spec_from_file_location(
+        "rp.datasets.augmentor.augmentor_utils",
+        REF / "datasets/augmentor/augmentor_utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_schedules():
+    pkg = types.ModuleType("ro")
+    pkg.__path__ = []
+    sys.modules["ro"] = pkg
+    _load("ro.fastai_optim",
+          Path("/root/reference/tools/train_utils/optimization/"
+               "fastai_optim.py"))
+    spec = importlib.util.spec_from_file_location(
+        "ro.learning_schedules_fastai",
+        "/root/reference/tools/train_utils/optimization/"
+        "learning_schedules_fastai.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestAugmentorParity:
+    """Our flip/rotation/scaling (incl. the 9-dim velocity columns) vs the
+    reference's augmentor_utils run directly on the same inputs."""
+
+    def _sample(self):
+        rng = np.random.RandomState(5)
+        gt = np.concatenate([
+            rng.uniform(-20, 20, (6, 2)), rng.uniform(-2, 1, (6, 1)),
+            rng.uniform(0.5, 5, (6, 3)), rng.uniform(-np.pi, np.pi, (6, 1)),
+            rng.uniform(-3, 3, (6, 2)),
+        ], axis=1).astype(np.float32)
+        pts = rng.uniform(-20, 20, (50, 4)).astype(np.float32)
+        return gt, pts
+
+    def _ours(self, name, gt, pts, **cfg_kw):
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.datasets.augmentor import DataAugmentor
+
+        aug = DataAugmentor(
+            None,
+            ConfigDict({"DISABLE_AUG_LIST": [],
+                        "AUG_CONFIG_LIST": [dict(NAME=name, **cfg_kw)]}),
+            ["car"])
+        return getattr(aug, name)(
+            {"gt_boxes": gt.copy(), "points": pts.copy(),
+             "gt_names": np.array(["car"] * len(gt))},
+            ConfigDict(cfg_kw))
+
+    def test_flip_x(self, ref_augmentor_utils):
+        gt, pts = self._sample()
+        ref_gt, ref_pts = ref_augmentor_utils.random_flip_along_x(
+            gt.copy(), pts.copy(), enable=True)
+        # force-enable ours by drawing until the coin lands True
+        np.random.seed(0)
+        for _ in range(20):
+            d = self._ours("random_world_flip", gt, pts,
+                           ALONG_AXIS_LIST=["x"])
+            if d["flip_x"]:
+                break
+        np.testing.assert_allclose(d["gt_boxes"], ref_gt, atol=1e-6)
+        np.testing.assert_allclose(d["points"], ref_pts, atol=1e-6)
+
+    def test_rotation(self, ref_augmentor_utils):
+        gt, pts = self._sample()
+        rot = 0.37
+        ref_gt, ref_pts = ref_augmentor_utils.global_rotation(
+            gt.copy(), pts.copy(), rot_range=[rot, rot])
+        d = self._ours("random_world_rotation", gt, pts,
+                       WORLD_ROT_ANGLE=[rot, rot])
+        np.testing.assert_allclose(d["gt_boxes"], ref_gt, atol=1e-5)
+        np.testing.assert_allclose(d["points"], ref_pts, atol=1e-5)
+
+    def test_scaling(self, ref_augmentor_utils):
+        gt, pts = self._sample()
+        s = 1.04
+        ref_gt, ref_pts = ref_augmentor_utils.global_scaling(
+            gt.copy(), pts.copy(), scale_range=[s, s + 1e-9])
+        d = self._ours("random_world_scaling", gt, pts,
+                       WORLD_SCALE_RANGE=[s, s + 1e-9])
+        np.testing.assert_allclose(d["gt_boxes"], ref_gt, atol=1e-5)
+        np.testing.assert_allclose(d["points"], ref_pts, atol=1e-5)
+
+
+class TestOneCycleParity:
+    def test_lr_and_momentum_curves(self, ref_schedules):
+        from hgsfusion_tpu.train.optim import (
+            onecycle_lr_schedule,
+            onecycle_mom_schedule,
+        )
+
+        total, lr_max, moms = 200, 1e-3, (0.95, 0.85)
+        div, pct = 10.0, 0.4
+
+        class FakeOpt:
+            lr, mom = 0.0, 0.0
+
+        ref = ref_schedules.OneCycle(
+            FakeOpt(), total, lr_max, list(moms), div, pct)
+        our_lr = onecycle_lr_schedule(total, lr_max, div, pct)
+        our_mom = onecycle_mom_schedule(total, moms, pct)
+        for step in [0, 1, 39, 79, 80, 81, 150, 199]:
+            ref.step(step)
+            # our schedules evaluate in f32 under jnp; the reference is f64
+            assert float(our_lr(step)) == pytest.approx(
+                ref.optimizer.lr, rel=1e-4), step
+            assert float(our_mom(step)) == pytest.approx(
+                ref.optimizer.mom, rel=1e-5), step
