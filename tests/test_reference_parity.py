@@ -359,3 +359,99 @@ class TestOneCycleParity:
                 ref.optimizer.lr, rel=1e-4), step
             assert float(our_mom(step)) == pytest.approx(
                 ref.optimizer.mom, rel=1e-5), step
+
+
+@pytest.fixture(scope="module")
+def ref_box_utils(ref_augmentor_utils):
+    """box_utils through the same stub chain (ops stubbed; the functions
+    under test are pure numpy/torch geometry)."""
+    ops = types.ModuleType("rp.ops")
+    rap = types.ModuleType("rp.ops.roiaware_pool3d")
+    rap.roiaware_pool3d_utils = types.ModuleType(
+        "rp.ops.roiaware_pool3d.roiaware_pool3d_utils")
+    sys.modules.update({"rp.ops": ops, "rp.ops.roiaware_pool3d": rap})
+    spec = importlib.util.spec_from_file_location(
+        "rp.utils.box_utils", REF / "utils/box_utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestCommonUtilsParity:
+    def test_limit_period_and_rotate(self):
+        sys.modules.setdefault("SharedArray", types.ModuleType("SharedArray"))
+        cu = _load("ref_common_utils_direct", REF / "utils/common_utils.py")
+
+        from hgsfusion_tpu.utils.common import (
+            limit_period,
+            rotate_points_along_z,
+        )
+
+        rng = np.random.RandomState(11)
+        vals = rng.uniform(-10, 10, 301).astype(np.float32)
+        for offset, period in ((0.5, np.pi), (0.0, 2 * np.pi), (0.25, 1.0)):
+            ref = cu.limit_period(
+                torch.from_numpy(vals), offset, period).numpy()
+            ours = np.asarray(limit_period(vals, offset, period))
+            np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+        pts = rng.uniform(-5, 5, (2, 40, 5)).astype(np.float32)
+        ang = rng.uniform(-np.pi, np.pi, 2).astype(np.float32)
+        ref = cu.rotate_points_along_z(
+            torch.from_numpy(pts), torch.from_numpy(ang)).numpy()
+        ours = rotate_points_along_z(pts, ang)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+class TestBoxUtilsParity:
+    def test_corners_and_range_mask(self, ref_box_utils):
+        from hgsfusion_tpu.utils.box_utils import (
+            boxes_to_corners_3d,
+            mask_boxes_outside_range_numpy,
+        )
+
+        rng = np.random.RandomState(12)
+        boxes = np.concatenate([
+            rng.uniform(-30, 30, (40, 2)), rng.uniform(-2, 1, (40, 1)),
+            rng.uniform(0.5, 6, (40, 3)),
+            rng.uniform(-np.pi, np.pi, (40, 1)),
+        ], axis=1).astype(np.float32)
+        ref_corners = ref_box_utils.boxes_to_corners_3d(
+            torch.from_numpy(boxes)).numpy()
+        ours = np.asarray(boxes_to_corners_3d(boxes))
+        np.testing.assert_allclose(ours, ref_corners, atol=1e-4)
+
+        rng_lim = [0, -25.6, -3, 51.2, 25.6, 2]
+        for use_center in (True, False):
+            ref_mask = ref_box_utils.mask_boxes_outside_range_numpy(
+                boxes, rng_lim, use_center_to_filter=use_center)
+            our_mask = mask_boxes_outside_range_numpy(
+                boxes, rng_lim, use_center_to_filter=use_center)
+            np.testing.assert_array_equal(np.asarray(our_mask), ref_mask)
+
+    def test_camera_lidar_box_roundtrip(self, ref_box_utils):
+        from hgsfusion_tpu.utils.box_utils import (
+            boxes3d_kitti_camera_to_lidar,
+        )
+        from hgsfusion_tpu.utils.calibration import Calibration
+
+        calib = Calibration({
+            "P2": np.array([[700.0, 0, 480, 45.0], [0, 700, 250, -0.3],
+                            [0, 0, 1, 0.005]]),
+            "R0": np.eye(3),
+            "Tr_velo2cam": np.array(
+                [[0, -1, 0, 0.1], [0, 0, -1, -0.2], [1, 0, 0, 0.3]],
+                np.float64),
+        })
+        rng = np.random.RandomState(13)
+        cam_boxes = np.concatenate([
+            rng.uniform(-10, 10, (20, 1)), rng.uniform(0, 2, (20, 1)),
+            rng.uniform(5, 40, (20, 1)), rng.uniform(1, 5, (20, 3)),
+            rng.uniform(-np.pi, np.pi, (20, 1)),
+        ], axis=1).astype(np.float32)
+        ref = ref_box_utils.boxes3d_kitti_camera_to_lidar(
+            cam_boxes.copy(), calib)
+        ours = np.asarray(
+            boxes3d_kitti_camera_to_lidar(cam_boxes.copy(), calib))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
