@@ -375,6 +375,9 @@ def ref_box_utils(ref_augmentor_utils):
     mod = importlib.util.module_from_spec(spec)
     sys.modules[spec.name] = mod
     spec.loader.exec_module(mod)
+    # replace the placeholder attribute the augmentor fixture installed so
+    # `from ...utils import box_utils` resolves to the real module
+    sys.modules["rp.utils"].box_utils = mod
     return mod
 
 
@@ -455,3 +458,108 @@ class TestBoxUtilsParity:
         ours = np.asarray(
             boxes3d_kitti_camera_to_lidar(cam_boxes.copy(), calib))
         np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_assigner_mod(ref_box_utils):
+    """AxisAlignedTargetAssigner with the real box_utils and a stub for the
+    CUDA iou3d module (unused on the MATCH_HEIGHT=False path)."""
+    m = types.ModuleType("rp.models")
+    dh = types.ModuleType("rp.models.dense_heads")
+    ta = types.ModuleType("rp.models.dense_heads.target_assigner")
+    ops = sys.modules["rp.ops"]
+    iou = types.ModuleType("rp.ops.iou3d_nms")
+    iou.iou3d_nms_utils = types.ModuleType(
+        "rp.ops.iou3d_nms.iou3d_nms_utils")
+    sys.modules.update({
+        "rp.models": m, "rp.models.dense_heads": dh,
+        "rp.models.dense_heads.target_assigner": ta,
+        "rp.ops.iou3d_nms": iou,
+        "rp.ops.iou3d_nms.iou3d_nms_utils": iou.iou3d_nms_utils,
+    })
+    spec = importlib.util.spec_from_file_location(
+        "rp.models.dense_heads.target_assigner.axis_aligned_target_assigner",
+        REF / "models/dense_heads/target_assigner/"
+              "axis_aligned_target_assigner.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestTargetAssignerParity:
+    def test_full_assignment_matches_reference(
+            self, ref_assigner_mod, ref_anchor_gen, ref_box_coder):
+        """End-to-end training-target parity: the reference's
+        AxisAlignedTargetAssigner (force-match, bg thresholds, ResidualCoder
+        targets) vs ours on random gt over the VoD-style anchor grid."""
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+
+        anchor_cfg = [
+            {"class_name": "Car", "anchor_sizes": [[3.9, 1.6, 1.56]],
+             "anchor_rotations": [0, 1.57],
+             "anchor_bottom_heights": [-1.78], "align_center": False,
+             "feature_map_stride": 1, "matched_threshold": 0.6,
+             "unmatched_threshold": 0.45},
+            {"class_name": "Pedestrian", "anchor_sizes": [[0.8, 0.6, 1.73]],
+             "anchor_rotations": [0, 1.57],
+             "anchor_bottom_heights": [-0.6], "align_center": False,
+             "feature_map_stride": 1, "matched_threshold": 0.5,
+             "unmatched_threshold": 0.35},
+        ]
+        pc_range = [0, -12.8, -3, 25.6, 12.8, 2]
+        grid = (32, 32, 8)
+        class_names = ["Car", "Pedestrian"]
+
+        # random padded gt with class ids (0 = pad)
+        rng = np.random.RandomState(21)
+        b, m = 2, 12
+        gt = np.zeros((b, m, 8), np.float32)
+        for bi in range(b):
+            k = rng.randint(3, m)
+            gt[bi, :k, 0] = rng.uniform(2, 24, k)
+            gt[bi, :k, 1] = rng.uniform(-11, 11, k)
+            gt[bi, :k, 2] = rng.uniform(-1.8, 0, k)
+            cls = rng.randint(1, 3, k)
+            sizes = np.array([[3.9, 1.6, 1.56], [0.8, 0.6, 1.73]])
+            gt[bi, :k, 3:6] = sizes[cls - 1] * rng.uniform(
+                0.85, 1.15, (k, 1))
+            gt[bi, :k, 6] = rng.uniform(-np.pi, np.pi, k)
+            gt[bi, :k, 7] = cls
+
+        # reference: per-class (Z, Y, X, S, R, 7) anchors + assigner
+        ref_gen = ref_anchor_gen.AnchorGenerator(pc_range, anchor_cfg)
+        ref_anchors, _ = ref_gen.generate_anchors(
+            [np.array(grid[:2]), np.array(grid[:2])])
+        model_cfg = ConfigDict({
+            "ANCHOR_GENERATOR_CONFIG": anchor_cfg,
+            "TARGET_ASSIGNER_CONFIG": {
+                "NAME": "AxisAlignedTargetAssigner",
+                "POS_FRACTION": -1.0, "SAMPLE_SIZE": 512,
+                "NORM_BY_NUM_EXAMPLES": False, "MATCH_HEIGHT": False,
+                "BOX_CODER": "ResidualCoder",
+            },
+        })
+        ref_assigner = ref_assigner_mod.AxisAlignedTargetAssigner(
+            model_cfg, class_names,
+            box_coder=ref_box_coder.ResidualCoder(code_size=7),
+            match_height=False)
+        ref_out = ref_assigner.assign_targets(
+            ref_anchors, torch.from_numpy(gt))
+
+        ours = TargetAssigner(anchor_cfg, grid, pc_range,
+                              class_names=class_names)
+        import jax.numpy as jnp
+
+        our_out = ours(jnp.asarray(gt))
+
+        np.testing.assert_array_equal(
+            np.asarray(our_out["box_cls_labels"]),
+            ref_out["box_cls_labels"].numpy())
+        np.testing.assert_allclose(
+            np.asarray(our_out["box_reg_targets"]),
+            ref_out["box_reg_targets"].numpy(), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(our_out["reg_weights"]),
+            ref_out["reg_weights"].numpy(), atol=1e-6)
