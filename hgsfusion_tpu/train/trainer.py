@@ -455,3 +455,38 @@ def detections_to_pred_dicts(out: Dict, batch: Dict) -> list:
             }
         )
     return pred_dicts
+
+
+def make_eval_step_for_cfg(yaml_cfg, model_cfg, model) -> Callable:
+    """Family-dispatching eval-step factory shared by tools/test.py,
+    tools/export.py, and tools/demo.py (one place for the head->decode
+    routing instead of three copies)."""
+    post_cfg = dict(yaml_cfg.MODEL.POST_PROCESSING)
+    head_name = yaml_cfg.MODEL.DENSE_HEAD.NAME
+    if head_name == "CenterHead":
+        return make_center_eval_step(model, model_cfg, post_cfg)
+    if head_name == "TransFusionHead":
+        return make_transfusion_eval_step(model, model_cfg, post_cfg)
+    if yaml_cfg.MODEL.NAME in (
+        "PVRCNN", "PV-RCNN", "PVRCNNPlusPlus", "PV-RCNN++", "VoxelRCNN",
+        "PartA2Net", "PartA2", "PointRCNN", "SECONDNetIoU",
+    ):
+        assigner = None
+        if yaml_cfg.MODEL.NAME != "PointRCNN":
+            assigner = TargetAssigner(
+                [dict(c)
+                 for c in yaml_cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+                model_cfg.grid_size, model_cfg.pc_range,
+                class_names=model_cfg.class_names,
+            )
+        maker = (
+            make_secondiou_eval_step
+            if yaml_cfg.MODEL.NAME == "SECONDNetIoU" else make_pvrcnn_eval_step
+        )
+        return maker(model, assigner, model_cfg, post_cfg)
+    assigner = TargetAssigner(
+        [dict(c) for c in yaml_cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+        model_cfg.grid_size, model_cfg.pc_range,
+        class_names=model_cfg.class_names,
+    )
+    return make_eval_step(model, assigner, model_cfg, post_cfg)

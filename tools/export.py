@@ -28,24 +28,13 @@ def build_serving_fn(cfg, model_cfg, params, batch_stats):
     """Closure: batch dict -> fixed-shape detections, params baked in."""
     import jax
 
-    from hgsfusion_tpu.models.anchors import TargetAssigner
     from hgsfusion_tpu.models.registry import build_network
-    from hgsfusion_tpu.train.trainer import make_eval_step, model_inputs
+    from hgsfusion_tpu.train.trainer import (
+        make_eval_step_for_cfg, model_inputs,
+    )
 
     model = build_network(cfg, model_cfg)
-    if cfg.MODEL.DENSE_HEAD.NAME == "CenterHead":
-        from hgsfusion_tpu.train.trainer import make_center_eval_step
-
-        eval_step = make_center_eval_step(
-            model, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
-    else:
-        assigner = TargetAssigner(
-            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-            model_cfg.grid_size, model_cfg.pc_range,
-            class_names=model_cfg.class_names,
-        )
-        eval_step = make_eval_step(
-            model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
+    eval_step = make_eval_step_for_cfg(cfg, model_cfg, model)
 
     def serve(batch):
         return eval_step(params, batch_stats, model_inputs(batch))

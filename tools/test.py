@@ -51,55 +51,9 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     )
 
     model = build_network(cfg, model_cfg)
-    if cfg.MODEL.DENSE_HEAD.NAME == "CenterHead":
-        from hgsfusion_tpu.train.trainer import make_center_eval_step
+    from hgsfusion_tpu.train.trainer import make_eval_step_for_cfg
 
-        eval_step = jax.jit(
-            make_center_eval_step(
-                model, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
-            )
-        )
-    elif cfg.MODEL.DENSE_HEAD.NAME == "TransFusionHead":
-        from hgsfusion_tpu.train.trainer import make_transfusion_eval_step
-
-        eval_step = jax.jit(
-            make_transfusion_eval_step(
-                model, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
-            )
-        )
-    elif cfg.MODEL.NAME in (
-        "PVRCNN", "PV-RCNN", "PVRCNNPlusPlus", "PV-RCNN++", "VoxelRCNN",
-        "PartA2Net", "PartA2", "PointRCNN", "SECONDNetIoU",
-    ):
-        from hgsfusion_tpu.train.trainer import (
-            make_pvrcnn_eval_step, make_secondiou_eval_step,
-        )
-
-        assigner = None
-        if cfg.MODEL.NAME != "PointRCNN":
-            assigner = TargetAssigner(
-                [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-                model_cfg.grid_size, model_cfg.pc_range,
-                class_names=model_cfg.class_names,
-            )
-        maker = (
-            make_secondiou_eval_step if cfg.MODEL.NAME == "SECONDNetIoU"
-            else make_pvrcnn_eval_step
-        )
-        eval_step = jax.jit(
-            maker(model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
-        )
-    else:
-        assigner = TargetAssigner(
-            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-            model_cfg.grid_size, model_cfg.pc_range,
-            class_names=model_cfg.class_names,
-        )
-        eval_step = jax.jit(
-            make_eval_step(
-                model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING)
-            )
-        )
+    eval_step = jax.jit(make_eval_step_for_cfg(cfg, model_cfg, model))
 
     def recall_iou3d(gt_lidar, pred_lidar):
         """Rotated 3D IoU in numpy: per-frame box counts vary, so a jitted
