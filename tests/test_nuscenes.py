@@ -517,3 +517,71 @@ class TestNuScenesMultiCam:
         np.testing.assert_allclose(
             input_dict["lidar2camera"][0] @ input_dict["camera2lidar"][0],
             np.eye(4), atol=1e-5)
+
+
+class TestNuScenesExport:
+    def test_centerpoint_export_roundtrip(self, tmp_path):
+        """The serving export handles the anchor-free CenterHead decode
+        path: export the nuScenes CenterPoint model and call the
+        deserialized artifact."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        from hgsfusion_tpu.config import load_config, model_config_from_yaml
+        from hgsfusion_tpu.datasets import build_dataset
+        from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+        from hgsfusion_tpu.models.registry import build_network
+        from hgsfusion_tpu.train.trainer import device_batch, model_inputs
+
+        _make_raw_tree(tmp_path)
+        create_nuscenes_info(
+            VERSION, tmp_path, tmp_path / VERSION, max_sweeps=2,
+            train_scenes=["synth-0"], val_scenes=["synth-1"],
+        )
+        cfg = load_config("configs/centerpoint_nuscenes.yaml")
+        cfg.DATA_CONFIG.DATA_PATH = str(tmp_path)
+        cfg.DATA_CONFIG.VERSION = VERSION
+        cfg.DATA_CONFIG.MAX_SWEEPS = 2
+        cfg.DATA_CONFIG.BALANCED_RESAMPLING = False
+        cfg.DATA_CONFIG.MAX_POINTS = 512
+        cfg.DATA_CONFIG.MAX_GT_BOXES = 16
+        cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [-32.0, -32.0, -5.0, 32.0,
+                                             32.0, 3.0]
+        cfg.DATA_CONFIG.INFO_PATH = {
+            "train": ["nuscenes_infos_2sweeps_train.pkl"],
+            "test": ["nuscenes_infos_2sweeps_val.pkl"],
+        }
+        for p in cfg.DATA_CONFIG.DATA_PROCESSOR:
+            if p["NAME"] == "calculate_grid_size":
+                p["VOXEL_SIZE"] = [1.0, 1.0, 8.0]
+        cfg.MODEL.FusionVFE.RadarBackbone.READER.PILLAR_SIZE = 1.0
+
+        mc = model_config_from_yaml(cfg)
+        mc = dataclasses.replace(
+            mc, pc_range=tuple(cfg.DATA_CONFIG.POINT_CLOUD_RANGE))
+        ds = build_dataset(cfg.DATA_CONFIG, list(cfg.CLASS_NAMES),
+                           training=False)
+        batch = DatasetTemplate.collate_batch([ds[0]])
+        example = {k: jnp.asarray(v)
+                   for k, v in device_batch(batch).items()}
+        model = build_network(cfg, mc)
+        variables = model.init(jax.random.PRNGKey(0),
+                               model_inputs(example), False)
+
+        import pathlib
+        import sys as _sys
+        _sys.path.insert(
+            0, str(pathlib.Path(__file__).resolve().parent.parent))
+        from tools.export import export_model
+
+        exported = export_model(
+            cfg, mc, variables["params"],
+            variables.get("batch_stats", {}), example)
+        blob = exported.serialize()
+        again = jexport.deserialize(blob)
+        dets = again.call(model_inputs(example))
+        assert set(dets) >= {"boxes", "scores", "labels", "valid"}
+        assert "vels" in dets  # velocity head decoded in the artifact
