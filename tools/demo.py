@@ -79,11 +79,10 @@ def main():
 
     from hgsfusion_tpu.config import load_config, model_config_from_yaml
     from hgsfusion_tpu.datasets import build_dataset
-    from hgsfusion_tpu.models.anchors import TargetAssigner
     from hgsfusion_tpu.models.registry import build_network
     from hgsfusion_tpu.train.checkpoint import CheckpointManager
     from hgsfusion_tpu.train.trainer import (
-        detections_to_pred_dicts, device_batch, make_eval_step,
+        detections_to_pred_dicts, device_batch, make_eval_step_for_cfg,
     )
     from hgsfusion_tpu.utils.common import create_logger
 
@@ -100,10 +99,6 @@ def main():
     dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
                             logger=logger)
     model = build_network(cfg, model_cfg)
-    assigner = TargetAssigner(
-        [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-        model_cfg.grid_size, model_cfg.pc_range, class_names=model_cfg.class_names,
-    )
     batch = dataset.collate_batch([dataset[0]])
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(
         {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
@@ -115,9 +110,7 @@ def main():
         params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
         stats = jax.tree_util.tree_map(jnp.asarray, raw["batch_stats"])
 
-    eval_step = jax.jit(
-        make_eval_step(model, assigner, model_cfg, dict(cfg.MODEL.POST_PROCESSING))
-    )
+    eval_step = jax.jit(make_eval_step_for_cfg(cfg, model_cfg, model))
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng4 = (
