@@ -78,6 +78,104 @@ class DataProcessor:
             self.voxel_size = voxel_size
         return data_dict
 
+    def transform_points_to_voxels(self, data_dict, config):
+        """Host-side voxelization (spconv VoxelGeneratorWrapper equivalent,
+        data_processor.py:133-215): bucketize points into voxels in point
+        order, cap points/voxel and total voxels. Output: voxels (V, P, C),
+        voxel_coords (V, 3) zyx, voxel_num_points (V,). Kept for
+        reference-config compatibility — the TPU model families voxelize
+        on-device from the raw padded points instead."""
+        if self.grid_size is None:
+            voxel_size = np.asarray(config["VOXEL_SIZE"], np.float32)
+            extent = self.point_cloud_range[3:6] - self.point_cloud_range[0:3]
+            self.grid_size = np.round(extent / voxel_size).astype(np.int64)
+            self.voxel_size = voxel_size
+        pts = data_dict["points"]
+        voxel_size = np.asarray(config["VOXEL_SIZE"], np.float32)
+        max_ppv = int(config["MAX_POINTS_PER_VOXEL"])
+        max_v = int(config["MAX_NUMBER_OF_VOXELS"][self.mode])
+        grid = np.round(
+            (self.point_cloud_range[3:6] - self.point_cloud_range[0:3])
+            / voxel_size).astype(np.int64)
+        idx3 = np.floor(
+            (pts[:, :3] - self.point_cloud_range[:3]) / voxel_size
+        ).astype(np.int64)
+        inb = np.all((idx3 >= 0) & (idx3 < grid), axis=1)
+        pts_in = pts[inb]
+        idx3 = idx3[inb]
+        flat = (idx3[:, 2] * grid[1] + idx3[:, 1]) * grid[0] + idx3[:, 0]
+        # first-appearance voxel order (spconv semantics: point order)
+        uniq, first_idx, inv = np.unique(
+            flat, return_index=True, return_inverse=True)
+        order = np.argsort(first_idx)
+        rank_of_uniq = np.empty_like(order)
+        rank_of_uniq[order] = np.arange(len(order))
+        vox_rank = rank_of_uniq[inv]  # per-point voxel slot
+        keep_vox = vox_rank < max_v
+        num_v = min(len(uniq), max_v)
+        voxels = np.zeros((num_v, max_ppv, pts.shape[1]), pts.dtype)
+        num_points = np.zeros((num_v,), np.int32)
+        coords = np.zeros((num_v, 3), np.int32)
+        sel_first = first_idx[order[:num_v]]
+        coords[:, 0] = idx3[sel_first, 2]
+        coords[:, 1] = idx3[sel_first, 1]
+        coords[:, 2] = idx3[sel_first, 0]
+        for p, v in zip(pts_in[keep_vox], vox_rank[keep_vox]):
+            if num_points[v] < max_ppv:
+                voxels[v, num_points[v]] = p
+                num_points[v] += 1
+        if not data_dict.get("use_lead_xyz", True):
+            voxels = voxels[..., 3:]
+        data_dict["voxels"] = voxels
+        data_dict["voxel_coords"] = coords
+        data_dict["voxel_num_points"] = num_points
+        return data_dict
+
+    def image_normalize(self, data_dict, config):
+        """Per-channel mean/std normalization of multi-cam crops
+        (data_processor.image_normalize:236-248; torchvision ToTensor
+        scales to [0, 1] first)."""
+        imgs = data_dict.get("camera_imgs")
+        if imgs is None:
+            return data_dict
+        mean = np.asarray(config["mean"], np.float32)
+        std = np.asarray(config["std"], np.float32)
+        imgs = np.asarray(imgs, np.float32)
+        if imgs.max() > 1.5:  # uint8-range inputs
+            imgs = imgs / 255.0
+        data_dict["camera_imgs"] = (imgs - mean) / std
+        return data_dict
+
+    def image_calibrate(self, data_dict, config):
+        """Record the resize/crop/flip/rotate post-homography as 4x4
+        img_aug_matrix per camera (data_processor.image_calibrate:250-284)."""
+        infos = data_dict.get("img_process_infos")
+        if infos is None:
+            return data_dict
+        transforms = []
+        for resize, crop, flip, rotate in infos:
+            rotation = np.eye(2, dtype=np.float32) * resize
+            translation = -np.asarray(crop[:2], np.float32)
+            if flip:
+                a = np.array([[-1, 0], [0, 1]], np.float32)
+                rotation = a @ rotation
+                translation = a @ translation + np.array(
+                    [crop[2] - crop[0], 0], np.float32)
+            theta = rotate / 180.0 * np.pi
+            a = np.array([[np.cos(theta), np.sin(theta)],
+                          [-np.sin(theta), np.cos(theta)]], np.float32)
+            b = np.array([crop[2] - crop[0], crop[3] - crop[1]],
+                         np.float32) / 2
+            b = a @ (-b) + b
+            rotation = a @ rotation
+            translation = a @ translation + b
+            tf = np.eye(4, dtype=np.float32)
+            tf[:2, :2] = rotation
+            tf[:2, 3] = translation
+            transforms.append(tf)
+        data_dict["img_aug_matrix"] = np.stack(transforms)
+        return data_dict
+
     def downsample_depth_map(self, data_dict, config):
         """Local-mean downscale of the gt depth map
         (data_processor.downsample_depth_map:225-234; skimage

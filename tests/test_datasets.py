@@ -309,3 +309,63 @@ class TestDepthMapPipeline:
         raw = ds.get_depth_map(ds.infos[0]["point_cloud"]["lidar_idx"])
         assert raw.shape == (128, 256)
         assert 1.0 <= raw.mean() <= 50.0
+
+
+class TestProcessorSteps:
+    def test_transform_points_to_voxels(self):
+        from hgsfusion_tpu.datasets.processor import DataProcessor
+
+        cfg = [{"NAME": "transform_points_to_voxels",
+                "VOXEL_SIZE": [1.0, 1.0, 1.0],
+                "MAX_POINTS_PER_VOXEL": 3,
+                "MAX_NUMBER_OF_VOXELS": {"train": 100, "test": 100}}]
+        proc = DataProcessor(cfg, [0, 0, 0, 4, 4, 4], training=True,
+                             num_point_features=4)
+        pts = np.array([
+            [0.5, 0.5, 0.5, 1.0],   # voxel (0,0,0)
+            [0.6, 0.4, 0.2, 2.0],   # same voxel
+            [1.5, 0.5, 0.5, 3.0],   # voxel (0,0,1)
+            [0.7, 0.3, 0.1, 4.0],   # voxel (0,0,0) again
+            [0.8, 0.2, 0.3, 5.0],   # voxel (0,0,0): exceeds max 3 -> dropped
+            [9.0, 9.0, 9.0, 6.0],   # out of range -> dropped
+        ], np.float32)
+        d = proc.forward({"points": pts, "use_lead_xyz": True})
+        assert d["voxels"].shape == (2, 3, 4)
+        # voxel 0 = first-appearance (0,0,0) with 3 of its 4 points kept
+        np.testing.assert_array_equal(d["voxel_num_points"], [3, 1])
+        np.testing.assert_array_equal(d["voxel_coords"][0], [0, 0, 0])
+        np.testing.assert_array_equal(d["voxel_coords"][1], [0, 0, 1])
+        np.testing.assert_allclose(
+            d["voxels"][0, :, 3], [1.0, 2.0, 4.0])
+        np.testing.assert_allclose(d["voxels"][1, 0, 3], 3.0)
+        # zero-padding beyond num_points
+        np.testing.assert_allclose(d["voxels"][1, 1:], 0.0)
+
+    def test_image_normalize_and_calibrate(self):
+        from hgsfusion_tpu.datasets.processor import DataProcessor
+
+        cfg = [
+            {"NAME": "image_normalize",
+             "mean": [0.5, 0.5, 0.5], "std": [0.25, 0.25, 0.25]},
+            {"NAME": "image_calibrate"},
+        ]
+        proc = DataProcessor(cfg, [0, 0, 0, 4, 4, 4], training=False,
+                             num_point_features=4)
+        imgs = np.full((2, 8, 10, 3), 127.5, np.float32)  # uint8 midpoint
+        d = proc.forward({
+            "points": np.zeros((1, 4), np.float32),
+            "camera_imgs": imgs,
+            "img_process_infos": [
+                [0.5, (4, 2, 20, 10), False, 0],
+                [1.0, (0, 0, 16, 8), True, 0],
+            ],
+        })
+        np.testing.assert_allclose(d["camera_imgs"], 0.0, atol=1e-6)
+        m = d["img_aug_matrix"]
+        assert m.shape == (2, 4, 4)
+        # first cam: scale 0.5 then crop translate (-4, -2)
+        np.testing.assert_allclose(m[0, :2, :2], 0.5 * np.eye(2))
+        np.testing.assert_allclose(m[0, :2, 3], [-4, -2])
+        # second cam: horizontal flip about the crop width
+        np.testing.assert_allclose(m[1, 0, 0], -1.0)
+        np.testing.assert_allclose(m[1, 0, 3], 16.0)
