@@ -92,6 +92,153 @@ class DataAugmentor:
         data_dict["noise_scale"] = scale
         return data_dict
 
+    def random_world_translation(self, data_dict, config):
+        """Gaussian world shift (data_augmentor.py:149-170; also shifts
+        roi_boxes when present)."""
+        std = config["NOISE_TRANSLATE_STD"]
+        noise = np.array([
+            np.random.normal(0, std[0]), np.random.normal(0, std[1]),
+            np.random.normal(0, std[2]),
+        ], np.float32)
+        data_dict["points"][:, :3] += noise
+        data_dict["gt_boxes"][:, :3] += noise
+        if data_dict.get("roi_boxes") is not None:
+            data_dict["roi_boxes"][..., :3] += noise
+        data_dict["noise_translate"] = noise
+        return data_dict
+
+    def _in_box_mask(self, points, box):
+        """Rotated in-box point mask (augmentor_utils.get_points_in_box)."""
+        from ..ops.points_in_boxes import points_in_boxes
+
+        return np.asarray(points_in_boxes(
+            points[:, :3].astype(np.float64),
+            np.asarray(box[:7], np.float64)[None]))[0]
+
+    def random_local_translation(self, data_dict, config):
+        """Per-box axis shifts (augmentor_utils.random_local_translation_
+        along_{x,y,z}:171-235)."""
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        lo, hi = config["LOCAL_TRANSLATION_RANGE"]
+        axes = {"x": 0, "y": 1, "z": 2}
+        for axis in config["ALONG_AXIS_LIST"]:
+            col = axes[axis]
+            for idx in range(len(gt)):
+                offset = np.random.uniform(lo, hi)
+                mask = self._in_box_mask(pts, gt[idx])
+                pts[mask, col] += offset
+                gt[idx, col] += offset
+        return data_dict
+
+    def random_local_rotation(self, data_dict, config):
+        """Per-box rotation about the box center (augmentor_utils.
+        local_rotation:339-384, incl. the velocity-column rotation)."""
+        from ..utils.common import rotate_points_along_z
+
+        rot_range = config["LOCAL_ROT_ANGLE"]
+        if not isinstance(rot_range, (list, tuple)):
+            rot_range = [-rot_range, rot_range]
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        for idx in range(len(gt)):
+            rot = np.random.uniform(rot_range[0], rot_range[1])
+            mask = self._in_box_mask(pts, gt[idx])
+            center = gt[idx, :3].copy()
+            pts[mask, :3] -= center
+            pts[mask] = np.asarray(rotate_points_along_z(
+                pts[None, mask], np.array([rot])))[0]
+            pts[mask, :3] += center
+            gt[idx, 6] += rot
+            if gt.shape[1] > 8:
+                vel3 = np.array([[gt[idx, 7], gt[idx, 8], 0.0]], np.float32)
+                gt[idx, 7:9] = np.asarray(rotate_points_along_z(
+                    vel3[None], np.array([rot])))[0][0, :2]
+        return data_dict
+
+    def random_local_scaling(self, data_dict, config):
+        """Per-box scaling about the box center (augmentor_utils.
+        local_scaling:305-336)."""
+        lo, hi = config["LOCAL_SCALE_RANGE"]
+        if hi - lo < 1e-3:
+            return data_dict
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        for idx in range(len(gt)):
+            scale = np.random.uniform(lo, hi)
+            mask = self._in_box_mask(pts, gt[idx])
+            center = gt[idx, :3].copy()
+            pts[mask, :3] = (pts[mask, :3] - center) * scale + center
+            gt[idx, 3:6] *= scale
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict, config):
+        """Global slab dropout per direction (augmentor_utils.
+        global_frustum_dropout_{top,bottom,left,right}:237-303): drop
+        points (and boxes) beyond a random fraction of the extent."""
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        lo, hi = config["INTENSITY_RANGE"]
+        for direction in config["DIRECTION"]:
+            if len(pts) == 0:
+                break
+            intensity = np.random.uniform(lo, hi)
+            col = 2 if direction in ("top", "bottom") else 1
+            vmin, vmax = pts[:, col].min(), pts[:, col].max()
+            if direction in ("top", "left"):
+                thr = vmax - intensity * (vmax - vmin)
+                keep_p = pts[:, col] < thr
+                keep_b = gt[:, col] < thr
+            else:
+                thr = vmin + intensity * (vmax - vmin)
+                keep_p = pts[:, col] > thr
+                keep_b = gt[:, col] > thr
+            pts = pts[keep_p]
+            if "gt_boxes_mask" in data_dict:
+                data_dict["gt_boxes_mask"] = data_dict["gt_boxes_mask"][keep_b]
+            if "gt_names" in data_dict:
+                data_dict["gt_names"] = data_dict["gt_names"][keep_b]
+            gt = gt[keep_b]
+        data_dict["points"] = pts
+        data_dict["gt_boxes"] = gt
+        return data_dict
+
+    def random_local_frustum_dropout(self, data_dict, config):
+        """Per-box partial dropout (augmentor_utils.local_frustum_dropout_
+        {top,bottom,left,right}:387-464): remove in-box points beyond a
+        random fraction of the box extent along the direction."""
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        lo, hi = config["INTENSITY_RANGE"]
+        for direction in config["DIRECTION"]:
+            for idx in range(len(gt)):
+                if len(pts) == 0:
+                    break
+                x, y, z, dx, dy, dz = gt[idx, :6]
+                intensity = np.random.uniform(lo, hi)
+                mask = self._in_box_mask(pts, gt[idx])
+                if direction == "top":
+                    drop = mask & (pts[:, 2] >= (z + dz / 2) - intensity * dz)
+                elif direction == "bottom":
+                    drop = mask & (pts[:, 2] <= (z - dz / 2) + intensity * dz)
+                elif direction == "left":
+                    drop = mask & (pts[:, 1] >= (y + dy / 2) - intensity * dy)
+                else:
+                    drop = mask & (pts[:, 1] <= (y - dy / 2) + intensity * dy)
+                pts = pts[~drop]
+        data_dict["points"] = pts
+        return data_dict
+
+    def random_image_flip(self, data_dict, config):
+        """Multi-camera horizontal flip (data_augmentor.py:125-147,
+        BEVFusion): flip each crop and record the flag in
+        img_process_infos for image_calibrate."""
+        imgs = data_dict.get("camera_imgs")
+        if imgs is None:
+            return data_dict
+        enable = np.random.rand() < config.get("PROB", 0.5)
+        if enable:
+            data_dict["camera_imgs"] = np.ascontiguousarray(
+                np.asarray(imgs)[:, :, ::-1])
+            for info in data_dict.get("img_process_infos", []):
+                info[2] = True
+        return data_dict
+
     def random_image_flip_fusion(self, data_dict, config):
         """Flip the image iff the world was flipped (data_augmentor.py:116-123),
         keeping camera and lidar geometrically consistent."""

@@ -369,3 +369,110 @@ class TestProcessorSteps:
         # second cam: horizontal flip about the crop width
         np.testing.assert_allclose(m[1, 0, 0], -1.0)
         np.testing.assert_allclose(m[1, 0, 3], 16.0)
+
+
+class TestExtendedAugmentors:
+    def _aug(self, name, **cfg_kw):
+        from hgsfusion_tpu.datasets.augmentor import DataAugmentor
+
+        cfg = ConfigDict({"DISABLE_AUG_LIST": [],
+                          "AUG_CONFIG_LIST": [dict(NAME=name, **cfg_kw)]})
+        return DataAugmentor(None, cfg, ["car"])
+
+    def _data(self):
+        gt = np.array([[5.0, 0.0, 0.0, 4.0, 2.0, 1.6, 0.0]], np.float32)
+        pts = np.array([
+            [5.0, 0.0, 0.0, 1.0],    # inside the box
+            [20.0, 5.0, 0.5, 2.0],   # outside
+        ], np.float32)
+        return gt, pts
+
+    def test_world_translation_shifts_everything(self):
+        aug = self._aug("random_world_translation",
+                        NOISE_TRANSLATE_STD=[1.0, 1.0, 0.1])
+        gt, pts = self._data()
+        np.random.seed(3)
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        noise = d["noise_translate"]
+        np.testing.assert_allclose(d["gt_boxes"][0, :3], gt[0, :3] + noise,
+                                   atol=1e-6)
+        np.testing.assert_allclose(d["points"][:, :3], pts[:, :3] + noise,
+                                   atol=1e-6)
+
+    def test_local_translation_only_moves_box_points(self):
+        aug = self._aug("random_local_translation",
+                        LOCAL_TRANSLATION_RANGE=[1.0, 1.0],
+                        ALONG_AXIS_LIST=["x"])
+        gt, pts = self._data()
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        assert d["gt_boxes"][0, 0] == pytest.approx(6.0)
+        assert d["points"][0, 0] == pytest.approx(6.0)   # in-box moved
+        assert d["points"][1, 0] == pytest.approx(20.0)  # outside untouched
+
+    def test_local_scaling_scales_in_box_points(self):
+        aug = self._aug("random_local_scaling",
+                        LOCAL_SCALE_RANGE=[2.0, 2.0 + 2e-3])
+        gt, pts = self._data()
+        pts[0] = [6.0, 0.5, 0.2, 1.0]  # offset from center
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        np.testing.assert_allclose(d["gt_boxes"][0, 3:6],
+                                   [8.0, 4.0, 3.2], rtol=2e-3)
+        # in-box point scaled about the center (5,0,0)
+        np.testing.assert_allclose(d["points"][0, :3], [7.0, 1.0, 0.4],
+                                   rtol=2e-3)
+
+    def test_local_rotation_rotates_about_center(self):
+        aug = self._aug("random_local_rotation",
+                        LOCAL_ROT_ANGLE=[np.pi / 2, np.pi / 2])
+        gt, pts = self._data()
+        pts[0] = [6.0, 0.0, 0.0, 1.0]  # +1 in x from the center
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        assert d["gt_boxes"][0, 6] == pytest.approx(np.pi / 2)
+        # rotating (1, 0) by +90deg about the center -> (0, 1)
+        np.testing.assert_allclose(d["points"][0, :3], [5.0, 1.0, 0.0],
+                                   atol=1e-5)
+
+    def test_world_frustum_dropout_drops_slab(self):
+        aug = self._aug("random_world_frustum_dropout",
+                        INTENSITY_RANGE=[0.5, 0.5], DIRECTION=["top"])
+        gt = np.array([[5.0, 0.0, -1.5, 4.0, 2.0, 1.6, 0.0],
+                       [5.0, 3.0, 1.5, 4.0, 2.0, 1.6, 0.0]], np.float32)
+        pts = np.array([[1.0, 0.0, -2.0, 0.0],
+                        [1.0, 0.0, 2.0, 0.0]], np.float32)
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car", "car"])})
+        # threshold = 2 - 0.5*(2-(-2)) = 0: keep z < 0
+        assert len(d["points"]) == 1 and d["points"][0, 2] == -2.0
+        assert len(d["gt_boxes"]) == 1
+        assert len(d["gt_names"]) == 1  # names stay in sync (ref desyncs)
+
+    def test_local_frustum_dropout_top(self):
+        aug = self._aug("random_local_frustum_dropout",
+                        INTENSITY_RANGE=[0.5, 0.5], DIRECTION=["top"])
+        gt, pts = self._data()
+        pts = np.array([
+            [5.0, 0.0, 0.5, 1.0],    # in box, upper half -> dropped
+            [5.0, 0.0, -0.5, 2.0],   # in box, lower half -> kept
+            [20.0, 5.0, 0.5, 3.0],   # outside -> kept
+        ], np.float32)
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        np.testing.assert_allclose(sorted(d["points"][:, 3]), [2.0, 3.0])
+
+    def test_multicam_image_flip(self):
+        aug = self._aug("random_image_flip", PROB=1.0)
+        imgs = np.arange(2 * 4 * 6 * 3, dtype=np.float32).reshape(2, 4, 6, 3)
+        infos = [[0.5, (0, 0, 6, 4), False, 0], [0.5, (0, 0, 6, 4), False, 0]]
+        gt = np.zeros((1, 7), np.float32)
+        d = aug.forward({
+            "gt_boxes": gt, "points": np.zeros((1, 4), np.float32),
+            "gt_names": np.array(["car"]),
+            "camera_imgs": imgs.copy(), "img_process_infos": infos,
+        })
+        np.testing.assert_allclose(
+            d["camera_imgs"], imgs[:, :, ::-1])
+        assert all(i[2] for i in d["img_process_infos"])
