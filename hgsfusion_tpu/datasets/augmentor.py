@@ -1,11 +1,11 @@
 """Training-time augmentations (numpy, CPU side).
 
 Reference: pcdet/datasets/augmentor/data_augmentor.py:10-333 and
-augmentor_utils.py (random_flip_along_x:8-26, global_rotation:50-71,
-global_scaling:74-92, random_image_flip_horizontal:113-165). Only the
-augmentations active in the HGS configs are implemented; gt_sampling is
-registered as a no-op placeholder (DISABLE_AUG_LIST disables it in the
-shipped configs) pending the gt-database sampler.
+augmentor_utils.py. Registry coverage: world flip/rotation/scaling/
+translation, local (per-box) translation/rotation/scaling, world+local
+frustum dropout, fusion image flip, multi-camera flip, and gt_sampling
+(database_sampler). Documented skips: random_local_pyramid_aug (SE-SSD
+pyramid swap; niche) and imgaug (external `imgaug` library).
 """
 from __future__ import annotations
 
