@@ -78,6 +78,7 @@ class DataBaseSampler:
         self.root_path = Path(root_path)
         self.class_names = class_names
         self.logger = logger
+        self.sampler_cfg = sampler_cfg
         self.num_point_features = int(sampler_cfg.get("NUM_POINT_FEATURES", 4))
         self.db_infos = {}
         for db_path in sampler_cfg["DB_INFO_PATH"]:
@@ -153,6 +154,25 @@ class DataBaseSampler:
         if not sampled_boxes:
             return data_dict
         sampled_boxes = np.stack(sampled_boxes)
+
+        if (self.sampler_cfg.get("USE_ROAD_PLANE", False)
+                and data_dict.get("road_plane") is not None
+                and data_dict.get("calib") is not None):
+            # lift sampled boxes onto the road plane and drop their crops
+            # by the same height (database_sampler.put_boxes_on_road_planes
+            # :150-168 + the obj_points z-shift in add_sampled_boxes_to_scene)
+            a, b, c, d = data_dict["road_plane"]
+            calib = data_dict["calib"]
+            center_cam = calib.lidar_to_rect(sampled_boxes[:, 0:3])
+            center_cam[:, 1] = (
+                -d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+            cur_lidar_h = calib.rect_to_lidar(center_cam)[:, 2]
+            mv_height = (sampled_boxes[:, 2] - sampled_boxes[:, 5] / 2
+                         - cur_lidar_h)
+            sampled_boxes[:, 2] -= mv_height
+            for i in range(len(sampled_points)):
+                sampled_points[i][:, 2] -= mv_height[i]
+
         # remove original points inside the sampled boxes, then merge
         from ..ops.points_in_boxes import points_in_boxes
 

@@ -72,3 +72,58 @@ class TestGtDatabase:
         iou = boxes3d_nearest_bev_iou(out["gt_boxes"], out["gt_boxes"])
         off_diag = np.asarray(iou) - np.eye(len(out["gt_boxes"]))
         assert off_diag.max() <= 1e-6
+
+
+class TestRoadPlaneSampling:
+    def test_sampled_boxes_lifted_onto_plane(self, tmp_path):
+        """USE_ROAD_PLANE drops sampled boxes (and their point crops) onto
+        the road plane (database_sampler.put_boxes_on_road_planes:150-168)."""
+        import pickle
+
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.datasets.database_sampler import DataBaseSampler
+        from hgsfusion_tpu.utils.calibration import Calibration
+
+        db_dir = tmp_path / "gt_database"
+        db_dir.mkdir()
+        box = np.array([10.0, 0.0, 1.0, 4.0, 2.0, 1.6, 0.0], np.float32)
+        crop = np.array([[0.2, 0.1, 0.3, 1.0]], np.float32)
+        crop.tofile(db_dir / "0_Car_0.bin")
+        with open(tmp_path / "dbinfos.pkl", "wb") as f:
+            pickle.dump({"Car": [{
+                "name": "Car", "path": "gt_database/0_Car_0.bin",
+                "box3d_lidar": box, "num_points_in_gt": 1,
+            }]}, f)
+
+        sampler = DataBaseSampler(
+            tmp_path,
+            ConfigDict({
+                "DB_INFO_PATH": ["dbinfos.pkl"],
+                "SAMPLE_GROUPS": ["Car:1"],
+                "NUM_POINT_FEATURES": 4,
+                "USE_ROAD_PLANE": True,
+                "LIMIT_WHOLE_SCENE": False,
+            }),
+            ["Car"],
+        )
+        calib = Calibration({
+            "P2": np.array([[700.0, 0, 480, 0], [0, 700, 250, 0],
+                            [0, 0, 1, 0]]),
+            "R0": np.eye(3),
+            "Tr_velo2cam": np.array(
+                [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], np.float64),
+        })
+        # camera-frame plane y = 2  <=>  lidar z = -2 (y_cam = -z_lidar)
+        d = sampler({
+            "gt_boxes": np.zeros((0, 7), np.float32),
+            "gt_names": np.zeros(0, dtype="<U8"),
+            "points": np.zeros((0, 4), np.float32),
+            "road_plane": [0.0, 1.0, 0.0, -2.0],
+            "calib": calib,
+        })
+        # bottom of the sampled box sits on z = -2: center z = -2 + 0.8
+        assert d["gt_boxes"][0, 2] == pytest.approx(-1.2, abs=1e-5)
+        # the crop moved by the same height
+        mv = 1.0 - 1.6 / 2 - (-2.0)
+        assert d["points"][0, 2] == pytest.approx(
+            box[2] + crop[0, 2] - mv, abs=1e-5)
