@@ -102,6 +102,19 @@ class KittiFormatDataset(DatasetTemplate):
         img = np.asarray(Image.open(str(f)), dtype=np.float32) / 255.0
         return img
 
+    def get_road_plane(self, idx):
+        """Rectified-camera road plane from planes/<idx>.txt, normal facing
+        up and normalized (kitti_dataset.get_road_plane:130-146); None when
+        the file is absent."""
+        plane_file = self.root_split_path / "planes" / f"{idx}.txt"
+        if not plane_file.exists():
+            return None
+        lines = open(plane_file).readlines()
+        plane = np.asarray([float(v) for v in lines[3].split()])
+        if plane[1] > 0:
+            plane = -plane
+        return plane / np.linalg.norm(plane[0:3])
+
     def get_depth_map(self, idx):
         """(H, W) float32 depth map from depth_2/<idx>.png at 1/256 m
         (vod_dataset.get_depth_map:142-155)."""
@@ -307,6 +320,11 @@ class KittiFormatDataset(DatasetTemplate):
 
         if "depth_maps" in get_item_list:
             input_dict["depth_maps"] = self.get_depth_map(sample_idx)
+
+        if self.training and self.dataset_cfg.get("USE_ROAD_PLANE", False):
+            road_plane = self.get_road_plane(sample_idx)
+            if road_plane is not None:
+                input_dict["road_plane"] = road_plane
 
         if "calib_matricies" in get_item_list:
             v2r, p2 = calib_to_matricies(calib)
