@@ -3,9 +3,9 @@
 Reference: pcdet/datasets/augmentor/data_augmentor.py:10-333 and
 augmentor_utils.py. Registry coverage: world flip/rotation/scaling/
 translation, local (per-box) translation/rotation/scaling, world+local
-frustum dropout, fusion image flip, multi-camera flip, and gt_sampling
-(database_sampler). Documented skips: random_local_pyramid_aug (SE-SSD
-pyramid swap; niche) and imgaug (external `imgaug` library).
+frustum dropout, mono image flip (standalone + fusion-coupled), multi-camera
+imgaug (flip+rotate), and gt_sampling (database_sampler). Documented skip:
+random_local_pyramid_aug (SE-SSD pyramid swap; niche).
 """
 from __future__ import annotations
 
@@ -108,12 +108,20 @@ class DataAugmentor:
         return data_dict
 
     def _in_box_mask(self, points, box):
-        """Rotated in-box point mask (augmentor_utils.get_points_in_box)."""
-        from ..ops.points_in_boxes import points_in_boxes
-
-        return np.asarray(points_in_boxes(
-            points[:, :3].astype(np.float64),
-            np.asarray(box[:7], np.float64)[None]))[0]
+        """Rotated in-box point mask, exact reference semantics
+        (augmentor_utils.get_points_in_box:467-484): inclusive half-extent
+        comparisons with a 0.1 m xy MARGIN so boundary points move with
+        the box during local augmentations."""
+        margin = 1e-1
+        sx = points[:, 0] - box[0]
+        sy = points[:, 1] - box[1]
+        sz = points[:, 2] - box[2]
+        cosa, sina = np.cos(-box[6]), np.sin(-box[6])
+        local_x = sx * cosa - sy * sina
+        local_y = sx * sina + sy * cosa
+        return ((np.abs(sz) <= box[5] / 2.0)
+                & (np.abs(local_x) <= box[3] / 2.0 + margin)
+                & (np.abs(local_y) <= box[4] / 2.0 + margin))
 
     def random_local_translation(self, data_dict, config):
         """Per-box axis shifts (augmentor_utils.random_local_translation_
@@ -194,6 +202,9 @@ class DataAugmentor:
                 data_dict["gt_boxes_mask"] = data_dict["gt_boxes_mask"][keep_b]
             if "gt_names" in data_dict:
                 data_dict["gt_names"] = data_dict["gt_names"][keep_b]
+            if data_dict.get("gt_boxes2d", None) is not None and len(
+                    data_dict["gt_boxes2d"]) == len(gt):
+                data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][keep_b]
             gt = gt[keep_b]
         data_dict["points"] = pts
         data_dict["gt_boxes"] = gt
@@ -224,32 +235,16 @@ class DataAugmentor:
         data_dict["points"] = pts
         return data_dict
 
-    def random_image_flip(self, data_dict, config):
-        """Multi-camera horizontal flip (data_augmentor.py:125-147,
-        BEVFusion): flip each crop and record the flag in
-        img_process_infos for image_calibrate."""
-        imgs = data_dict.get("camera_imgs")
-        if imgs is None:
-            return data_dict
-        enable = np.random.rand() < config.get("PROB", 0.5)
-        if enable:
-            data_dict["camera_imgs"] = np.ascontiguousarray(
-                np.asarray(imgs)[:, :, ::-1])
-            for info in data_dict.get("img_process_infos", []):
-                info[2] = True
-        return data_dict
-
-    def random_image_flip_fusion(self, data_dict, config):
-        """Flip the image iff the world was flipped (data_augmentor.py:116-123),
-        keeping camera and lidar geometrically consistent."""
-        if not data_dict.get("flip_x", False):
-            return data_dict
+    def _flip_image_with_boxes(self, data_dict):
+        """Horizontal mono-image flip with calib-consistent 3D/2D box
+        updates (augmentor_utils.random_image_flip_horizontal:113-156):
+        box centroids are flipped in image space and lifted back through
+        the calibration so camera and lidar stay geometrically aligned."""
         image = data_dict["images"]
         calib = data_dict["calib"]
         gt = data_dict["gt_boxes"]
         data_dict["images"] = np.ascontiguousarray(np.fliplr(image))
         w = image.shape[1]
-        # flip 3D centroids in image space (augmentor_utils.py:137-146)
         img_pts, img_depth = calib.lidar_to_img(gt[:, :3])
         img_pts[:, 0] = w - img_pts[:, 0]
         pts_rect = calib.img_to_rect(
@@ -262,7 +257,94 @@ class DataAugmentor:
         ):
             b2d = data_dict["gt_boxes2d"]
             b2d[:, [0, 2]] = w - b2d[:, [2, 0]]
+        if "foreground" in data_dict:  # data_augmentor.py:138-139
+            data_dict["foreground"] = np.ascontiguousarray(
+                np.fliplr(data_dict["foreground"]))
+        if "depth_maps" in data_dict:  # data_augmentor.py:140-141
+            data_dict["depth_maps"] = np.ascontiguousarray(
+                np.fliplr(data_dict["depth_maps"]))
         return data_dict
+
+    def random_image_flip(self, data_dict, config):
+        """Standalone probabilistic mono image flip
+        (data_augmentor.random_image_flip:125-147)."""
+        prob = float(config.get("PROB", 0.5))
+        for cur_axis in config.get("ALONG_AXIS_LIST", ["horizontal"]):
+            assert cur_axis == "horizontal"
+            enable = np.random.choice(
+                [False, True], replace=False, p=[1.0 - prob, prob])
+            if enable:
+                data_dict = self._flip_image_with_boxes(data_dict)
+        return data_dict
+
+    def random_image_flip_fusion(self, data_dict, config):
+        """Flip the image iff the world was flipped (data_augmentor.py:116-123),
+        keeping camera and lidar geometrically consistent."""
+        if not data_dict.get("flip_x", False):
+            return data_dict
+        return self._flip_image_with_boxes(data_dict)
+
+    def imgaug(self, data_dict, config):
+        """Per-camera flip + rotation on the multi-cam crop stack
+        (data_augmentor.imgaug:282-302), recorded in img_process_infos so
+        processor.image_calibrate folds them into img_aug_matrix. PIL-free:
+        the rotation is an inverse affine warp about the crop center using
+        exactly the matrix image_calibrate composes."""
+        imgs = data_dict.get("camera_imgs")
+        if imgs is None:
+            return data_dict
+        imgs = np.asarray(imgs)
+        infos = data_dict.get("img_process_infos")
+        if infos is None:
+            h, w = imgs.shape[1:3]
+            infos = [[1.0, (0, 0, w, h), False, 0.0] for _ in range(len(imgs))]
+            data_dict["img_process_infos"] = infos
+        rot_lim = config.get("ROT_LIM", [0.0, 0.0])
+        rand_flip = bool(config.get("RAND_FLIP", False))
+        new_imgs = []
+        for img, info in zip(imgs, infos):
+            flip = bool(rand_flip and np.random.choice([0, 1]))
+            rotate = float(np.random.uniform(rot_lim[0], rot_lim[1]))
+            if flip:
+                img = img[:, ::-1]
+            if abs(rotate) > 1e-6:
+                img = self._rotate_image(img, rotate)
+            info[2] = flip
+            info[3] = rotate
+            new_imgs.append(np.ascontiguousarray(img))
+        data_dict["camera_imgs"] = np.stack(new_imgs)
+        return data_dict
+
+    @staticmethod
+    def _rotate_image(img, rotate_deg):
+        """Rotate about the image center with the same convention
+        image_calibrate uses (a = [[cos, sin], [-sin, cos]] on (u, v),
+        b = center): output(q) = input(a^-1 (q - b) + b), bilinear."""
+        from scipy import ndimage
+
+        theta = rotate_deg / 180.0 * np.pi
+        c, s = np.cos(theta), np.sin(theta)
+        h, w = img.shape[:2]
+        b_uv = np.array([w, h], np.float64) / 2
+        a_inv_uv = np.array([[c, -s], [s, c]], np.float64)
+        t_uv = b_uv - a_inv_uv @ b_uv
+        # scipy affine_transform indexes (row=v, col=u): swap both axes
+        m_vu = np.array([[a_inv_uv[1, 1], a_inv_uv[1, 0]],
+                         [a_inv_uv[0, 1], a_inv_uv[0, 0]]])
+        off_vu = np.array([t_uv[1], t_uv[0]])
+        if img.ndim == 3:
+            out = np.stack([
+                ndimage.affine_transform(
+                    img[..., ch].astype(np.float32), m_vu, offset=off_vu,
+                    order=1, mode="constant", cval=0.0)
+                for ch in range(img.shape[2])
+            ], axis=-1)
+        else:
+            out = ndimage.affine_transform(
+                img.astype(np.float32), m_vu, offset=off_vu, order=1,
+                mode="constant", cval=0.0)
+        return out.astype(img.dtype) if np.issubdtype(
+            img.dtype, np.integer) else out
 
     def forward(self, data_dict):
         for fn, cfg in self.queue:

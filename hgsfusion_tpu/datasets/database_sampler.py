@@ -199,4 +199,13 @@ class DataBaseSampler:
             data_dict["gt_boxes_mask"] = np.concatenate(
                 [data_dict["gt_boxes_mask"], np.ones(len(sampled_boxes), bool)]
             )
+        if data_dict.get("gt_boxes2d", None) is not None:
+            # keep gt_boxes2d aligned with gt_boxes so the augmentor's
+            # final mask application doesn't desync; sampled db objects
+            # carry no 2D boxes (the reference only fills these via its
+            # img_aug copy-paste path, database_sampler.py:287-330)
+            data_dict["gt_boxes2d"] = np.concatenate([
+                np.asarray(data_dict["gt_boxes2d"], np.float32).reshape(-1, 4),
+                np.zeros((len(sampled_boxes), 4), np.float32),
+            ])
         return data_dict

@@ -170,6 +170,10 @@ class DatasetTemplate:
             if calib is not None:
                 data_dict["calib"] = calib
 
+        # road_plane is consumed by gt_sampling (training path pops it in
+        # the augmentor); drop it before collate on the eval path too
+        data_dict.pop("road_plane", None)
+
         data_dict = self.set_lidar_aug_matrix(data_dict)
 
         if data_dict.get("gt_boxes", None) is not None:

@@ -321,10 +321,11 @@ class KittiFormatDataset(DatasetTemplate):
         if "depth_maps" in get_item_list:
             input_dict["depth_maps"] = self.get_depth_map(sample_idx)
 
-        if self.training and self.dataset_cfg.get("USE_ROAD_PLANE", False):
-            road_plane = self.get_road_plane(sample_idx)
-            if road_plane is not None:
-                input_dict["road_plane"] = road_plane
+        # loaded unconditionally whenever available (vod_dataset.py:494-496
+        # has no config gate); the augmentor pops it after gt_sampling
+        road_plane = self.get_road_plane(sample_idx)
+        if road_plane is not None:
+            input_dict["road_plane"] = road_plane
 
         if "calib_matricies" in get_item_list:
             v2r, p2 = calib_to_matricies(calib)

@@ -590,8 +590,9 @@ class NuScenesDataset(DatasetTemplate):
                 if self.training else int(max(0, new_w - fw) / 2)
             )
             crop = (crop_w, crop_h, crop_w + fw, crop_h + fh)
+            # keep raw uint8 — image_normalize keys its /255 on int dtype
             crops.append(np.asarray(
-                img.resize((new_w, new_h)).crop(crop), np.float32))
+                img.resize((new_w, new_h)).crop(crop), np.uint8))
             infos_out.append([resize, crop, False, 0])
         input_dict["camera_imgs"] = np.stack(crops, axis=0)
         input_dict["img_process_infos"] = infos_out

@@ -85,18 +85,15 @@ class DataProcessor:
         voxel_coords (V, 3) zyx, voxel_num_points (V,). Kept for
         reference-config compatibility — the TPU model families voxelize
         on-device from the raw padded points instead."""
+        voxel_size = np.asarray(config["VOXEL_SIZE"], np.float32)
+        extent = self.point_cloud_range[3:6] - self.point_cloud_range[0:3]
+        grid = np.round(extent / voxel_size).astype(np.int64)
         if self.grid_size is None:
-            voxel_size = np.asarray(config["VOXEL_SIZE"], np.float32)
-            extent = self.point_cloud_range[3:6] - self.point_cloud_range[0:3]
-            self.grid_size = np.round(extent / voxel_size).astype(np.int64)
+            self.grid_size = grid
             self.voxel_size = voxel_size
         pts = data_dict["points"]
-        voxel_size = np.asarray(config["VOXEL_SIZE"], np.float32)
         max_ppv = int(config["MAX_POINTS_PER_VOXEL"])
         max_v = int(config["MAX_NUMBER_OF_VOXELS"][self.mode])
-        grid = np.round(
-            (self.point_cloud_range[3:6] - self.point_cloud_range[0:3])
-            / voxel_size).astype(np.int64)
         idx3 = np.floor(
             (pts[:, :3] - self.point_cloud_range[:3]) / voxel_size
         ).astype(np.int64)
@@ -114,16 +111,22 @@ class DataProcessor:
         keep_vox = vox_rank < max_v
         num_v = min(len(uniq), max_v)
         voxels = np.zeros((num_v, max_ppv, pts.shape[1]), pts.dtype)
-        num_points = np.zeros((num_v,), np.int32)
         coords = np.zeros((num_v, 3), np.int32)
         sel_first = first_idx[order[:num_v]]
         coords[:, 0] = idx3[sel_first, 2]
         coords[:, 1] = idx3[sel_first, 1]
         coords[:, 2] = idx3[sel_first, 0]
-        for p, v in zip(pts_in[keep_vox], vox_rank[keep_vox]):
-            if num_points[v] < max_ppv:
-                voxels[v, num_points[v]] = p
-                num_points[v] += 1
+        # vectorized per-voxel fill: stable sort groups points by voxel
+        # while preserving point order; slot = rank within the group
+        pts_sel = pts_in[keep_vox]
+        v_ids = vox_rank[keep_vox]
+        order_pts = np.argsort(v_ids, kind="stable")
+        v_sorted = v_ids[order_pts]
+        slot = np.arange(len(v_sorted)) - np.searchsorted(v_sorted, v_sorted)
+        take = slot < max_ppv
+        voxels[v_sorted[take], slot[take]] = pts_sel[order_pts][take]
+        num_points = np.minimum(
+            np.bincount(v_ids, minlength=num_v), max_ppv).astype(np.int32)
         if not data_dict.get("use_lead_xyz", True):
             voxels = voxels[..., 3:]
         data_dict["voxels"] = voxels
@@ -134,15 +137,19 @@ class DataProcessor:
     def image_normalize(self, data_dict, config):
         """Per-channel mean/std normalization of multi-cam crops
         (data_processor.image_normalize:236-248; torchvision ToTensor
-        scales to [0, 1] first)."""
+        scales to [0, 1] first). Contract keyed on dtype, not values:
+        integer inputs (the loaders' raw uint8 crops) are scaled by 1/255
+        like ToTensor; float inputs are assumed already in [0, 1]."""
         imgs = data_dict.get("camera_imgs")
         if imgs is None:
             return data_dict
         mean = np.asarray(config["mean"], np.float32)
         std = np.asarray(config["std"], np.float32)
-        imgs = np.asarray(imgs, np.float32)
-        if imgs.max() > 1.5:  # uint8-range inputs
-            imgs = imgs / 255.0
+        imgs = np.asarray(imgs)
+        if np.issubdtype(imgs.dtype, np.integer):
+            imgs = imgs.astype(np.float32) / 255.0
+        else:
+            imgs = imgs.astype(np.float32)
         data_dict["camera_imgs"] = (imgs - mean) / std
         return data_dict
 

@@ -346,12 +346,12 @@ class TestProcessorSteps:
 
         cfg = [
             {"NAME": "image_normalize",
-             "mean": [0.5, 0.5, 0.5], "std": [0.25, 0.25, 0.25]},
+             "mean": [0.2, 0.2, 0.2], "std": [0.25, 0.25, 0.25]},
             {"NAME": "image_calibrate"},
         ]
         proc = DataProcessor(cfg, [0, 0, 0, 4, 4, 4], training=False,
                              num_point_features=4)
-        imgs = np.full((2, 8, 10, 3), 127.5, np.float32)  # uint8 midpoint
+        imgs = np.full((2, 8, 10, 3), 51, np.uint8)  # 51/255 == mean 0.2
         d = proc.forward({
             "points": np.zeros((1, 4), np.float32),
             "camera_imgs": imgs,
@@ -463,8 +463,11 @@ class TestExtendedAugmentors:
                          "gt_names": np.array(["car"])})
         np.testing.assert_allclose(sorted(d["points"][:, 3]), [2.0, 3.0])
 
-    def test_multicam_image_flip(self):
-        aug = self._aug("random_image_flip", PROB=1.0)
+    def test_imgaug_flip_recorded(self):
+        """imgaug (data_augmentor.imgaug:282-302): per-camera random flip,
+        applied image matches the flag recorded in img_process_infos."""
+        np.random.seed(3)
+        aug = self._aug("imgaug", RAND_FLIP=True, ROT_LIM=[0.0, 0.0])
         imgs = np.arange(2 * 4 * 6 * 3, dtype=np.float32).reshape(2, 4, 6, 3)
         infos = [[0.5, (0, 0, 6, 4), False, 0], [0.5, (0, 0, 6, 4), False, 0]]
         gt = np.zeros((1, 7), np.float32)
@@ -473,6 +476,73 @@ class TestExtendedAugmentors:
             "gt_names": np.array(["car"]),
             "camera_imgs": imgs.copy(), "img_process_infos": infos,
         })
-        np.testing.assert_allclose(
-            d["camera_imgs"], imgs[:, :, ::-1])
-        assert all(i[2] for i in d["img_process_infos"])
+        for cam in range(2):
+            expect = imgs[cam, :, ::-1] if d["img_process_infos"][cam][2] \
+                else imgs[cam]
+            np.testing.assert_allclose(d["camera_imgs"][cam], expect)
+            assert d["img_process_infos"][cam][3] == 0.0
+
+    def test_imgaug_rotation_matches_calibrate_matrix(self):
+        """A hot pixel must land where image_calibrate's rotation block
+        says: q = a(p - b) + b with a = [[c, s], [-s, c]], b = center."""
+        from hgsfusion_tpu.datasets.augmentor import DataAugmentor
+
+        img = np.zeros((8, 8, 3), np.float32)
+        img[2, 3] = 1.0  # (u=3, v=2)
+        out = DataAugmentor._rotate_image(img, 90.0)
+        # a = [[0, 1], [-1, 0]], b = (4, 4): q = a([3-4, 2-4]) + b = (2, 5)
+        np.testing.assert_allclose(out[5, 2], 1.0, atol=1e-5)
+        assert abs(out.sum() - 3.0) < 1e-4
+
+    def test_world_frustum_dropout_keeps_boxes2d_aligned(self):
+        """Dropping a box must drop its 2D box too, or the augmentor's
+        final gt_boxes_mask application desyncs and raises."""
+        aug = self._aug("random_world_frustum_dropout",
+                        INTENSITY_RANGE=[0.5, 0.5], DIRECTION=["top"])
+        gt = np.array([
+            [5.0, 0.0, -0.5, 4.0, 2.0, 1.6, 0.0],   # low box -> kept
+            [5.0, 0.0, 0.9, 4.0, 2.0, 1.6, 0.0],    # high box -> dropped
+        ], np.float32)
+        pts = np.array([[5.0, 0.0, -0.9, 1.0], [5.0, 0.0, 1.0, 2.0]],
+                       np.float32)
+        b2d = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+        d = aug.forward({
+            "gt_boxes": gt.copy(), "points": pts.copy(),
+            "gt_names": np.array(["car", "car"]),
+            "gt_boxes2d": b2d.copy(),
+            "gt_boxes_mask": np.ones(2, bool),
+        })
+        assert len(d["gt_boxes"]) == len(d["gt_boxes2d"]) == 1
+        np.testing.assert_allclose(d["gt_boxes2d"][0], b2d[0])
+
+    def test_in_box_mask_margin(self):
+        """Reference get_points_in_box:473-480 adds a 0.1 m xy MARGIN with
+        inclusive comparisons; z uses the exact half-extent."""
+        aug = self._aug("random_world_flip", ALONG_AXIS_LIST=["x"])
+        box = np.array([0, 0, 0, 4.0, 2.0, 1.6, 0.0], np.float32)
+        pts = np.array([
+            [2.05, 0.0, 0.0],    # x: within the 0.1 margin -> in
+            [2.15, 0.0, 0.0],    # x: beyond the margin -> out
+            [0.0, 1.05, 0.0],    # y: within the margin -> in
+            [0.0, 0.0, 0.85],    # z: beyond dz/2, no margin -> out
+            [0.0, 0.0, 0.80],    # z: exactly dz/2 (inclusive) -> in
+        ], np.float32)
+        mask = aug._in_box_mask(pts, box)
+        assert mask.tolist() == [True, False, True, False, True]
+
+    def test_mono_image_flip_standalone(self, synthetic_root):
+        """random_image_flip (data_augmentor.py:125-147) flips the mono
+        image and mirrors 2D boxes with PROB=1."""
+        ds = _make_dataset(synthetic_root, training=True)
+        d = ds.compose_input_dict(0)
+        aug = self._aug("random_image_flip", PROB=1.0,
+                        ALONG_AXIS_LIST=["horizontal"])
+        w = d["images"].shape[1]
+        b2d = np.array([[10.0, 5.0, 30.0, 25.0]], np.float32)
+        orig = d["images"].copy()
+        out = aug.random_image_flip(
+            {**d, "gt_boxes2d": b2d.copy()},
+            {"PROB": 1.0, "ALONG_AXIS_LIST": ["horizontal"]})
+        np.testing.assert_allclose(out["images"], orig[:, ::-1])
+        np.testing.assert_allclose(out["gt_boxes2d"][0],
+                                   [w - 30.0, 5.0, w - 10.0, 25.0])

@@ -73,6 +73,38 @@ class TestGtDatabase:
         off_diag = np.asarray(iou) - np.eye(len(out["gt_boxes"]))
         assert off_diag.max() <= 1e-6
 
+    def test_sampler_keeps_boxes2d_aligned(self, db_root):
+        """When the frame carries gt_boxes2d, sampling must pad it in step
+        with gt_boxes so the augmentor's final mask application doesn't
+        desync (sampled db objects have no 2D boxes -> zero rows)."""
+        root, ds = db_root
+        sampler = DataBaseSampler(
+            root,
+            {
+                "DB_INFO_PATH": ["kitti_dbinfos_train.pkl"],
+                "PREPARE": {"filter_by_min_points": ["Car:1"]},
+                "SAMPLE_GROUPS": ["Car:10"],
+                "NUM_POINT_FEATURES": 7,
+                "LIMIT_WHOLE_SCENE": True,
+            },
+            class_names=["Car", "Pedestrian", "Cyclist"],
+        )
+        np.random.seed(0)
+        pts = np.zeros((100, 7), np.float32)
+        pts[:, 0] = np.linspace(5, 40, 100)
+        gt = np.array([[10.0, 0.0, 0.0, 4.0, 2.0, 1.6, 0.0]], np.float32)
+        out = sampler({
+            "points": pts,
+            "gt_boxes": gt,
+            "gt_names": np.array(["Car"], dtype="<U16"),
+            "gt_boxes_mask": np.ones(1, bool),
+            "gt_boxes2d": np.array([[1.0, 2.0, 3.0, 4.0]], np.float32),
+        })
+        assert len(out["gt_boxes2d"]) == len(out["gt_boxes"])
+        assert len(out["gt_boxes_mask"]) == len(out["gt_boxes"])
+        np.testing.assert_allclose(out["gt_boxes2d"][0], [1, 2, 3, 4])
+        np.testing.assert_allclose(out["gt_boxes2d"][1:], 0.0)
+
 
 class TestRoadPlaneSampling:
     def test_sampled_boxes_lifted_onto_plane(self, tmp_path):
