@@ -56,3 +56,56 @@ class BaseBEVBackbone(nn.Module):
             )(u)
             ups.append(nn.relu(u))
         return jnp.concatenate(ups, axis=-1)
+
+
+class RPNV2(nn.Module):
+    """Two-level PillarNet RPN neck (fine + 2x-coarse BEV maps).
+
+    TPU-native equivalent of RPNV2 (pillarnet_modules/rpn.py:129-254), a
+    registered-but-unused leftover. Intended dataflow per its __init__
+    (the reference forward has a dead `x` — block_5's input line is
+    commented out, so the module as shipped cannot run): deblock_4 is a
+    3x3 conv-BN-ReLU on the fine map; block_5 is a conv stack on the
+    coarse map whose output deblock_5 transposed-convs 2x back up; the
+    two are channel-concatenated and refined by block_4. Norm eps/momentum
+    follow the reference's BN defaults (eps 1e-3, momentum 0.01).
+    """
+
+    layer_nums: Sequence[int] = (5, 5)          # (block_4, block_5)
+    num_filters: Sequence[int] = (128, 256)     # ds_num_filters
+    num_upsample_filters: Sequence[int] = (128, 128)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x_fine, x_coarse, train: bool):
+        """x_fine: (B, H, W, C4); x_coarse: (B, H/2, W/2, C5).
+        Returns (B, H, W, sum(num_upsample_filters))."""
+        def cbr(h, feats, name, transpose=False):
+            if transpose:
+                h = nn.ConvTranspose(
+                    feats, (2, 2), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, name=f"{name}_conv")(h)
+            else:
+                h = nn.Conv(
+                    feats, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name=f"{name}_conv")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=self.dtype, name=f"{name}_bn")(h)
+            return nn.relu(h)
+
+        # block_5: conv stack on the coarse level (rpn.py:171-178, 215-233)
+        h5 = cbr(x_coarse, self.num_filters[1], "block5_in")
+        for bi in range(self.layer_nums[1]):
+            h5 = cbr(h5, self.num_filters[1], f"block5_layer{bi}")
+        up5 = cbr(h5, self.num_upsample_filters[1], "deblock5", transpose=True)
+
+        # deblock_4: single 3x3 on the fine level (rpn.py:192-197)
+        up4 = cbr(x_fine, self.num_upsample_filters[0], "deblock4")
+
+        h = jnp.concatenate([up4, up5], axis=-1)
+        # block_4: refinement stack at the fine resolution (rpn.py:198-203)
+        h = cbr(h, sum(self.num_upsample_filters), "block4_in")
+        for bi in range(self.layer_nums[0]):
+            h = cbr(h, sum(self.num_upsample_filters), f"block4_layer{bi}")
+        return h

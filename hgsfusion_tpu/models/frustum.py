@@ -24,6 +24,7 @@ import math
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -42,6 +43,26 @@ def bin_depths(depth, mode: str, depth_min: float, depth_max: float, num_bins: i
             / (math.log(1 + depth_max) - math.log(1 + depth_min))
         )
     raise NotImplementedError(mode)
+
+
+def pseudocost_from_depth(depth_map, mode: str, depth_min: float,
+                          depth_max: float, num_bins: int,
+                          magnitude: float = 10.0):
+    """One-hot pseudo depth logits from a dense depth map.
+
+    DepthFFN_mapping.pseudocost_from_mono (depth_ffn_mapping.py:104-133,
+    USE_LIDAR_DEPTH): discretize each pixel's depth (UD/LID/SID), truncate
+    toward zero (torch .type(int64)), send out-of-range/non-finite pixels
+    to the overflow bin, and scatter magnitude-10 spikes — a hard
+    replacement for the DDN's softmax logits.
+
+    depth_map: (B, H, W) -> (B, H, W, num_bins + 1).
+    """
+    idx = bin_depths(depth_map, mode, depth_min, depth_max, num_bins)
+    bad = (idx < 0) | (idx > num_bins) | ~jnp.isfinite(idx)
+    idx = jnp.where(bad, num_bins, idx.astype(jnp.int32))
+    idx = jnp.clip(idx.astype(jnp.int32), 0, num_bins)
+    return jax.nn.one_hot(idx, num_bins + 1, dtype=jnp.float32) * magnitude
 
 
 class FrustumGridGenerator:
@@ -326,3 +347,32 @@ class FrustumToVoxelMultiScale(nn.Module):
             dtype=self.dtype, name="bn",
         )(vox)
         return nn.relu(vox)
+
+
+class FrustumToVoxelSingleScale(nn.Module):
+    """Single-scale frustum -> voxel sampling (no reduce conv).
+
+    TPU-native equivalent of the registered-but-unused single-scale
+    FrustumToVoxel (f2v/frustum_to_voxel.py:8-75): trilinearly sample the
+    depth-weighted frustum volume probs*feat at the voxel grid and return
+    it as (B, Y, X, Z, C) — the reference's Sampler grid_sample on the
+    materialized (B, C, D, H, W) volume, done here with the factorized
+    per-tap depth lerp (no 5-D volume materialization). With use_depth
+    False the depth coordinate is dead (D=1 + align_corners, see module
+    docstring) and it reduces to 2-D bilinear sampling.
+    """
+
+    use_depth: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, feature, grid, train: bool, depth_probs=None):
+        """feature: (B, H, W, C); grid: (B, Y, X, Z, 3) normalized;
+        depth_probs: (B, H, W, D) softmaxed depth distribution."""
+        from ..ops.grid_sample import grid_sample_2d
+
+        cdt = self.dtype or jnp.float32
+        if self.use_depth and depth_probs is not None:
+            return FrustumToVoxelMultiScale._sample_with_depth(
+                self, feature, depth_probs, grid, cdt)
+        return grid_sample_2d(feature.astype(cdt), grid[..., 0:2])

@@ -39,3 +39,61 @@ class FusionAfterBEVSE(nn.Module):
         )(x)
         x = nn.relu(x)
         return SEBlock(c, name="se")(x)
+
+
+def fusion_map_to_bev(image_bev, radar_bev):
+    """Concat image BEV + radar BEV into one spatial_features map.
+
+    TPU-native equivalent of Fusion_MAP_TO_BEV (map_to_bev/
+    fusion_caddn_pp.py:5-31), a registered-but-unused leftover: the radar
+    BEV (a PointPillar scatter or PillarNet's pre-scattered features) is
+    bilinearly resized to the image BEV resolution when the grids differ,
+    then channel-concatenated. Pure plumbing — no parameters, so a plain
+    function rather than a module.
+
+    image_bev: (B, Hi, Wi, Ci); radar_bev: (B, Hr, Wr, Cr).
+    Returns (B, Hi, Wi, Ci + Cr).
+    """
+    if radar_bev.shape[1:3] != image_bev.shape[1:3]:
+        radar_bev = resize_bilinear(radar_bev, image_bev.shape[1:3])
+    return jnp.concatenate([image_bev, radar_bev], axis=-1)
+
+
+class HeightCompressionMultiScale(nn.Module):
+    """Per-scale Z-collapse of a 3D voxel pyramid to a list of BEV maps.
+
+    TPU-native equivalent of HeightCompressionMultiScale (map_to_bev/
+    height_compression_multi_scale.py:4-44), a registered-but-unused
+    leftover: each scale's dense (B, Y, X, Z, C) volume is flattened over
+    (Z, C) and reduced by a 1x1 conv + BN + ReLU. The torch flatten
+    orders channels c*Z + z; the kernel keeps that (C*Z, O) layout for
+    checkpoint parity while contracting directly on the 5-D volume
+    (same einsum trick as Conv2DCollapse in occupancy.py).
+    """
+
+    out_channels: tuple = (128, 128, 128)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, voxel_pyramid, train: bool):
+        """voxel_pyramid: sequence of (B, Y, X, Z, C) volumes (x_conv3,
+        x_conv4, encoded tensor). Returns a list of (B, Y, X, O) maps."""
+        outs = []
+        for i, vol in enumerate(voxel_pyramid):
+            b, y, x, z, c = vol.shape
+            o = self.out_channels[i]
+            kernel = self.param(
+                f"down{i}_kernel", nn.initializers.lecun_normal(),
+                (c * z, o))
+            bias = self.param(f"down{i}_bias", nn.initializers.zeros, (o,))
+            cdt = self.dtype or vol.dtype
+            k = kernel.reshape(c, z, o).astype(cdt)
+            h = jnp.einsum(
+                "byxzc,czo->byxo", vol.astype(cdt), k,
+                preferred_element_type=jnp.float32,
+            ).astype(cdt) + bias.astype(cdt)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"down{i}_bn")(h)
+            outs.append(nn.relu(h))
+        return outs

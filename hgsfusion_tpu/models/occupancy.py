@@ -257,3 +257,208 @@ def occupancy_loss(occupancy, gt_boxes, grid_size, pc_range, voxel_size,
         gt_boxes, grid_size, pc_range, voxel_size, max_half_extent
     )
     return binary_focal_loss(occupancy[..., 0], target)
+
+
+# ---------------------------------------------------------------------------
+# v1 (3D) occupancy family — registered-but-unused leftovers of the
+# reference (radar_occupancy.py, simple_sampler.py); kept for inventory
+# parity. Voxel layout here is the framework's (B, Y, X, Z, C).
+# ---------------------------------------------------------------------------
+
+
+class SimpleSampler(nn.Module):
+    """Gate image voxel features by radar point occupancy.
+
+    TPU-native equivalent of SimpleSampler (simple_sampler.py:18-115):
+    radar points are rounded to voxel indices (round, then CLAMPED into
+    the grid — out-of-range points stick to border voxels, a reference
+    quirk kept here), the marked voxels' image features are re-added
+    ('ADD') or SE-fused ('SE', simple_sampler.py:44-50). The reference's
+    MODE/PADDING_MODE grid-sample config is dead (the sampler partial is
+    never called); the actual forward is the hard binary mark replicated
+    here. use_virtual drops points whose flag column != 0 (:66-68)."""
+
+    feature_dim: int = 64
+    pc_range: tuple = (0, -25.6, -3, 51.2, 25.6, 2)
+    voxel_size: tuple = (0.16, 0.16, 0.16)
+    fuse_mode: str = "ADD"
+    use_virtual: bool = False
+    virtual_col: int = -2
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, voxel_features, points, points_valid, train: bool):
+        """voxel_features: (B, Y, X, Z, C); points: (B, N, >=3) lidar-frame;
+        points_valid: (B, N) bool. Returns the fused (B, Y, X, Z, C)."""
+        b, ny, nx, nz, c = voxel_features.shape
+        valid = points_valid
+        if self.use_virtual:
+            valid = valid & (points[..., self.virtual_col] == 0)
+
+        low = jnp.asarray(self.pc_range[:3], points.dtype)
+        vox = jnp.asarray(self.voxel_size, points.dtype)
+        idx = jnp.round((points[..., 0:3] - low) / vox)
+        bound = jnp.asarray([nx - 1, ny - 1, nz - 1], points.dtype)
+        idx = jnp.clip(idx, 0.0, bound).astype(jnp.int32)
+        flat = (idx[..., 1] * nx + idx[..., 0]) * nz + idx[..., 2]
+        flat = jnp.where(valid, flat, ny * nx * nz)  # dump slot
+
+        def one(ids):
+            occ = jnp.zeros((ny * nx * nz + 1,), jnp.float32)
+            return occ.at[ids].set(1.0)[:-1].reshape(ny, nx, nz)
+
+        mark = jax.vmap(one)(flat)[..., None].astype(voxel_features.dtype)
+        sampled = voxel_features * mark
+        if self.fuse_mode == "ADD":
+            return voxel_features + sampled
+        if self.fuse_mode == "SE":
+            fused = jnp.concatenate([sampled, voxel_features], axis=-1)
+            # 3D SE: global-average over (Y, X, Z) + 1x1x1 conv gate
+            att = jnp.mean(fused, axis=(1, 2, 3), keepdims=True)
+            att = nn.Dense(2 * c, use_bias=True, name="se_att")(att)
+            fused = fused * nn.sigmoid(att)
+            fused = nn.Dense(c, use_bias=True, dtype=self.dtype,
+                             name="se_squeeze")(fused)
+            fused = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="se_squeeze_bn")(fused)
+            return nn.relu(fused)
+        raise NotImplementedError(self.fuse_mode)
+
+
+class RadarOccupancy3D(nn.Module):
+    """Per-z-slice radar occupancy gating of the image voxel volume.
+
+    TPU-native equivalent of RadarOccupancy v1 (radar_occupancy.py:83-195):
+    a conv head over the radar BEV predicts D sigmoid slices (one per z
+    bin) which gate the (B, Y, X, Z, C) image voxels. USE_ASPP prepends a
+    1x1 and a dilation-6 3x3 stage (:117-137); fuse modes: 'MASK' (radial
+    Gaussian blend, :165-170), 'ADD' (FEATURE_ADD, :171), 'REPLACE'
+    (default, :172-173), 'SEPARATE' (:174-175 stores without replacing —
+    here returned alongside). The reference's trilinear image-voxel resize
+    (:158-162) keeps Z, so it reduces to bilinear in the BEV plane."""
+
+    radar_input_channels: int = 128
+    num_z_bins: int = 31
+    use_aspp: bool = False
+    occupancy_init: float = 0.01
+    fuse_mode: str = "REPLACE"  # MASK | ADD | REPLACE | SEPARATE
+    mask_sigma: float = 240.0
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, voxel_features, radar_bev, train: bool):
+        """voxel_features: (B, Y, X, Z, C); radar_bev: (B, Yr, Xr, Cr).
+        Returns (fused voxels (B, Yr, Xr, Z, C), occupancy (B, Yr, Xr, Z))."""
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name)
+
+        b, ny, nx, nz, c = voxel_features.shape
+        ry, rx = radar_bev.shape[1:3]
+        if (ny, nx) != (ry, rx):
+            flat = voxel_features.reshape(b, ny, nx, nz * c)
+            voxel_features = resize_bilinear(flat, (ry, rx)).reshape(
+                b, ry, rx, nz, c)
+
+        cr = self.radar_input_channels
+        h = radar_bev
+        if self.use_aspp:
+            h = nn.Conv(cr, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="aspp_conv1")(h)
+            h = nn.relu(bn("aspp_bn1")(h))
+            h = nn.Conv(cr, (3, 3), padding=((6, 6), (6, 6)),
+                        kernel_dilation=(6, 6), use_bias=False,
+                        dtype=self.dtype, name="aspp_conv2")(h)
+            h = nn.relu(bn("aspp_bn2")(h))
+        h = nn.Conv(cr // 2, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                    dtype=self.dtype, name="occ_conv1")(h)
+        h = nn.relu(bn("occ_bn1")(h))
+        h = nn.Conv(
+            self.num_z_bins, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+            bias_init=nn.initializers.constant(
+                bias_init_with_prob(self.occupancy_init)),
+            name="occ_conv2")(h)
+        occupancy = nn.sigmoid(h.astype(jnp.float32))  # (B, Yr, Xr, D)
+
+        gate = occupancy[..., None].astype(voxel_features.dtype)
+        if self.fuse_mode == "MASK":
+            ys = (jnp.arange(ry, dtype=jnp.float32) - ry // 2)[:, None]
+            xs = jnp.arange(rx, dtype=jnp.float32)[None, :]
+            ratio = jnp.exp(-(xs * xs + ys * ys)
+                            / (2.0 * self.mask_sigma ** 2))[None, :, :, None, None]
+            fused = voxel_features * (gate * ratio + (1.0 - ratio))
+        elif self.fuse_mode == "ADD":
+            fused = voxel_features * gate + voxel_features
+        else:  # REPLACE and SEPARATE both return the gated volume
+            fused = voxel_features * gate
+        return fused, occupancy
+
+
+def rasterize_gt_boxes_3d(gt_boxes, grid_size, pc_range, voxel_size,
+                          max_half_extent: int = 32, max_z_extent: int = 32):
+    """Rasterize gt boxes to a binary 3D target (B, ny, nx, nz).
+
+    Vectorized equivalent of RadarOccupancy.get_loss (radar_occupancy.py:
+    196-249) including its z quirk: z offsets span arange(0, 2*floor(
+    (dz/2)/vz)) ADDED to the floored center-z voxel — the footprint rises
+    a full box height from the center plane instead of straddling it.
+    xy offsets rotate with the heading exactly like the BEV rasterizer."""
+    nx, ny = int(grid_size[0]), int(grid_size[1])
+    nz = int(grid_size[2])
+    k = max_half_extent
+    vox = jnp.asarray(voxel_size, jnp.float32)
+    low = jnp.asarray(pc_range[:3], jnp.float32)
+
+    center = jnp.floor((gt_boxes[..., 0:3] - low) / vox)  # (B, M, 3)
+    halfdim = jnp.floor(gt_boxes[..., 3:6] / 2.0 / vox)
+    heading = gt_boxes[..., 6]
+    valid = gt_boxes[..., -1] > 0
+
+    offs = jnp.arange(-k, k, dtype=jnp.float32)
+    dxg, dyg = jnp.meshgrid(offs, offs, indexing="ij")
+    dxg = dxg.reshape(-1)
+    dyg = dyg.reshape(-1)  # (P,)
+
+    in_x = (dxg[None, None] >= -halfdim[..., 0:1]) & \
+        (dxg[None, None] < halfdim[..., 0:1])
+    in_y = (dyg[None, None] >= -halfdim[..., 1:2]) & \
+        (dyg[None, None] < halfdim[..., 1:2])
+    osel = in_x & in_y & valid[..., None]  # (B, M, P)
+
+    cosa = jnp.cos(heading)[..., None]
+    sina = jnp.sin(heading)[..., None]
+    rx = jnp.floor(dxg[None, None] * cosa - dyg[None, None] * sina)
+    ry = jnp.floor(dxg[None, None] * sina + dyg[None, None] * cosa)
+    px = jnp.clip(center[..., 0:1] + rx, 0, nx - 1).astype(jnp.int32)
+    py = jnp.clip(center[..., 1:2] + ry, 0, ny - 1).astype(jnp.int32)
+
+    # z column: offsets 0 .. 2*halfz-1 from the center voxel (the quirk)
+    dzg = jnp.arange(0, max_z_extent, dtype=jnp.float32)  # (Q,)
+    in_z = dzg[None, None] < 2.0 * halfdim[..., 2:3]  # (B, M, Q)
+    pz = jnp.clip(center[..., 2:3] + dzg[None, None], 0, nz - 1
+                  ).astype(jnp.int32)
+
+    # flat ids over (y, x, z); masked pairs go to the dump slot
+    base = (py * nx + px) * nz  # (B, M, P)
+    flat = base[..., :, None] + pz[..., None, :]  # (B, M, P, Q)
+    sel = osel[..., :, None] & in_z[..., None, :]
+    flat = jnp.where(sel, flat, nx * ny * nz)
+
+    def one(ids):
+        tgt = jnp.zeros((nx * ny * nz + 1,), jnp.float32)
+        return tgt.at[ids.reshape(-1)].set(1.0)[:-1].reshape(ny, nx, nz)
+
+    return jax.vmap(one)(flat)
+
+
+def occupancy3d_loss(occupancy, gt_boxes, grid_size, pc_range, voxel_size,
+                     max_half_extent: int = 32, max_z_extent: int = 32):
+    """Focal loss of (B, Y, X, D) occupancy vs the 3D rasterized target
+    (radar_occupancy.get_loss:196-249)."""
+    target = rasterize_gt_boxes_3d(
+        gt_boxes, grid_size, pc_range, voxel_size, max_half_extent,
+        max_z_extent)
+    return binary_focal_loss(occupancy, target)

@@ -24,7 +24,10 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.voxelize import points_to_pillar_ids, scatter_any_dense, scatter_max_dense
+from ..ops.voxelize import (
+    gather_cells, points_to_pillar_ids, scatter_any_dense, scatter_max_dense,
+    scatter_sum_dense,
+)
 from .layers import MaskedBatchNorm
 
 
@@ -112,6 +115,106 @@ class PillarFeatureNet(nn.Module):
             )
             x = nn.relu(x)
         x = x * mask.astype(x.dtype)  # zero contributions from dumped points
+
+        bev = scatter_max_dense(x, ids, ny * nx)
+        bev = bev.reshape(bev.shape[0], ny, nx, x.shape[-1])
+        occ = scatter_any_dense(ids, ny * nx).reshape(bev.shape[0], ny, nx, 1)
+        return bev, occ
+
+
+class Radar7PillarVFE(nn.Module):
+    """Classic PointPillars-style VFE over 7-feature radar points.
+
+    TPU-native equivalent of Radar7PillarVFE (pillar_vfe.py:125-271), a
+    registered-but-unused leftover the HGS configs never select. Input
+    column layout [x, y, z, rcs, v_r, v_r_comp, time]; flags pick which
+    raw columns feed the PFN alongside the two relative-offset triplets
+    (f_cluster = xyz - in-pillar mean, f_center = xyz - pillar center).
+    USE_ELEVATION=False zeroes z before anything else (:231-232).
+
+    Design differences (static shapes, same math): instead of the
+    host-voxelized ragged (V, P, C) tensor, points stay padded (B, N, D)
+    and per-pillar statistics are dense segment ops; each PFN layer's
+    pillar context is a segment-max gathered back per point (PFNLayer's
+    x_repeat concat, pillar_vfe.py:31-60), and the final pillar feature
+    is scattered straight into the (B, ny, nx, C) BEV grid — the separate
+    PointPillarScatter pass the reference pairs this VFE with.
+    """
+
+    num_filters: Sequence[int] = (64,)
+    voxel_size: Sequence[float] = (0.16, 0.16, 5.0)
+    pc_range: Sequence[float] = (0, -25.6, -3, 51.2, 25.6, 2)
+    use_xyz: bool = True
+    use_rcs: bool = True
+    use_vr: bool = True
+    use_vr_comp: bool = True
+    use_time: bool = True
+    use_elevation: bool = True
+    with_distance: bool = False
+    dtype: object = None
+
+    @property
+    def grid_shape(self):
+        nx = int(round((self.pc_range[3] - self.pc_range[0]) / self.voxel_size[0]))
+        ny = int(round((self.pc_range[4] - self.pc_range[1]) / self.voxel_size[1]))
+        return ny, nx
+
+    @nn.compact
+    def __call__(self, points, points_valid, train: bool):
+        """points: (B, N, >=7) [x y z rcs v_r v_r_comp time ...];
+        points_valid: (B, N) bool. Returns (bev (B, ny, nx, C), occ mask)."""
+        ny, nx = self.grid_shape
+        pdt = points.dtype
+        if not self.use_elevation:
+            points = points.at[..., 2].set(0.0)
+        xyz = points[..., 0:3]
+
+        pc_min = jnp.asarray(self.pc_range[:3], pdt)
+        ids, in_grid = points_to_pillar_ids(
+            xyz - pc_min, points_valid, float(self.voxel_size[0]), nx, ny)
+
+        # f_cluster: offset from the pillar's valid-point mean (:238-240)
+        w = in_grid[..., None].astype(pdt)
+        sums = scatter_sum_dense(jnp.concatenate([xyz * w, w], -1), ids,
+                                 ny * nx)
+        mean = gather_cells(sums, ids)
+        f_cluster = xyz - mean[..., :3] / jnp.maximum(mean[..., 3:4], 1.0)
+
+        # f_center: offset from the pillar's geometric center (:242-249)
+        ix = (ids % nx).astype(pdt)
+        iy = (ids // nx).astype(pdt)
+        center = jnp.stack([
+            ix * self.voxel_size[0] + (self.voxel_size[0] / 2 + self.pc_range[0]),
+            iy * self.voxel_size[1] + (self.voxel_size[1] / 2 + self.pc_range[1]),
+            jnp.full_like(ix, self.voxel_size[2] / 2 + self.pc_range[2]),
+        ], axis=-1)
+        f_center = xyz - center
+
+        cols = []
+        if self.use_xyz:
+            cols.append(xyz)
+        for flag, col in ((self.use_rcs, 3), (self.use_vr, 4),
+                          (self.use_vr_comp, 5), (self.use_time, 6)):
+            if flag:
+                cols.append(points[..., col:col + 1])
+        feats = [jnp.concatenate(cols, -1), f_cluster, f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        x = jnp.concatenate(feats, -1)
+
+        mask = in_grid[..., None]
+        n_layers = len(self.num_filters)
+        for i, width in enumerate(self.num_filters):
+            x = nn.Dense(width, use_bias=False, dtype=self.dtype,
+                         name=f"pfn_{i}")(x)
+            x = MaskedBatchNorm(width, eps=1e-3, momentum=0.01,
+                                name=f"pfn_bn_{i}")(
+                x, mask, use_running_average=not train)
+            x = nn.relu(x) * mask.astype(x.dtype)
+            if i < n_layers - 1:  # PFNLayer x_repeat concat (:55-59)
+                pooled = gather_cells(
+                    scatter_max_dense(x, ids, ny * nx), ids)
+                x = jnp.concatenate([x, pooled], -1)
 
         bev = scatter_max_dense(x, ids, ny * nx)
         bev = bev.reshape(bev.shape[0], ny, nx, x.shape[-1])

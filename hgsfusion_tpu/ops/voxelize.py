@@ -56,3 +56,20 @@ def scatter_any_dense(ids, num_cells: int):
         return cnt[:num_cells] > 0
 
     return jax.vmap(one)(ids)
+
+
+def scatter_sum_dense(features, ids, num_cells: int):
+    """Per-batch scatter-sum: (B, N, C) + (B, N) ids -> (B, num_cells, C)."""
+    def one(f, i):
+        return jax.ops.segment_sum(f, i, num_segments=num_cells + 1)[:num_cells]
+
+    return jax.vmap(one)(features, ids)
+
+
+def gather_cells(cells, ids):
+    """Per-batch gather back to points: (B, num_cells, C) + (B, N) ids ->
+    (B, N, C); the dump slot (id == num_cells) reads as 0."""
+    num_cells = cells.shape[1]
+    padded = jnp.concatenate(
+        [cells, jnp.zeros_like(cells[:, :1])], axis=1)
+    return jax.vmap(lambda c, i: c[i])(padded, jnp.minimum(ids, num_cells))
