@@ -63,3 +63,49 @@ def build_network(cfg, model_cfg: HGSFusionConfig):
             f"unknown detector '{name}'; available: {sorted(DETECTORS)}"
         )
     return DETECTORS[name](cfg=model_cfg)
+
+
+def _sub_modules():
+    """Reference per-category `__all__` registry names -> our equivalents.
+
+    The reference wires sub-modules (VFEs, map_to_bev, 2D backbones, ...)
+    by NAME through per-package `__all__` dicts (e.g. backbones_3d/vfe/
+    __init__.py, backbones_2d/map_to_bev/__init__.py). Our detectors are
+    composed statically, so this mapping is the lookup seam for anyone
+    porting a reference config that names one of these directly — every
+    registered name resolves to the TPU-native class (or function) that
+    implements it. Built lazily to keep registry import light.
+    """
+    from . import base_bev_backbone, frustum, fusion_bev, occupancy
+    from . import pillar_encoder
+
+    return {
+        # backbones_3d/vfe
+        "DynamicPillarFeatureNet": pillar_encoder.PillarFeatureNet,
+        "Radar7PillarVFE": pillar_encoder.Radar7PillarVFE,
+        "SimpleSampler": occupancy.SimpleSampler,
+        "RadarOccupancy": occupancy.RadarOccupancy3D,
+        "RadarOccupancy2DV2": occupancy.RadarOccupancy2D,
+        # vfe/image_vfe_modules/f2v
+        "FrustumToVoxel": frustum.FrustumToVoxelSingleScale,
+        "FrustumToVoxelMultiScale": frustum.FrustumToVoxelMultiScale,
+        # backbones_2d/map_to_bev
+        "Conv2DCollapse": occupancy.Conv2DCollapse,
+        "Fusion_MAP_TO_BEV": fusion_bev.fusion_map_to_bev,
+        "HeightCompressionMultiScale": fusion_bev.HeightCompressionMultiScale,
+        # backbones_2d / pillarnet neck
+        "BaseBEVBackbone": base_bev_backbone.BaseBEVBackbone,
+        "RPNV2": base_bev_backbone.RPNV2,
+        # fusion
+        "FusionAfterBEVSEDirect": fusion_bev.FusionAfterBEVSE,
+    }
+
+
+def resolve_sub_module(name: str):
+    """Look up a reference sub-module NAME (see _sub_modules)."""
+    table = _sub_modules()
+    if name not in table:
+        raise KeyError(
+            f"unknown sub-module '{name}'; available: {sorted(table)}"
+        )
+    return table[name]

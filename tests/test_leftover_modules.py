@@ -298,3 +298,23 @@ class TestRPNV2:
         var = m.init(jax.random.PRNGKey(0), fine, coarse, False)
         out = m.apply(var, fine, coarse, False)
         assert out.shape == (1, 16, 16, 32)
+
+
+class TestSubModuleRegistry:
+    def test_all_reference_names_resolve(self):
+        from hgsfusion_tpu.models.registry import resolve_sub_module
+
+        for name in [
+            "DynamicPillarFeatureNet", "Radar7PillarVFE", "SimpleSampler",
+            "RadarOccupancy", "RadarOccupancy2DV2", "FrustumToVoxel",
+            "FrustumToVoxelMultiScale", "Conv2DCollapse", "Fusion_MAP_TO_BEV",
+            "HeightCompressionMultiScale", "BaseBEVBackbone", "RPNV2",
+            "FusionAfterBEVSEDirect",
+        ]:
+            assert resolve_sub_module(name) is not None
+
+    def test_unknown_name_raises(self):
+        from hgsfusion_tpu.models.registry import resolve_sub_module
+
+        with pytest.raises(KeyError):
+            resolve_sub_module("NotARealModule")
