@@ -102,6 +102,22 @@ class KittiFormatDataset(DatasetTemplate):
         img = np.asarray(Image.open(str(f)), dtype=np.float32) / 255.0
         return img
 
+    def _road_plane_active(self):
+        """True when a gt_sampling augmentation (the only road_plane
+        consumer) is enabled for this dataset; cached after first call."""
+        flag = getattr(self, "_road_plane_flag", None)
+        if flag is None:
+            flag = False
+            aug_cfg = self.dataset_cfg.get("DATA_AUGMENTOR", None)
+            if self.training and aug_cfg is not None:
+                disable = set(aug_cfg.get("DISABLE_AUG_LIST", []))
+                flag = any(
+                    c["NAME"] == "gt_sampling" and c["NAME"] not in disable
+                    for c in aug_cfg.get("AUG_CONFIG_LIST", [])
+                )
+            self._road_plane_flag = flag
+        return flag
+
     def get_road_plane(self, idx):
         """Rectified-camera road plane from planes/<idx>.txt, normal facing
         up and normalized (kitti_dataset.get_road_plane:130-146); None when
@@ -321,11 +337,15 @@ class KittiFormatDataset(DatasetTemplate):
         if "depth_maps" in get_item_list:
             input_dict["depth_maps"] = self.get_depth_map(sample_idx)
 
-        # loaded unconditionally whenever available (vod_dataset.py:494-496
-        # has no config gate); the augmentor pops it after gt_sampling
-        road_plane = self.get_road_plane(sample_idx)
-        if road_plane is not None:
-            input_dict["road_plane"] = road_plane
+        # the reference loads road planes unconditionally (vod_dataset.py:
+        # 494-496, no config gate), but the value is only ever consumed by
+        # gt_sampling — so skip the per-sample planes/ stat+read on the hot
+        # path unless that augmentation is actually active (observable
+        # behavior identical: prepare_data pops the key otherwise)
+        if self._road_plane_active():
+            road_plane = self.get_road_plane(sample_idx)
+            if road_plane is not None:
+                input_dict["road_plane"] = road_plane
 
         if "calib_matricies" in get_item_list:
             v2r, p2 = calib_to_matricies(calib)

@@ -65,10 +65,9 @@ class HeightCompressionMultiScale(nn.Module):
     TPU-native equivalent of HeightCompressionMultiScale (map_to_bev/
     height_compression_multi_scale.py:4-44), a registered-but-unused
     leftover: each scale's dense (B, Y, X, Z, C) volume is flattened over
-    (Z, C) and reduced by a 1x1 conv + BN + ReLU. The torch flatten
-    orders channels c*Z + z; the kernel keeps that (C*Z, O) layout for
-    checkpoint parity while contracting directly on the 5-D volume
-    (same einsum trick as Conv2DCollapse in occupancy.py).
+    (Z, C) and reduced by a 1x1 conv + BN + ReLU — exactly Conv2DCollapse
+    (occupancy.py) per scale, which this delegates to (incl. its torch
+    c*Z + z kernel-flatten order for checkpoint parity).
     """
 
     out_channels: tuple = (128, 128, 128)
@@ -78,22 +77,12 @@ class HeightCompressionMultiScale(nn.Module):
     def __call__(self, voxel_pyramid, train: bool):
         """voxel_pyramid: sequence of (B, Y, X, Z, C) volumes (x_conv3,
         x_conv4, encoded tensor). Returns a list of (B, Y, X, O) maps."""
-        outs = []
-        for i, vol in enumerate(voxel_pyramid):
-            b, y, x, z, c = vol.shape
-            o = self.out_channels[i]
-            kernel = self.param(
-                f"down{i}_kernel", nn.initializers.lecun_normal(),
-                (c * z, o))
-            bias = self.param(f"down{i}_bias", nn.initializers.zeros, (o,))
-            cdt = self.dtype or vol.dtype
-            k = kernel.reshape(c, z, o).astype(cdt)
-            h = jnp.einsum(
-                "byxzc,czo->byxo", vol.astype(cdt), k,
-                preferred_element_type=jnp.float32,
-            ).astype(cdt) + bias.astype(cdt)
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"down{i}_bn")(h)
-            outs.append(nn.relu(h))
-        return outs
+        from .occupancy import Conv2DCollapse
+
+        return [
+            Conv2DCollapse(
+                num_bev_features=self.out_channels[i], use_bias=True,
+                dtype=self.dtype, name=f"down{i}",
+            )(vol, train)
+            for i, vol in enumerate(voxel_pyramid)
+        ]

@@ -189,23 +189,19 @@ class RadarOccupancy2D(nn.Module):
         return gated, occupancy
 
 
-def rasterize_gt_boxes_bev(gt_boxes, grid_size, pc_range, voxel_size,
-                           max_half_extent: int = 48):
-    """Rasterize gt boxes to a binary BEV occupancy target (B, ny, nx).
+def _rotated_bev_footprint(gt_boxes, nx, ny, pc_range, voxel_size,
+                           max_half_extent: int):
+    """Shared rotated xy footprint of gt boxes on the BEV voxel grid.
 
-    Vectorized equivalent of RadarOccupancy2DV2.get_loss:339-398: per box,
-    with one static bound the reference's unbounded torch.arange does not
-    have: a box's rasterized footprint is limited to +/-max_half_extent
-    voxels per axis (default 48 = 15.3 m at the VoD 0.16 m voxel), so the
-    ENDS of vehicles longer than 2*max_half_extent*voxel are not marked.
-    Raise max_half_extent for datasets with larger classes + fine voxels.
-    integer voxel offsets dx in [-d, d), dy in [-d, d) (d = floor(half-dim /
-    voxel)) are rotated by the heading (x-toward-y), floored, shifted by the
-    floored center voxel, clamped into the grid, and set to 1. The per-box
-    dynamic arange becomes a static (2K)^2 offset grid with a per-box mask.
+    Per box: integer voxel offsets dx, dy in [-d, d) (d = floor(half-dim /
+    voxel)) are rotated by the heading (x-toward-y), floored, shifted by
+    the floored center voxel, and clamped into the grid — the per-box
+    dynamic torch.arange of the reference rasterizers becomes a static
+    (2K)^2 offset grid with a per-box membership mask.
+
+    Returns (px, py, osel): (B, M, P) int32 x/y voxel indices and the
+    bool mask selecting real (in-extent, valid-box) offsets.
     """
-    b, m, _ = gt_boxes.shape
-    nx, ny = int(grid_size[0]), int(grid_size[1])
     k = max_half_extent
     vox = jnp.asarray(voxel_size[:2], jnp.float32)
     low = jnp.asarray(pc_range[:2], jnp.float32)
@@ -221,8 +217,10 @@ def rasterize_gt_boxes_bev(gt_boxes, grid_size, pc_range, voxel_size,
     dyg = dyg.reshape(-1)  # (P,)
 
     # per-box offset mask: arange(-d, d) membership
-    in_x = (dxg[None, None] >= -halfdim[..., 0:1]) & (dxg[None, None] < halfdim[..., 0:1])
-    in_y = (dyg[None, None] >= -halfdim[..., 1:2]) & (dyg[None, None] < halfdim[..., 1:2])
+    in_x = (dxg[None, None] >= -halfdim[..., 0:1]) & \
+        (dxg[None, None] < halfdim[..., 0:1])
+    in_y = (dyg[None, None] >= -halfdim[..., 1:2]) & \
+        (dyg[None, None] < halfdim[..., 1:2])
     osel = in_x & in_y & valid[..., None]  # (B, M, P)
 
     cosa = jnp.cos(heading)[..., None]
@@ -231,6 +229,27 @@ def rasterize_gt_boxes_bev(gt_boxes, grid_size, pc_range, voxel_size,
     ry = jnp.floor(dxg[None, None] * sina + dyg[None, None] * cosa)
     px = jnp.clip(center[..., 0:1] + rx, 0, nx - 1).astype(jnp.int32)
     py = jnp.clip(center[..., 1:2] + ry, 0, ny - 1).astype(jnp.int32)
+    return px, py, osel
+
+
+def rasterize_gt_boxes_bev(gt_boxes, grid_size, pc_range, voxel_size,
+                           max_half_extent: int = 48):
+    """Rasterize gt boxes to a binary BEV occupancy target (B, ny, nx).
+
+    Vectorized equivalent of RadarOccupancy2DV2.get_loss:339-398: per box,
+    with one static bound the reference's unbounded torch.arange does not
+    have: a box's rasterized footprint is limited to +/-max_half_extent
+    voxels per axis (default 48 = 15.3 m at the VoD 0.16 m voxel), so the
+    ENDS of vehicles longer than 2*max_half_extent*voxel are not marked.
+    Raise max_half_extent for datasets with larger classes + fine voxels.
+    integer voxel offsets dx in [-d, d), dy in [-d, d) (d = floor(half-dim /
+    voxel)) are rotated by the heading (x-toward-y), floored, shifted by the
+    floored center voxel, clamped into the grid, and set to 1. The per-box
+    dynamic arange becomes a static (2K)^2 offset grid with a per-box mask.
+    """
+    nx, ny = int(grid_size[0]), int(grid_size[1])
+    px, py, osel = _rotated_bev_footprint(
+        gt_boxes, nx, ny, pc_range, voxel_size, max_half_extent)
     flat = jnp.where(osel, py * nx + px, nx * ny)  # dump slot for masked
 
     def one(ids):
@@ -335,7 +354,8 @@ class RadarOccupancy3D(nn.Module):
     1x1 and a dilation-6 3x3 stage (:117-137); fuse modes: 'MASK' (radial
     Gaussian blend, :165-170), 'ADD' (FEATURE_ADD, :171), 'REPLACE'
     (default, :172-173), 'SEPARATE' (:174-175 stores without replacing —
-    here returned alongside). The reference's trilinear image-voxel resize
+    here the voxels pass through untouched and the caller applies the
+    returned occupancy). The reference's trilinear image-voxel resize
     (:158-162) keeps Z, so it reduces to bilinear in the BEV plane."""
 
     radar_input_channels: int = 128
@@ -392,53 +412,40 @@ class RadarOccupancy3D(nn.Module):
             fused = voxel_features * (gate * ratio + (1.0 - ratio))
         elif self.fuse_mode == "ADD":
             fused = voxel_features * gate + voxel_features
-        else:  # REPLACE and SEPARATE both return the gated volume
+        elif self.fuse_mode == "REPLACE":
             fused = voxel_features * gate
+        elif self.fuse_mode == "SEPARATE":
+            # reference :174-175 stores the gated copy under a separate key
+            # WITHOUT touching the image voxels; the caller applies the
+            # returned occupancy where it wants the gated volume
+            fused = voxel_features
+        else:
+            raise NotImplementedError(self.fuse_mode)
         return fused, occupancy
 
 
 def rasterize_gt_boxes_3d(gt_boxes, grid_size, pc_range, voxel_size,
-                          max_half_extent: int = 32, max_z_extent: int = 32):
+                          max_half_extent: int = 48, max_z_extent: int = 32):
     """Rasterize gt boxes to a binary 3D target (B, ny, nx, nz).
 
     Vectorized equivalent of RadarOccupancy.get_loss (radar_occupancy.py:
     196-249) including its z quirk: z offsets span arange(0, 2*floor(
     (dz/2)/vz)) ADDED to the floored center-z voxel — the footprint rises
     a full box height from the center plane instead of straddling it.
-    xy offsets rotate with the heading exactly like the BEV rasterizer."""
+    The xy footprint is the shared _rotated_bev_footprint (identical to
+    the 2D rasterizer, same max_half_extent truncation caveat)."""
     nx, ny = int(grid_size[0]), int(grid_size[1])
     nz = int(grid_size[2])
-    k = max_half_extent
-    vox = jnp.asarray(voxel_size, jnp.float32)
-    low = jnp.asarray(pc_range[:3], jnp.float32)
-
-    center = jnp.floor((gt_boxes[..., 0:3] - low) / vox)  # (B, M, 3)
-    halfdim = jnp.floor(gt_boxes[..., 3:6] / 2.0 / vox)
-    heading = gt_boxes[..., 6]
-    valid = gt_boxes[..., -1] > 0
-
-    offs = jnp.arange(-k, k, dtype=jnp.float32)
-    dxg, dyg = jnp.meshgrid(offs, offs, indexing="ij")
-    dxg = dxg.reshape(-1)
-    dyg = dyg.reshape(-1)  # (P,)
-
-    in_x = (dxg[None, None] >= -halfdim[..., 0:1]) & \
-        (dxg[None, None] < halfdim[..., 0:1])
-    in_y = (dyg[None, None] >= -halfdim[..., 1:2]) & \
-        (dyg[None, None] < halfdim[..., 1:2])
-    osel = in_x & in_y & valid[..., None]  # (B, M, P)
-
-    cosa = jnp.cos(heading)[..., None]
-    sina = jnp.sin(heading)[..., None]
-    rx = jnp.floor(dxg[None, None] * cosa - dyg[None, None] * sina)
-    ry = jnp.floor(dxg[None, None] * sina + dyg[None, None] * cosa)
-    px = jnp.clip(center[..., 0:1] + rx, 0, nx - 1).astype(jnp.int32)
-    py = jnp.clip(center[..., 1:2] + ry, 0, ny - 1).astype(jnp.int32)
+    px, py, osel = _rotated_bev_footprint(
+        gt_boxes, nx, ny, pc_range, voxel_size, max_half_extent)
 
     # z column: offsets 0 .. 2*halfz-1 from the center voxel (the quirk)
+    center_z = jnp.floor(
+        (gt_boxes[..., 2] - pc_range[2]) / float(voxel_size[2]))
+    half_z = jnp.floor(gt_boxes[..., 5] / 2.0 / float(voxel_size[2]))
     dzg = jnp.arange(0, max_z_extent, dtype=jnp.float32)  # (Q,)
-    in_z = dzg[None, None] < 2.0 * halfdim[..., 2:3]  # (B, M, Q)
-    pz = jnp.clip(center[..., 2:3] + dzg[None, None], 0, nz - 1
+    in_z = dzg[None, None] < 2.0 * half_z[..., None]  # (B, M, Q)
+    pz = jnp.clip(center_z[..., None] + dzg[None, None], 0, nz - 1
                   ).astype(jnp.int32)
 
     # flat ids over (y, x, z); masked pairs go to the dump slot

@@ -169,9 +169,15 @@ class Radar7PillarVFE(nn.Module):
             points = points.at[..., 2].set(0.0)
         xyz = points[..., 0:3]
 
+        # per-axis binning (voxel_size may be non-square, unlike the
+        # shared square-pillar helper points_to_pillar_ids)
         pc_min = jnp.asarray(self.pc_range[:3], pdt)
-        ids, in_grid = points_to_pillar_ids(
-            xyz - pc_min, points_valid, float(self.voxel_size[0]), nx, ny)
+        rel = xyz - pc_min
+        ix_i = jnp.floor(rel[..., 0] / self.voxel_size[0]).astype(jnp.int32)
+        iy_i = jnp.floor(rel[..., 1] / self.voxel_size[1]).astype(jnp.int32)
+        in_grid = (ix_i >= 0) & (ix_i < nx) & (iy_i >= 0) & (iy_i < ny) \
+            & points_valid
+        ids = jnp.where(in_grid, iy_i * nx + ix_i, nx * ny)
 
         # f_cluster: offset from the pillar's valid-point mean (:238-240)
         w = in_grid[..., None].astype(pdt)

@@ -283,8 +283,8 @@ class TestMapToBEVLeftovers:
         outs = m.apply(var, pyr, False)
         assert [o.shape for o in outs] == [
             (1, 16, 16, 6), (1, 8, 8, 7), (1, 4, 4, 8)]
-        # kernel stored in torch's (C*Z, O) flatten order
-        assert var["params"]["down0_kernel"].shape == (32, 6)
+        # kernel stored in torch's (C*Z, O) flatten order (Conv2DCollapse)
+        assert var["params"]["down0"]["kernel"].shape == (32, 6)
 
 
 class TestRPNV2:
@@ -318,3 +318,48 @@ class TestSubModuleRegistry:
 
         with pytest.raises(KeyError):
             resolve_sub_module("NotARealModule")
+
+
+class TestReviewRegressions:
+    def test_occ3d_separate_leaves_voxels_untouched(self):
+        """SEPARATE stores the gated copy without replacing the image
+        voxels (radar_occupancy.py:174-175)."""
+        from hgsfusion_tpu.models.occupancy import RadarOccupancy3D
+
+        m = RadarOccupancy3D(radar_input_channels=8, num_z_bins=6,
+                             fuse_mode="SEPARATE")
+        vox = jnp.ones((1, 8, 8, 6, 4), jnp.float32)
+        radar = jnp.zeros((1, 8, 8, 8), jnp.float32)
+        var = m.init(jax.random.PRNGKey(0), vox, radar, False)
+        fused, occ = m.apply(var, vox, radar, False)
+        np.testing.assert_allclose(np.asarray(fused), 1.0)
+        assert occ.shape == (1, 8, 8, 6)
+
+    def test_occ3d_unknown_fuse_mode_raises(self):
+        from hgsfusion_tpu.models.occupancy import RadarOccupancy3D
+
+        m = RadarOccupancy3D(radar_input_channels=8, num_z_bins=6,
+                             fuse_mode="Replace")  # typo'd case
+        vox = jnp.ones((1, 8, 8, 6, 4), jnp.float32)
+        radar = jnp.zeros((1, 8, 8, 8), jnp.float32)
+        with pytest.raises(NotImplementedError):
+            m.init(jax.random.PRNGKey(0), vox, radar, False)
+
+    def test_radar7_non_square_pillars(self):
+        """Non-square voxel_size bins each axis with its own size."""
+        from hgsfusion_tpu.models.pillar_encoder import Radar7PillarVFE
+
+        vfe = Radar7PillarVFE(num_filters=(8,), voxel_size=(0.5, 1.0, 5.0),
+                              pc_range=(0, -2, -3, 4, 2, 2))
+        # grid: nx = 4/0.5 = 8, ny = 4/1.0 = 4
+        assert vfe.grid_shape == (4, 8)
+        pts = np.zeros((1, 2, 7), np.float32)
+        pts[0, 0] = [3.9, 1.9, 0.0, 1.0, 0, 0, 0]   # ix=7, iy=3
+        pts[0, 1] = [0.1, -1.9, 0.0, 1.0, 0, 0, 0]  # ix=0, iy=0
+        valid = np.ones((1, 2), bool)
+        var = vfe.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                       jnp.asarray(valid), False)
+        bev, occ = vfe.apply(var, jnp.asarray(pts), jnp.asarray(valid), False)
+        assert bev.shape == (1, 4, 8, 8)
+        occ2 = np.asarray(occ)[0, :, :, 0]
+        assert occ2.sum() == 2 and occ2[3, 7] and occ2[0, 0]
