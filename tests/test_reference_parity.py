@@ -563,3 +563,190 @@ class TestTargetAssignerParity:
         np.testing.assert_allclose(
             np.asarray(our_out["reg_weights"]),
             ref_out["reg_weights"].numpy(), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_simple_sampler():
+    return _load("ref_simple_sampler",
+                 REF / "models/backbones_3d/vfe/simple_sampler.py")
+
+
+@pytest.fixture(scope="module")
+def ref_radar_occ_v1():
+    return _load("ref_radar_occ_v1",
+                 REF / "models/backbones_3d/vfe/radar_occupancy.py")
+
+
+@pytest.fixture(scope="module")
+def ref_pillar_vfe():
+    # pillar_vfe.py does `from .vfe_template import VFETemplate`: give it a
+    # real parent package so normal import machinery finds the sibling
+    pkg = types.ModuleType("refvfe")
+    pkg.__path__ = [str(REF / "models/backbones_3d/vfe")]
+    sys.modules["refvfe"] = pkg
+    return _load("refvfe.pillar_vfe",
+                 REF / "models/backbones_3d/vfe/pillar_vfe.py")
+
+
+class TestSimpleSamplerParity:
+    def test_add_fuse_matches_reference(self, ref_simple_sampler):
+        """Run the reference's SimpleSampler.forward (simple_sampler.py:
+        57-115, ADD fuse) and compare our NHWC equivalent bit-for-bit."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.occupancy import SimpleSampler
+
+        rng = np.random.RandomState(0)
+        b, c, nz, ny, nx = 2, 4, 6, 8, 8
+        pcr = [0.0, -2.0, -3.0, 4.0, 2.0, 0.0]
+        vox_size = [0.5, 0.5, 0.5]
+        vox = rng.randn(b, c, nz, ny, nx).astype(np.float32)
+        # random in-range points + a couple far out of range (clamp quirk)
+        n = 20
+        pts = np.zeros((b, n, 8), np.float32)
+        pts[..., 1] = rng.uniform(-1, 5, (b, n))
+        pts[..., 2] = rng.uniform(-3, 3, (b, n))
+        pts[..., 3] = rng.uniform(-4, 1, (b, n))
+        flat = []
+        for i in range(b):
+            pts[i, :, 0] = i
+            flat.append(pts[i])
+        ref_points = torch.from_numpy(np.concatenate(flat))
+
+        ref = ref_simple_sampler.SimpleSampler(
+            ConfigDict({"OUTPUT_FEATURE_NUM": c, "FUSE_MODE": "ADD"}),
+            point_cloud_range=pcr, voxel_size=vox_size, use_virtual=False)
+        out_ref = ref({
+            "voxel_features": torch.from_numpy(vox.copy()),
+            "points": ref_points,
+        })["voxel_features"].numpy()
+
+        mine = SimpleSampler(feature_dim=c, pc_range=tuple(pcr),
+                             voxel_size=tuple(vox_size), fuse_mode="ADD")
+        vox_nhwc = jnp.asarray(vox.transpose(0, 3, 4, 2, 1))  # B,Y,X,Z,C
+        out = mine.apply({}, vox_nhwc, jnp.asarray(pts[..., 1:4]),
+                         jnp.ones((b, n), bool), False)
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 4, 3, 1, 2), out_ref, atol=1e-6)
+
+
+class TestRadarOccupancyV1Parity:
+    def test_replace_fuse_matches_reference(self, ref_radar_occ_v1):
+        """Reference RadarOccupancy.forward (radar_occupancy.py:154-195,
+        REPLACE) vs ours with the conv/BN weights copied over."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.occupancy import RadarOccupancy3D
+
+        rng = np.random.RandomState(1)
+        b, cr, nz, ny, nx = 1, 8, 10, 8, 8
+        pcr = np.array([0.0, -2.0, -3.0, 4.0, 2.0, 2.0])
+        vox_size = [0.5, 0.5, 0.5]
+        ref = ref_radar_occ_v1.RadarOccupancy(
+            ConfigDict({"RADAR_INPUT_CHANNELS": cr}),
+            point_cloud_range=pcr, voxel_size=vox_size,
+            radar_backbone="pillarnet")
+        ref.eval()
+        # randomize BN affine + stats so eval-mode parity is non-trivial
+        with torch.no_grad():
+            bn = ref.pred_occupancy[1]
+            bn.weight.copy_(torch.rand(cr // 2) + 0.5)
+            bn.bias.copy_(torch.randn(cr // 2) * 0.1)
+            bn.running_mean.copy_(torch.randn(cr // 2) * 0.1)
+            bn.running_var.copy_(torch.rand(cr // 2) + 0.5)
+
+        c_img = 4
+        vox = rng.randn(b, c_img, nz, ny, nx).astype(np.float32)
+        radar = rng.randn(b, cr, ny, nx).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref({
+                "voxel_features": torch.from_numpy(vox.copy()),
+                "pillar_features_scattered": torch.from_numpy(radar.copy()),
+            })["spatial_features"].numpy()
+
+        conv1, bn1, _, conv2, _ = ref.pred_occupancy
+        params = {
+            "occ_conv1": {
+                "kernel": conv1.weight.detach().numpy().transpose(2, 3, 1, 0),
+                "bias": conv1.bias.detach().numpy(),
+            },
+            "occ_bn1": {"scale": bn1.weight.detach().numpy(),
+                        "bias": bn1.bias.detach().numpy()},
+            "occ_conv2": {
+                "kernel": conv2.weight.detach().numpy().transpose(2, 3, 1, 0),
+                "bias": conv2.bias.detach().numpy(),
+            },
+        }
+        stats = {"occ_bn1": {"mean": bn1.running_mean.numpy(),
+                             "var": bn1.running_var.numpy()}}
+        mine = RadarOccupancy3D(radar_input_channels=cr, num_z_bins=nz,
+                                fuse_mode="REPLACE")
+        fused, _ = mine.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(vox.transpose(0, 3, 4, 2, 1)),
+            jnp.asarray(radar.transpose(0, 2, 3, 1)), False)
+        np.testing.assert_allclose(
+            np.asarray(fused).transpose(0, 4, 3, 1, 2), out_ref,
+            atol=2e-5)
+
+
+class TestRadar7PillarVFEParity:
+    def test_full_pillars_match_reference(self, ref_pillar_vfe):
+        """Reference Radar7PillarVFE.forward (pillar_vfe.py:227-271) on
+        host-voxelized full pillars vs our dense segment-op version with
+        the PFN weights copied (full pillars: the reference's BN-over-
+        padding quirk is moot and eval-mode outputs must match)."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.pillar_encoder import Radar7PillarVFE
+
+        rng = np.random.RandomState(2)
+        vox_size = [0.5, 0.5, 5.0]
+        pcr = [0.0, -2.0, -3.0, 4.0, 2.0, 2.0]
+        cfgd = ConfigDict({
+            "USE_NORM": True, "USE_XYZ": True, "USE_DISTANCE": False,
+            "USE_RCS": True, "USE_VR": True, "USE_VR_COMP": True,
+            "USE_TIME": True, "USE_ELEVATION": True, "NUM_FILTERS": [16],
+        })
+        ref = ref_pillar_vfe.Radar7PillarVFE(
+            cfgd, num_point_features=7, voxel_size=vox_size,
+            point_cloud_range=pcr)
+        ref.eval()
+
+        # two full pillars, two points each (max_ppv == 2 -> no padding)
+        pts = np.array([
+            [0.20, -1.80, 0.00, 1.0, 0.5, 0.4, 0.0],
+            [0.40, -1.90, 0.50, 2.0, 0.1, 0.2, 0.1],
+            [3.60, 1.70, -1.0, 3.0, 0.0, 0.0, 0.2],
+            [3.70, 1.60, -0.5, 0.5, 0.3, 0.1, 0.3],
+        ], np.float32)
+        voxels = np.stack([pts[:2], pts[2:]])  # (2, 2, 7)
+        coords = np.array([[0, 0, 0, 0], [0, 0, 7, 7]], np.int64)  # b z y x
+        nump = np.array([2, 2], np.int64)
+        with torch.no_grad():
+            out_ref = ref({
+                "voxels": torch.from_numpy(voxels.copy()),
+                "voxel_num_points": torch.from_numpy(nump),
+                "voxel_coords": torch.from_numpy(coords),
+            })["pillar_features"].numpy()  # (2, 16)
+
+        pfn = ref.pfn_layers[0]
+        params = {
+            "pfn_0": {"kernel": pfn.linear.weight.detach().numpy().T},
+            "pfn_bn_0": {"scale": pfn.norm.weight.detach().numpy(),
+                         "bias": pfn.norm.bias.detach().numpy()},
+        }
+        stats = {"pfn_bn_0": {"mean": pfn.norm.running_mean.numpy(),
+                              "var": pfn.norm.running_var.numpy()}}
+        mine = Radar7PillarVFE(num_filters=(16,), voxel_size=tuple(vox_size),
+                               pc_range=tuple(pcr))
+        bev, occ = mine.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(pts[None]), jnp.ones((1, 4), bool), False)
+        np.testing.assert_allclose(
+            np.asarray(bev[0, 0, 0]), out_ref[0], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(bev[0, 7, 7]), out_ref[1], atol=1e-5)
