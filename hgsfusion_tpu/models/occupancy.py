@@ -433,7 +433,11 @@ def rasterize_gt_boxes_3d(gt_boxes, grid_size, pc_range, voxel_size,
     (dz/2)/vz)) ADDED to the floored center-z voxel — the footprint rises
     a full box height from the center plane instead of straddling it.
     The xy footprint is the shared _rotated_bev_footprint (identical to
-    the 2D rasterizer, same max_half_extent truncation caveat)."""
+    the 2D rasterizer, same max_half_extent truncation caveat). Note the
+    loss wrappers (occupancy_loss / occupancy3d_loss) pass their own
+    default of 32 — half the rasterizers' 48 — trading footprint reach
+    for a 2.25x smaller offset grid in the training step; raise it there
+    for datasets with vehicles longer than ~2*32*voxel."""
     nx, ny = int(grid_size[0]), int(grid_size[1])
     nz = int(grid_size[2])
     px, py, osel = _rotated_bev_footprint(

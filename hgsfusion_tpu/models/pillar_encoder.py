@@ -211,40 +211,32 @@ class Radar7PillarVFE(nn.Module):
         # PFN stack with the reference's exact layer semantics
         # (pillar_vfe.py:9-49, :196-203): a NON-last layer outputs
         # width // 2 per-point features concatenated with the broadcast
-        # pillar max (total = width); layers with i >= n - 2 are BOTH
-        # "last"-style (:199), so the stack pools to pillar level at
-        # layer n-2 and any further layer is a pillar-level MLP. BN is
-        # masked (padded points / empty cells excluded from batch stats —
-        # the reference's BN1d includes padding; identical in eval mode,
+        # pillar max (PFNLayer halves out_channels internally, :18-19,
+        # so the concat totals `width`); ONLY the final layer pools to
+        # pillar level — the reference's `i >= len(num_filters) - 2` is
+        # evaluated against a list with the INPUT dim prepended (:195),
+        # so it selects exactly the final user layer. BN is masked
+        # (padded points excluded from batch stats — the reference's
+        # BN1d includes padding; identical in eval mode,
         # better-conditioned in train mode).
         mask = in_grid[..., None]
-        occ_bool = scatter_any_dense(ids, ny * nx)  # (B, ny*nx)
-        cell_mask = occ_bool[..., None]
         n_layers = len(self.num_filters)
-        point_phase = True
         for i, width in enumerate(self.num_filters):
-            last = i >= n_layers - 2
+            last = i == n_layers - 1
             out_w = width if last else width // 2
             x = nn.Dense(out_w, use_bias=False, dtype=self.dtype,
                          name=f"pfn_{i}")(x)
             x = MaskedBatchNorm(out_w, eps=1e-3, momentum=0.01,
                                 name=f"pfn_bn_{i}")(
-                x, mask if point_phase else cell_mask,
-                use_running_average=not train)
-            x = nn.relu(x)
-            if point_phase:
-                x = x * mask.astype(x.dtype)
+                x, mask, use_running_average=not train)
+            x = nn.relu(x) * mask.astype(x.dtype)
+            if last:
+                x = scatter_max_dense(x, ids, ny * nx)
+            else:  # PFNLayer x_repeat concat (:46-49)
                 pooled = scatter_max_dense(x, ids, ny * nx)
-                if last:
-                    x = pooled  # pillar level from here on
-                    point_phase = False
-                else:
-                    x = jnp.concatenate(
-                        [x, gather_cells(pooled, ids)], -1)
-            else:
-                # empty cells must stay exactly 0 (sparse-V semantics)
-                x = x * cell_mask.astype(x.dtype)
+                x = jnp.concatenate([x, gather_cells(pooled, ids)], -1)
 
         bev = x.reshape(x.shape[0], ny, nx, x.shape[-1])
-        occ = occ_bool.reshape(x.shape[0], ny, nx, 1)
+        occ = scatter_any_dense(ids, ny * nx).reshape(
+            x.shape[0], ny, nx, 1)
         return bev, occ

@@ -53,24 +53,25 @@ class TestRadar7PillarVFE:
                                    atol=1e-6)
 
     def test_multi_layer_pfn_reference_widths(self):
-        """Reference PFN semantics (pillar_vfe.py:18-49, :199): layers with
-        i >= n-2 are 'last'-style (pool to pillar level); earlier layers
-        output width//2 per point + width//2 broadcast pillar max."""
+        """Reference PFN semantics (pillar_vfe.py:18-49, :193-199): ONLY
+        the final layer pools to pillar level (the reference's last-layer
+        test counts a filter list with the input dim prepended); earlier
+        layers output width//2 per point + width//2 broadcast pillar max."""
         pts, valid = self._points()
-        # two layers: layer0 pools (8), layer1 is a pillar-level MLP (16)
+        # two layers: layer0 is concat-style at 8//2=4 (total 8 into layer1)
         vfe = self._vfe(num_filters=(8, 16))
         var = vfe.init(jax.random.PRNGKey(1), pts, valid, False)
         bev, _ = vfe.apply(var, pts, valid, False)
         assert bev.shape[-1] == 16
-        assert var["params"]["pfn_0"]["kernel"].shape == (7 + 6, 8)
+        assert var["params"]["pfn_0"]["kernel"].shape == (7 + 6, 4)
         assert var["params"]["pfn_1"]["kernel"].shape == (8, 16)
-        # empty cells stay exactly zero through the pillar-level MLP
+        # empty cells stay exactly zero
         assert float(jnp.abs(bev[0, 3, 3]).max()) == 0.0
-        # three layers: layer0 concat-style at 8//2=4 per point (total 8)
+        # three layers: two concat-style layers then the pooling layer
         vfe3 = self._vfe(num_filters=(8, 12, 16))
         var3 = vfe3.init(jax.random.PRNGKey(1), pts, valid, False)
         assert var3["params"]["pfn_0"]["kernel"].shape == (13, 4)
-        assert var3["params"]["pfn_1"]["kernel"].shape == (8, 12)
+        assert var3["params"]["pfn_1"]["kernel"].shape == (8, 6)
         assert var3["params"]["pfn_2"]["kernel"].shape == (12, 16)
 
 

@@ -750,3 +750,74 @@ class TestRadar7PillarVFEParity:
             np.asarray(bev[0, 0, 0]), out_ref[0], atol=1e-5)
         np.testing.assert_allclose(
             np.asarray(bev[0, 7, 7]), out_ref[1], atol=1e-5)
+
+
+class TestRadar7PillarVFEMultiLayerParity:
+    def test_two_layer_stack_matches_reference(self, ref_pillar_vfe):
+        """Multi-layer PFN parity: the reference halves non-last widths and
+        concatenates the pillar max back per point (pillar_vfe.py:18-49);
+        only the FINAL layer pools (:193-199 — the last-layer test counts
+        a filter list with the input dim prepended). Single-layer stacks
+        can't distinguish these semantics; this one can."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.pillar_encoder import Radar7PillarVFE
+
+        vox_size = [0.5, 0.5, 5.0]
+        pcr = [0.0, -2.0, -3.0, 4.0, 2.0, 2.0]
+        cfgd = ConfigDict({
+            "USE_NORM": True, "USE_XYZ": True, "USE_DISTANCE": False,
+            "USE_RCS": True, "USE_VR": True, "USE_VR_COMP": True,
+            "USE_TIME": True, "USE_ELEVATION": True, "NUM_FILTERS": [8, 16],
+        })
+        ref = ref_pillar_vfe.Radar7PillarVFE(
+            cfgd, num_point_features=7, voxel_size=vox_size,
+            point_cloud_range=pcr)
+        ref.eval()
+        # randomize BN affine/stats so eval parity is non-trivial
+        with torch.no_grad():
+            for pfn in ref.pfn_layers:
+                pfn.norm.weight.copy_(torch.rand_like(pfn.norm.weight) + 0.5)
+                pfn.norm.bias.copy_(torch.randn_like(pfn.norm.bias) * 0.1)
+                pfn.norm.running_mean.copy_(
+                    torch.randn_like(pfn.norm.running_mean) * 0.1)
+                pfn.norm.running_var.copy_(
+                    torch.rand_like(pfn.norm.running_var) + 0.5)
+
+        pts = np.array([
+            [0.20, -1.80, 0.00, 1.0, 0.5, 0.4, 0.0],
+            [0.40, -1.90, 0.50, 2.0, 0.1, 0.2, 0.1],
+            [3.60, 1.70, -1.0, 3.0, 0.0, 0.0, 0.2],
+            [3.70, 1.60, -0.5, 0.5, 0.3, 0.1, 0.3],
+        ], np.float32)
+        voxels = np.stack([pts[:2], pts[2:]])
+        coords = np.array([[0, 0, 0, 0], [0, 0, 7, 7]], np.int64)
+        nump = np.array([2, 2], np.int64)
+        with torch.no_grad():
+            out_ref = ref({
+                "voxels": torch.from_numpy(voxels.copy()),
+                "voxel_num_points": torch.from_numpy(nump),
+                "voxel_coords": torch.from_numpy(coords),
+            })["pillar_features"].numpy()  # (2, 16)
+
+        params, stats = {}, {}
+        for i, pfn in enumerate(ref.pfn_layers):
+            params[f"pfn_{i}"] = {
+                "kernel": pfn.linear.weight.detach().numpy().T}
+            params[f"pfn_bn_{i}"] = {
+                "scale": pfn.norm.weight.detach().numpy(),
+                "bias": pfn.norm.bias.detach().numpy()}
+            stats[f"pfn_bn_{i}"] = {
+                "mean": pfn.norm.running_mean.numpy(),
+                "var": pfn.norm.running_var.numpy()}
+        mine = Radar7PillarVFE(num_filters=(8, 16),
+                               voxel_size=tuple(vox_size),
+                               pc_range=tuple(pcr))
+        bev, _ = mine.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(pts[None]), jnp.ones((1, 4), bool), False)
+        np.testing.assert_allclose(np.asarray(bev[0, 0, 0]), out_ref[0],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bev[0, 7, 7]), out_ref[1],
+                                   atol=1e-5)
