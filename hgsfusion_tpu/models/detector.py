@@ -948,8 +948,9 @@ class MPPNetModel(nn.Module):
     in through the batch, exactly like the reference's
     batch_dict['roi_boxes'] -> 'proposals_list'. See models/mppnet.py for
     the per-module references and the grouped-attention deviation note.
-    MPPNetE2E's streaming memory bank is a documented skip (inference-time
-    amortization of the same window).
+    MPPNetE2E's streaming memory bank: mppnet.MPPNetStreamState +
+    mppnet_stream_step (functional FIFO window, tested equal to this
+    fixed-window forward).
 
     Batch contract: points_multi (B, T, N, >=3), points_multi_valid
     (B, T, N), roi_boxes (B, T, P, 9) [box7|vx vy] sorted by score,

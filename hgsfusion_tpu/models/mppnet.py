@@ -10,9 +10,11 @@ Behavior references (not copied):
     boxes; proposal-aware geometry features = offsets to box corner/center
     proxy points + spherical coords:454-468,551-575; motion features = time
     embeddings:577-606; grouped transformer over frames; cls/reg),
-  pcdet/models/detectors/mppnet_e2e.py (streaming memory bank — documented
-    skip: it exists to amortize the sliding window at inference; the fixed
-    T-frame window below covers the training/eval semantics).
+  pcdet/models/detectors/mppnet_e2e.py (streaming memory bank —
+    implemented functionally below: MPPNetStreamState +
+    mppnet_stream_init/push/step carry the FIFO window as a fixed-shape
+    pytree between jitted steps; a streaming step is tested equal to the
+    fixed-window forward).
 
 TPU-first, compact (documented deviations): the 3-level grouped attention
 (intra-group proxy attention over 4-frame groups + cross-group) is replaced
@@ -23,7 +25,7 @@ instead of IoU (equal for the propagated-box gating it implements).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -213,3 +215,86 @@ class MPPNetHead(nn.Module):
             _FCStack((256, 256), dtype=self.dtype, name="reg_fc")(h, train)
         )
         return cls[..., 0].astype(jnp.float32), reg.astype(jnp.float32)
+
+
+class MPPNetStreamState(NamedTuple):
+    """Functional streaming memory bank for MPPNet inference.
+
+    TPU-native equivalent of MPPNetE2E's stateful FIFO memory
+    (mppnet_e2e.py:24-73: per-frame rois/labels/scores and the point
+    window are pushed front, oldest popped): here the bank is an explicit
+    fixed-shape pytree carried between jitted steps — `jnp.roll` + slot-0
+    write instead of Python list pop/insert, a frame counter instead of
+    the sample_idx==0 reset, so the whole step stays inside one XLA
+    program. Slot 0 is always the newest frame.
+    """
+
+    proposals: jnp.ndarray      # (T, P, 9) [box7 | vx vy]
+    roi_scores: jnp.ndarray     # (T, P)
+    roi_labels: jnp.ndarray     # (T, P) int32
+    points: jnp.ndarray         # (T, N, D)
+    points_valid: jnp.ndarray   # (T, N) bool
+    frames_seen: jnp.ndarray    # () int32
+
+
+def mppnet_stream_init(num_frames: int, max_proposals: int,
+                       max_points: int, point_dim: int) -> MPPNetStreamState:
+    """Empty bank (the reference's reset_memorybank, mppnet_e2e.py:24-28)."""
+    t, p, n = num_frames, max_proposals, max_points
+    return MPPNetStreamState(
+        proposals=jnp.zeros((t, p, 9), jnp.float32),
+        roi_scores=jnp.zeros((t, p), jnp.float32),
+        roi_labels=jnp.zeros((t, p), jnp.int32),
+        points=jnp.zeros((t, n, point_dim), jnp.float32),
+        points_valid=jnp.zeros((t, n), bool),
+        frames_seen=jnp.zeros((), jnp.int32),
+    )
+
+
+def mppnet_stream_push(state: MPPNetStreamState, proposals, roi_scores,
+                       roi_labels, points, points_valid) -> MPPNetStreamState:
+    """Push one frame: roll the FIFOs and write slot 0 (mppnet_e2e.py:
+    52-58 pop/insert). Jit-safe (fixed shapes, no Python state)."""
+    def push(bank, new):
+        return jnp.roll(bank, 1, axis=0).at[0].set(new)
+
+    return MPPNetStreamState(
+        proposals=push(state.proposals, proposals),
+        roi_scores=push(state.roi_scores, roi_scores),
+        roi_labels=push(state.roi_labels, roi_labels),
+        points=push(state.points, points),
+        points_valid=push(state.points_valid, points_valid),
+        frames_seen=state.frames_seen + 1,
+    )
+
+
+def mppnet_stream_step(model, variables, state: MPPNetStreamState,
+                       proposals, roi_scores, roi_labels, points,
+                       points_valid, num_rois: int):
+    """One streaming inference step: push the new frame, build the batch
+    window from the bank, run the MPPNet second stage.
+
+    Equivalent to the fixed-window MPPNetModel forward on the last T
+    frames (the e2e mode exists to amortize the host-side multi-frame
+    window assembly at deployment, mppnet_e2e.py:31-73); frames not yet
+    seen are masked out of the trajectory so warm-up steps degrade to a
+    shorter window exactly like the reference's bank pre-fill with the
+    first frame (:47-50 fills all slots with frame 0 — here unseen slots
+    are invalid instead, which only affects the first T-1 steps).
+
+    Returns (new_state, detections dict).
+    """
+    state = mppnet_stream_push(
+        state, proposals, roi_scores, roi_labels, points, points_valid)
+    t = state.proposals.shape[0]
+    seen = jnp.arange(t) < state.frames_seen  # (T,)
+    batch = {
+        "roi_boxes": state.proposals[None],
+        "roi_scores": state.roi_scores[None],
+        "roi_labels": state.roi_labels[None],
+        "points_multi": state.points[None],
+        "points_multi_valid": (
+            state.points_valid & seen[:, None])[None],
+    }
+    out = model.apply(variables, batch, False)
+    return state, out

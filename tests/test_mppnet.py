@@ -108,3 +108,99 @@ class TestMPPNetModel:
         out = ev(state2.params, state2.batch_stats, batch)
         assert out["boxes"].shape == (b, 4, 7)
         assert np.all(np.isfinite(np.asarray(out["boxes"])))
+
+
+class TestMPPNetStreaming:
+    def test_stream_equals_fixed_window(self, rng):
+        """After T pushes, a streaming step must produce exactly the
+        fixed-window forward on the same (newest-first) window — the
+        reference e2e mode's amortization changes bookkeeping, not math."""
+        from hgsfusion_tpu.models.mppnet import (
+            mppnet_stream_init, mppnet_stream_step,
+        )
+
+        cfg = HGSFusionConfig(pv_num_rois=4)
+        model = MPPNetModel(cfg=cfg)
+        t, n, p = 4, 64, 6
+        # 2*t frames of a synthetic sequence
+        frames = []
+        for _ in range(2 * t):
+            pts = np.zeros((n, 4), np.float32)
+            pts[:, 0] = rng.uniform(0, 16, n)
+            pts[:, 1] = rng.uniform(-8, 8, n)
+            pts[:, 2] = rng.uniform(-2, 1, n)
+            props = np.zeros((p, 9), np.float32)
+            props[:, 3:6] = [3.9, 1.6, 1.56]
+            props[:, 0] = rng.uniform(2, 14, p)
+            frames.append((jnp.asarray(pts), jnp.asarray(props)))
+
+        init_batch = {
+            "points_multi": jnp.zeros((1, t, n, 4), jnp.float32),
+            "points_multi_valid": jnp.ones((1, t, n), bool),
+            "roi_boxes": jnp.asarray(
+                np.tile(np.asarray(frames[0][1])[None, None], (1, t, 1, 1))),
+            "roi_scores": jnp.zeros((1, t, p), jnp.float32),
+            "roi_labels": jnp.ones((1, t, p), jnp.int32),
+        }
+        variables = model.init(jax.random.PRNGKey(0), init_batch, False)
+
+        state = mppnet_stream_init(t, p, n, 4)
+        scores = jnp.full((p,), 0.5, jnp.float32)
+        labels = jnp.ones((p,), jnp.int32)
+        for pts, props in frames:
+            state, out = mppnet_stream_step(
+                model, variables, state, props, scores, labels,
+                pts, jnp.ones((n,), bool), num_rois=4)
+
+        # bank slot 0 = newest frame; fixed window = frames reversed
+        window = frames[-t:][::-1]
+        batch = {
+            "points_multi": jnp.stack([f[0] for f in window])[None],
+            "points_multi_valid": jnp.ones((1, t, n), bool),
+            "roi_boxes": jnp.stack([f[1] for f in window])[None],
+            "roi_scores": jnp.tile(scores[None], (t, 1))[None],
+            "roi_labels": jnp.tile(labels[None], (t, 1))[None],
+        }
+        want = model.apply(variables, batch, False)
+        np.testing.assert_allclose(
+            np.asarray(out["rcnn_cls"]), np.asarray(want["rcnn_cls"]),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["rcnn_reg"]), np.asarray(want["rcnn_reg"]),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["trajectory"]), np.asarray(want["trajectory"]),
+            atol=1e-6)
+
+    def test_warmup_masks_unseen_frames(self, rng):
+        """One push into a fresh bank: unseen slots' points are masked so
+        the first step equals a window where only frame 0 has points."""
+        from hgsfusion_tpu.models.mppnet import (
+            mppnet_stream_init, mppnet_stream_step,
+        )
+
+        cfg = HGSFusionConfig(pv_num_rois=4)
+        model = MPPNetModel(cfg=cfg)
+        t, n, p = 4, 64, 6
+        pts = np.zeros((n, 4), np.float32)
+        pts[:, 0] = rng.uniform(0, 16, n)
+        pts[:, 1] = rng.uniform(-8, 8, n)
+        props = np.zeros((p, 9), np.float32)
+        props[:, 3:6] = [3.9, 1.6, 1.56]
+        props[:, 0] = rng.uniform(2, 14, p)
+        init_batch = {
+            "points_multi": jnp.zeros((1, t, n, 4), jnp.float32),
+            "points_multi_valid": jnp.ones((1, t, n), bool),
+            "roi_boxes": jnp.tile(jnp.asarray(props)[None, None],
+                                  (1, t, 1, 1)),
+            "roi_scores": jnp.zeros((1, t, p), jnp.float32),
+            "roi_labels": jnp.ones((1, t, p), jnp.int32),
+        }
+        variables = model.init(jax.random.PRNGKey(0), init_batch, False)
+        state = mppnet_stream_init(t, p, n, 4)
+        state, out = mppnet_stream_step(
+            model, variables, state, jnp.asarray(props),
+            jnp.full((p,), 0.5), jnp.ones((p,), jnp.int32),
+            jnp.asarray(pts), jnp.ones((n,), bool), num_rois=4)
+        assert int(state.frames_seen) == 1
+        assert np.all(np.isfinite(np.asarray(out["rcnn_cls"])))
