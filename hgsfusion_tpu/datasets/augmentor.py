@@ -4,14 +4,86 @@ Reference: pcdet/datasets/augmentor/data_augmentor.py:10-333 and
 augmentor_utils.py. Registry coverage: world flip/rotation/scaling/
 translation, local (per-box) translation/rotation/scaling, world+local
 frustum dropout, mono image flip (standalone + fusion-coupled), multi-camera
-imgaug (flip+rotate), and gt_sampling (database_sampler). Documented skip:
-random_local_pyramid_aug (SE-SSD pyramid swap; niche).
+imgaug (flip+rotate), SE-SSD pyramid dropout/sparsify/swap, and gt_sampling
+(database_sampler) — the full reference registry.
 """
 from __future__ import annotations
 
 import numpy as np
 
 from ..utils.common import rotate_points_along_z
+
+# box-face quads in OUR corner-template order (utils/box_utils.py:20-29),
+# each (c0, c1, c2, c3) with c1/c3 adjacent to c0 so the pyramid
+# parameterization's edge vectors are orthogonal: bottom, top, +x, -x,
+# +y, -y. The reference's get_pyramids (augmentor_utils.py:487-510) does
+# the same with its own corner ordering.
+_PYRAMID_FACES = np.array([
+    [0, 1, 2, 3], [4, 5, 6, 7], [0, 1, 5, 4],
+    [3, 2, 6, 7], [0, 3, 7, 4], [1, 2, 6, 5],
+])
+
+
+def _box_pyramids(boxes):
+    """(N, 7+) -> (N, 6, 5, 3): [apex=center | 4 face corners] per face."""
+    from ..utils.box_utils import boxes_to_corners_3d
+
+    boxes = np.asarray(boxes)
+    corners = np.asarray(boxes_to_corners_3d(boxes[:, :7]))  # (N, 8, 3)
+    faces = corners[:, _PYRAMID_FACES]  # (N, 6, 4, 3)
+    apex = np.broadcast_to(
+        boxes[:, None, None, :3], (len(boxes), 6, 1, 3))
+    return np.concatenate([apex, faces], axis=2)
+
+
+def _pyramid_coords(points, pyr):
+    """Orthogonal-projection coordinates (alpha, beta, gamma) of points in
+    a face pyramid (local_pyramid_swap.get_points_ratio:582-588): alpha/
+    beta span the face edges from c0, gamma runs face-center -> apex.
+    Exact for box faces (the three vectors are mutually orthogonal)."""
+    sc = pyr[1:5].mean(axis=0)
+    v0 = pyr[2] - pyr[1]
+    v1 = pyr[4] - pyr[1]
+    v2 = pyr[0] - sc
+    rel = points[:, :3] - pyr[1]
+    a = rel @ v0 / max(v0 @ v0, 1e-9)
+    b = rel @ v1 / max(v1 @ v1, 1e-9)
+    g = (points[:, :3] - sc) @ v2 / max(v2 @ v2, 1e-9)
+    return a, b, g
+
+
+def _in_pyramid(points, pyr):
+    """Inside-pyramid mask: the cross-section is the face scaled by
+    (1 - gamma) about its center (exact replacement for the reference's
+    Delaunay in_hull on the 5-vertex frustum)."""
+    a, b, g = _pyramid_coords(points, pyr)
+    half = (1.0 - g) / 2.0
+    return ((g >= 0) & (g <= 1)
+            & (np.abs(a - 0.5) <= half) & (np.abs(b - 0.5) <= half))
+
+
+def _remap_pyramid_points(points, src_pyr, dst_pyr, dst_int_range=None):
+    """Carry points from one pyramid to another by their (a, b, g) coords
+    (local_pyramid_swap recover_points_by_ratio:590-596); the intensity
+    column's min-max RATIOS are rescaled into the receiving pyramid's
+    original intensity range (dst_int_range = (lo, hi), :598-600 /
+    :643-667). Middle feature columns keep their values (the reference
+    only supports 4-col KITTI points and drops extras)."""
+    out = points.copy()
+    a, b, g = _pyramid_coords(points, src_pyr)
+    sc = dst_pyr[1:5].mean(axis=0)
+    v0 = dst_pyr[2] - dst_pyr[1]
+    v1 = dst_pyr[4] - dst_pyr[1]
+    v2 = dst_pyr[0] - sc
+    out[:, :3] = (a[:, None] * v0 + b[:, None] * v1) + dst_pyr[1] \
+        + g[:, None] * v2
+    if points.shape[1] > 3 and len(points) and dst_int_range is not None:
+        inten = points[:, -1]
+        lo, hi = inten.min(), inten.max()
+        ratio = (inten - lo) / np.clip(hi - lo, 1e-6, None)
+        dlo, dhi = dst_int_range
+        out[:, -1] = ratio * (dhi - dlo) + dlo
+    return out
 
 
 class DataAugmentor:
@@ -232,6 +304,94 @@ class DataAugmentor:
                 else:
                     drop = mask & (pts[:, 1] <= (y - dy / 2) + intensity * dy)
                 pts = pts[~drop]
+        data_dict["points"] = pts
+        return data_dict
+
+    def random_local_pyramid_aug(self, data_dict, config):
+        """SE-SSD pyramid augmentations (data_augmentor.py:259-280 /
+        augmentor_utils.py:487-677): each box splits into 6 face pyramids
+        (apex at the box center); per box one random pyramid may be
+        DROPPED (points deleted), SPARSIFIED (subsampled to
+        SPARSIFY_MAX_NUM when richer), or SWAPPED with another box's
+        same-face pyramid (points carried over by their in-pyramid
+        coordinates, intensities rescaled into the receiving range).
+        A box takes part in at most one stage (processed pyramids leave
+        the pool, :541/:576)."""
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        if len(gt) == 0:
+            return data_dict
+        pyramids = _box_pyramids(gt)
+
+        # dropout (local_pyramid_dropout:528-543)
+        face = np.random.randint(0, 6, len(pyramids))
+        drop = np.random.uniform(0, 1, len(pyramids)) <= config["DROP_PROB"]
+        if drop.any() and len(pts):
+            masks = [_in_pyramid(pts, pyramids[i, face[i]])
+                     for i in np.where(drop)[0]]
+            pts = pts[~np.any(masks, axis=0)]
+        pyramids = pyramids[~drop]
+
+        # sparsify (local_pyramid_sparsify:546-576)
+        if len(pyramids) and len(pts):
+            maxn = int(config["SPARSIFY_MAX_NUM"])
+            face = np.random.randint(0, 6, len(pyramids))
+            sp = np.random.uniform(0, 1, len(pyramids)) \
+                <= config["SPARSIFY_PROB"]
+            remove = np.zeros(len(pts), bool)
+            kept_parts = []
+            for i in np.where(sp)[0]:
+                mask = _in_pyramid(pts, pyramids[i, face[i]])
+                if mask.sum() > maxn:  # only richer pyramids sparsify
+                    remove |= mask
+                    sel = np.random.choice(
+                        np.where(mask)[0], size=maxn, replace=False)
+                    kept_parts.append(pts[sel])
+            if remove.any():
+                pts = np.concatenate([pts[~remove]] + kept_parts)
+            pyramids = pyramids[~sp]
+
+        # swap (local_pyramid_swap:579-677)
+        if len(pyramids) > 1 and len(pts):
+            thres = int(config["SWAP_MAX_NUM"])
+            swap = np.random.uniform(0, 1, len(pyramids)) \
+                <= config["SWAP_PROB"]
+            if swap.any():
+                counts = np.stack([
+                    [_in_pyramid(pts, pyramids[i, j]).sum()
+                     for j in range(6)]
+                    for i in range(len(pyramids))
+                ])  # (Nb, 6)
+                rich = counts > thres
+                pairs = []
+                taken = np.zeros_like(rich)
+                for i in np.where(swap)[0]:
+                    js = np.where(rich[i] & ~taken[i])[0]
+                    if not len(js):
+                        continue
+                    j = np.random.choice(js)
+                    donors = np.where(
+                        rich[:, j] & ~taken[:, j]
+                        & (np.arange(len(pyramids)) != i))[0]
+                    if not len(donors):
+                        continue  # reference self-swap fallback is a no-op
+                    d = np.random.choice(donors)
+                    taken[i, j] = taken[d, j] = True
+                    pairs.append((i, d, j))
+                if pairs:
+                    remove = np.zeros(len(pts), bool)
+                    new_parts = []
+                    for i, d, j in pairs:
+                        m_i = _in_pyramid(pts, pyramids[i, j])
+                        m_d = _in_pyramid(pts, pyramids[d, j])
+                        remove |= m_i | m_d
+                        rng_i = (pts[m_i, -1].min(), pts[m_i, -1].max())
+                        rng_d = (pts[m_d, -1].min(), pts[m_d, -1].max())
+                        new_parts.append(_remap_pyramid_points(
+                            pts[m_d], pyramids[d, j], pyramids[i, j], rng_i))
+                        new_parts.append(_remap_pyramid_points(
+                            pts[m_i], pyramids[i, j], pyramids[d, j], rng_d))
+                    pts = np.concatenate([pts[~remove]] + new_parts)
+
         data_dict["points"] = pts
         return data_dict
 

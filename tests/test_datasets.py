@@ -546,3 +546,124 @@ class TestExtendedAugmentors:
         np.testing.assert_allclose(out["images"], orig[:, ::-1])
         np.testing.assert_allclose(out["gt_boxes2d"][0],
                                    [w - 30.0, 5.0, w - 10.0, 25.0])
+
+
+class TestPyramidAug:
+    def _aug(self, name, **cfg_kw):
+        from hgsfusion_tpu.datasets.augmentor import DataAugmentor
+
+        cfg = ConfigDict({
+            "DISABLE_AUG_LIST": [],
+            "AUG_CONFIG_LIST": [dict(NAME=name, **cfg_kw)],
+        })
+        return DataAugmentor(None, cfg, ["car"])
+
+    def _box(self, x=0.0, y=0.0):
+        return np.array([[x, y, 0.0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+
+    def _pyramid_centroids(self, box, scale=0.7):
+        """One point inside each of the 6 face pyramids."""
+        from hgsfusion_tpu.datasets.augmentor import _box_pyramids
+
+        pyr = _box_pyramids(box)[0]  # (6, 5, 3)
+        face_centers = pyr[:, 1:5].mean(axis=1)
+        apex = pyr[:, 0]
+        return apex + (face_centers - apex) * scale  # gamma = 1 - scale
+
+    def test_in_pyramid_partitions_box(self):
+        from hgsfusion_tpu.datasets.augmentor import (
+            _box_pyramids, _in_pyramid)
+
+        box = self._box()
+        pyr = _box_pyramids(box)[0]
+        pts = self._pyramid_centroids(box)
+        for j in range(6):
+            for k in range(6):
+                inside = _in_pyramid(pts[j:j + 1], pyr[k])[0]
+                assert inside == (j == k), (j, k)
+        # a far point is in no pyramid
+        far = np.array([[9.0, 9.0, 9.0]], np.float32)
+        assert not any(_in_pyramid(far, pyr[k])[0] for k in range(6))
+
+    def test_remap_identity(self):
+        from hgsfusion_tpu.datasets.augmentor import (
+            _box_pyramids, _remap_pyramid_points)
+
+        box = self._box()
+        pyr = _box_pyramids(box)[0, 2]
+        pts = np.concatenate(
+            [self._pyramid_centroids(box), np.full((6, 1), 0.5)], axis=1
+        ).astype(np.float32)
+        out = _remap_pyramid_points(pts, pyr, pyr,
+                                    (pts[:, -1].min(), pts[:, -1].max()))
+        np.testing.assert_allclose(out, pts, atol=1e-5)
+
+    def test_dropout_removes_one_pyramid(self):
+        aug = self._aug("random_local_pyramid_aug", DROP_PROB=1.0,
+                        SPARSIFY_PROB=0.0, SPARSIFY_MAX_NUM=50,
+                        SWAP_PROB=0.0, SWAP_MAX_NUM=50)
+        box = self._box()
+        inside = self._pyramid_centroids(box)
+        pts = np.concatenate([inside, [[9.0, 9.0, 9.0]]]).astype(np.float32)
+        pts = np.concatenate([pts, np.ones((7, 1), np.float32)], axis=1)
+        np.random.seed(0)
+        d = aug.forward({"gt_boxes": box.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        # exactly one pyramid's point dropped; the outside point survives
+        assert len(d["points"]) == 6
+        assert any((d["points"][:, 0] == 9.0))
+
+    def test_sparsify_caps_pyramid_points(self):
+        aug = self._aug("random_local_pyramid_aug", DROP_PROB=0.0,
+                        SPARSIFY_PROB=1.0, SPARSIFY_MAX_NUM=5,
+                        SWAP_PROB=0.0, SWAP_MAX_NUM=50)
+        box = self._box()
+        centroids = self._pyramid_centroids(box)
+        # 20 jittered points around each pyramid centroid
+        rng = np.random.RandomState(1)
+        pts = np.concatenate([
+            centroids[j] + rng.uniform(-0.05, 0.05, (20, 3))
+            for j in range(6)
+        ]).astype(np.float32)
+        pts = np.concatenate([pts, np.ones((120, 1), np.float32)], axis=1)
+        np.random.seed(2)
+        d = aug.forward({"gt_boxes": box.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car"])})
+        # one pyramid capped from 20 to 5
+        assert len(d["points"]) == 120 - 20 + 5
+
+    def test_swap_preserves_counts_and_containment(self):
+        from hgsfusion_tpu.datasets.augmentor import (
+            _box_pyramids, _in_pyramid)
+
+        aug = self._aug("random_local_pyramid_aug", DROP_PROB=0.0,
+                        SPARSIFY_PROB=0.0, SPARSIFY_MAX_NUM=50,
+                        SWAP_PROB=1.0, SWAP_MAX_NUM=2)
+        b1, b2 = self._box(0.0), self._box(10.0)
+        gt = np.concatenate([b1, b2])
+        rng = np.random.RandomState(3)
+        parts = []
+        for box in (b1, b2):
+            centroids = self._pyramid_centroids(box)
+            parts.append(np.concatenate([
+                centroids[j] + rng.uniform(-0.05, 0.05, (6, 3))
+                for j in range(6)
+            ]))
+        pts = np.concatenate(parts).astype(np.float32)
+        pts = np.concatenate(
+            [pts, rng.uniform(0, 1, (len(pts), 1))], axis=1
+        ).astype(np.float32)
+        np.random.seed(4)
+        d = aug.forward({"gt_boxes": gt.copy(), "points": pts.copy(),
+                         "gt_names": np.array(["car", "car"])})
+        out = d["points"]
+        assert len(out) == len(pts)  # swap moves, never deletes
+        # every point still lies in some pyramid of one of the two boxes
+        pyrs = _box_pyramids(gt).reshape(-1, 5, 3)
+        covered = np.zeros(len(out), bool)
+        for p in pyrs:
+            covered |= _in_pyramid(out, p)
+        assert covered.all()
+        # at least one point actually moved between boxes
+        assert not np.allclose(np.sort(out[:, 0]), np.sort(pts[:, 0]),
+                               atol=1e-6)
