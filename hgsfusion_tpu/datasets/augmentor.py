@@ -36,15 +36,20 @@ def _box_pyramids(boxes):
     return np.concatenate([apex, faces], axis=2)
 
 
+def _pyramid_basis(pyr):
+    """(sc, v0, v1, v2): face center, the two face edge vectors from c0,
+    and the face-center -> apex vector (mutually orthogonal for box
+    faces). Shared by containment and remapping so they can't drift."""
+    sc = pyr[1:5].mean(axis=0)
+    return sc, pyr[2] - pyr[1], pyr[4] - pyr[1], pyr[0] - sc
+
+
 def _pyramid_coords(points, pyr):
     """Orthogonal-projection coordinates (alpha, beta, gamma) of points in
     a face pyramid (local_pyramid_swap.get_points_ratio:582-588): alpha/
     beta span the face edges from c0, gamma runs face-center -> apex.
     Exact for box faces (the three vectors are mutually orthogonal)."""
-    sc = pyr[1:5].mean(axis=0)
-    v0 = pyr[2] - pyr[1]
-    v1 = pyr[4] - pyr[1]
-    v2 = pyr[0] - sc
+    sc, v0, v1, v2 = _pyramid_basis(pyr)
     rel = points[:, :3] - pyr[1]
     a = rel @ v0 / max(v0 @ v0, 1e-9)
     b = rel @ v1 / max(v1 @ v1, 1e-9)
@@ -71,16 +76,15 @@ def _remap_pyramid_points(points, src_pyr, dst_pyr, dst_int_range=None):
     only supports 4-col KITTI points and drops extras)."""
     out = points.copy()
     a, b, g = _pyramid_coords(points, src_pyr)
-    sc = dst_pyr[1:5].mean(axis=0)
-    v0 = dst_pyr[2] - dst_pyr[1]
-    v1 = dst_pyr[4] - dst_pyr[1]
-    v2 = dst_pyr[0] - sc
+    sc, v0, v1, v2 = _pyramid_basis(dst_pyr)
     out[:, :3] = (a[:, None] * v0 + b[:, None] * v1) + dst_pyr[1] \
         + g[:, None] * v2
     if points.shape[1] > 3 and len(points) and dst_int_range is not None:
         inten = points[:, -1]
         lo, hi = inten.min(), inten.max()
-        ratio = (inten - lo) / np.clip(hi - lo, 1e-6, None)
+        # the reference clips the span to [1e-6, 1] (augmentor_utils.py:
+        # 644-650), so spans > 1 overshoot the destination range — kept
+        ratio = (inten - lo) / np.clip(hi - lo, 1e-6, 1.0)
         dlo, dhi = dst_int_range
         out[:, -1] = ratio * (dhi - dlo) + dlo
     return out

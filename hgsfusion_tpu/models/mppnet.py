@@ -270,7 +270,7 @@ def mppnet_stream_push(state: MPPNetStreamState, proposals, roi_scores,
 
 def mppnet_stream_step(model, variables, state: MPPNetStreamState,
                        proposals, roi_scores, roi_labels, points,
-                       points_valid, num_rois: int):
+                       points_valid):
     """One streaming inference step: push the new frame, build the batch
     window from the bank, run the MPPNet second stage.
 
@@ -280,7 +280,8 @@ def mppnet_stream_step(model, variables, state: MPPNetStreamState,
     seen are masked out of the trajectory so warm-up steps degrade to a
     shorter window exactly like the reference's bank pre-fill with the
     first frame (:47-50 fills all slots with frame 0 — here unseen slots
-    are invalid instead, which only affects the first T-1 steps).
+    are invalid instead, which only affects the first T-1 steps). The
+    refined roi count comes from the model's cfg.pv_num_rois.
 
     Returns (new_state, detections dict).
     """

@@ -215,10 +215,17 @@ class Radar7PillarVFE(nn.Module):
         # so the concat totals `width`); ONLY the final layer pools to
         # pillar level — the reference's `i >= len(num_filters) - 2` is
         # evaluated against a list with the INPUT dim prepended (:195),
-        # so it selects exactly the final user layer. BN is masked
-        # (padded points excluded from batch stats — the reference's
-        # BN1d includes padding; identical in eval mode,
-        # better-conditioned in train mode).
+        # so it selects exactly the final user layer. Two deliberate
+        # deviations around padding, both strictly cleaner than the
+        # reference: (a) BN is masked, so padded points don't pollute
+        # batch stats (the reference's BN1d includes them; identical in
+        # eval mode); (b) the pillar max is over REAL points only —
+        # the reference's torch.max also sees padded rows' relu(BN(0))
+        # activations, which can lift the max of under-full voxels with
+        # phantom values (pillar_vfe.py:262-266 zeroes padding only
+        # BEFORE the stack). Exact parity holds for full voxels (see
+        # tests/test_reference_parity.py) and whenever trained BN maps
+        # zero rows to non-positive values.
         mask = in_grid[..., None]
         n_layers = len(self.num_filters)
         for i, width in enumerate(self.num_filters):

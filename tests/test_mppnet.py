@@ -150,7 +150,7 @@ class TestMPPNetStreaming:
         for pts, props in frames:
             state, out = mppnet_stream_step(
                 model, variables, state, props, scores, labels,
-                pts, jnp.ones((n,), bool), num_rois=4)
+                pts, jnp.ones((n,), bool))
 
         # bank slot 0 = newest frame; fixed window = frames reversed
         window = frames[-t:][::-1]
@@ -201,6 +201,6 @@ class TestMPPNetStreaming:
         state, out = mppnet_stream_step(
             model, variables, state, jnp.asarray(props),
             jnp.full((p,), 0.5), jnp.ones((p,), jnp.int32),
-            jnp.asarray(pts), jnp.ones((n,), bool), num_rois=4)
+            jnp.asarray(pts), jnp.ones((n,), bool))
         assert int(state.frames_seen) == 1
         assert np.all(np.isfinite(np.asarray(out["rcnn_cls"])))
