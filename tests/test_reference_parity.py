@@ -821,3 +821,112 @@ class TestRadar7PillarVFEMultiLayerParity:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(bev[0, 7, 7]), out_ref[1],
                                    atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_radar_occ_v2():
+    # v2 imports mmcv's DCN at module top (only used by the USE_DCN
+    # branch) and the real BasicBlock2D: stub the former, load the latter
+    mmcv = types.ModuleType("mmcv")
+    mmcv_ops = types.ModuleType("mmcv.ops")
+    mdc = types.ModuleType("mmcv.ops.modulated_deform_conv")
+    mdc.ModulatedDeformConv2dPack = type("DCNStub", (), {})
+    sys.modules.update({
+        "mmcv": mmcv, "mmcv.ops": mmcv_ops,
+        "mmcv.ops.modulated_deform_conv": mdc,
+    })
+    bb2d = _load("ref_basic_block_2d",
+                 REF / "models/model_utils/basic_block_2d.py")
+    for name in ("pcdet", "pcdet.models", "pcdet.models.model_utils"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["pcdet.models.model_utils.basic_block_2d"] = bb2d
+    return _load("ref_radar_occ_v2",
+                 REF / "models/backbones_3d/vfe/radar_occupancy_2d_v2.py")
+
+
+class TestRadarOccupancyV2Parity:
+    def test_flagship_serial_aspp_mul_matches_reference(self, ref_radar_occ_v2):
+        """The FLAGSHIP DSM spatial sync: reference RadarOccupancy2DV2
+        (serial ASPP + MUL fuse, radar_occupancy_2d_v2.py:141-338, the
+        shipped VoD configuration) including its Conv2DCollapse, vs our
+        occupancy.RadarOccupancy2D + Conv2DCollapse with copied weights."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.occupancy import (
+            Conv2DCollapse, RadarOccupancy2D)
+
+        rng = np.random.RandomState(5)
+        cr, cb, nz, ny, nx = 8, 6, 5, 16, 16
+        pcr = [0.0, -4.0, -1.0, 8.0, 4.0, 1.5]
+        vox = [0.5, 0.5, 0.5]
+        cfgd = ConfigDict({
+            "RADAR_INPUT_CHANNELS": cr,
+            "IMAGE_INPUT_CHANNELS": cb,
+            "USE_ASPP": True, "ASPP_SHAPE": 2, "FUSE_MODE": "MUL",
+            "MAP_TO_BEV": {
+                "NUM_BEV_FEATURES": cb,
+                "ARGS": {"kernel_size": 1, "stride": 1, "bias": False},
+            },
+        })
+        ref = ref_radar_occ_v2.RadarOccupancy2DV2(
+            cfgd, point_cloud_range=pcr, voxel_size=vox,
+            radar_backbone="pillarnet")
+        ref.eval()
+        with torch.no_grad():  # randomize every BN so eval parity bites
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.weight.copy_(torch.rand_like(m.weight) + 0.5)
+                    m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+                    m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                    m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+
+        voxf = rng.randn(1, cb, nz, ny, nx).astype(np.float32)
+        radar = rng.randn(1, cr, ny, nx).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref({
+                "voxel_features": torch.from_numpy(voxf.copy()),
+                "pillar_features_scattered": torch.from_numpy(radar.copy()),
+            })["spatial_features"].numpy()
+
+        def conv_p(c):
+            d = {"kernel": c.weight.detach().numpy().transpose(2, 3, 1, 0)}
+            if c.bias is not None:
+                d["bias"] = c.bias.detach().numpy()
+            return d
+
+        def bn_p(b):
+            return ({"scale": b.weight.detach().numpy(),
+                     "bias": b.bias.detach().numpy()},
+                    {"mean": b.running_mean.numpy(),
+                     "var": b.running_var.numpy()})
+
+        # ---- our Conv2DCollapse (torch flatten is c*Z + z channel order,
+        # matching our stored (C*Z, O) kernel layout directly)
+        blk = ref.map_to_bev.block
+        col_params = {"kernel": blk.conv.weight.detach().numpy()
+                      .transpose(2, 3, 1, 0).reshape(cb * nz, cb)}
+        col_bn, col_stats = bn_p(blk.bn)
+        collapse = Conv2DCollapse(num_bev_features=cb, use_bias=False)
+        image_bev = collapse.apply(
+            {"params": {"kernel": col_params["kernel"], "bn": col_bn},
+             "batch_stats": {"bn": col_stats}},
+            jnp.asarray(voxf.transpose(0, 3, 4, 2, 1)), False)
+
+        # ---- our RadarOccupancy2D with the serial-ASPP weights copied
+        seq = ref.pred_occupancy
+        p, s = {}, {}
+        p["aspp_conv1"] = conv_p(seq[0])
+        p["aspp_bn1"], s["aspp_bn1"] = bn_p(seq[1])
+        p["aspp_conv2"] = conv_p(seq[3])
+        p["aspp_bn2"], s["aspp_bn2"] = bn_p(seq[4])
+        p["occ_conv1"] = conv_p(seq[6])
+        p["occ_bn1"], s["occ_bn1"] = bn_p(seq[7])
+        p["occ_conv2"] = conv_p(seq[9])
+        occ2d = RadarOccupancy2D(radar_input_channels=cr, use_aspp=True,
+                                 aspp_dilation=2, fuse_mode="MUL")
+        gated, occ = occ2d.apply(
+            {"params": p, "batch_stats": s},
+            image_bev, jnp.asarray(radar.transpose(0, 2, 3, 1)), False)
+        np.testing.assert_allclose(
+            np.asarray(gated).transpose(0, 3, 1, 2), out_ref, atol=3e-5)
