@@ -148,13 +148,36 @@ def upsample_bilinear_align_corners(x, scale: int):
 
 
 def resize_bilinear(x, out_hw):
-    """torch F.interpolate(mode='bilinear', align_corners=False) equivalent.
-
-    Half-pixel sampling; matches jax.image.resize('linear'). Used where the
-    reference calls plain F.interpolate (fusion_after_bev_se_direct.py:52,
+    """torch F.interpolate(mode='bilinear', align_corners=False) EXACT
+    equivalent, both directions. Used where the reference calls plain
+    F.interpolate (fusion_after_bev_se_direct.py:52,
     radar_occupancy_2d_v2.py:297).
-    """
-    import jax
 
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="linear")
+    NOT jax.image.resize('linear'): that one low-pass-filters when
+    DOWNSCALING (scaled kernel/anti-aliasing), while torch samples the 4
+    neighbors of the half-pixel source coordinate unfiltered — and the
+    flagship DSM fusion downscales the image BEV to the radar grid, so
+    the difference is on the active path. Source coords are clamped to 0
+    like torch's area_pixel_compute_source_index.
+    """
+    h, w = x.shape[1:3]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (oh, ow) == (h, w):
+        return x
+
+    def axis(n_in, n_out):
+        src = jnp.maximum(
+            (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out)
+            - 0.5, 0.0)
+        i0 = jnp.minimum(jnp.floor(src).astype(jnp.int32), n_in - 1)
+        i1 = jnp.minimum(i0 + 1, n_in - 1)
+        return i0, i1, (src - i0).astype(x.dtype)
+
+    y0, y1, ty = axis(h, oh)
+    x0, x1, tx = axis(w, ow)
+    r0 = x[:, y0]
+    r1 = x[:, y1]
+    rows = r0 + (r1 - r0) * ty[None, :, None, None]  # (B, oh, w, C)
+    c0 = rows[:, :, x0]
+    c1 = rows[:, :, x1]
+    return c0 + (c1 - c0) * tx[None, None, :, None]

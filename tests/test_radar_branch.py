@@ -173,3 +173,32 @@ class TestRadarBranchEndToEnd:
         out, _ = radar.apply(rvars, bev, occ, False, mutable=["batch_stats"])
         assert out.shape == (1, 32, 32, 128)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestResizeDownscale:
+    def test_downscale_matches_torch_no_antialias(self):
+        """torch F.interpolate does NOT anti-alias when minifying (unlike
+        jax.image.resize) — the flagship DSM fusion downscales the image
+        BEV, so this direction must match torch too."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(0)
+        x = rng.randn(1, 32, 32, 3).astype(np.float32)
+        got = np.asarray(resize_bilinear(jnp.array(x), (16, 16)))
+        t = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(16, 16),
+            mode="bilinear", align_corners=False,
+        )
+        want = t.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_non_integer_ratio_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 13, 7, 4).astype(np.float32)
+        got = np.asarray(resize_bilinear(jnp.array(x), (5, 11)))
+        t = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(5, 11),
+            mode="bilinear", align_corners=False,
+        )
+        np.testing.assert_allclose(got, t.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-5)

@@ -930,3 +930,134 @@ class TestRadarOccupancyV2Parity:
             image_bev, jnp.asarray(radar.transpose(0, 2, 3, 1)), False)
         np.testing.assert_allclose(
             np.asarray(gated).transpose(0, 3, 1, 2), out_ref, atol=3e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_fusion_se():
+    return _load("ref_fusion_se",
+                 REF / "models/fusion/fusion_after_bev_se_direct.py")
+
+
+@pytest.fixture(scope="module")
+def ref_lss_fpn():
+    # stubs: mmcv.cnn.build_norm_layer -> plain BatchNorm2d
+    mmcv_cnn = types.ModuleType("mmcv.cnn")
+    mmcv_cnn.build_norm_layer = (
+        lambda cfg, ch, postfix=0: (None, torch.nn.BatchNorm2d(ch)))
+    sys.modules.setdefault("mmcv", types.ModuleType("mmcv"))
+    sys.modules["mmcv.cnn"] = mmcv_cnn
+    return _load("ref_lss_fpn",
+                 REF / "models/backbones_3d/vfe/pillarnet_modules/lss_fpn.py")
+
+
+def _bn_pair(b):
+    return ({"scale": b.weight.detach().numpy(),
+             "bias": b.bias.detach().numpy()},
+            {"mean": b.running_mean.numpy(), "var": b.running_var.numpy()})
+
+
+def _conv_pair(c):
+    d = {"kernel": c.weight.detach().numpy().transpose(2, 3, 1, 0)}
+    if c.bias is not None:
+        d["bias"] = c.bias.detach().numpy()
+    return d
+
+
+def _randomize_bns(mod):
+    with torch.no_grad():
+        for m in mod.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand_like(m.weight) + 0.5)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+
+
+class TestFusionSEParity:
+    def test_dsm_modality_sync_matches_reference(self, ref_fusion_se):
+        """FLAGSHIP DSM modality sync: reference FusionAfterBEVSEDirect
+        (fusion_after_bev_se_direct.py:17-59) vs our FusionAfterBEVSE with
+        copied conv/BN/SE weights — incl. the bilinear image resize."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.fusion_bev import FusionAfterBEVSE
+
+        rng = np.random.RandomState(6)
+        ci, cr = 6, 10
+        ref = ref_fusion_se.FusionAfterBEVSEDirect(
+            ConfigDict({}), num_bev_features=ci + cr,
+            image_in_channels=ci, image_out_channels=ci,
+            radar_in_channels=cr, radar_out_channels=cr)
+        ref.eval()
+        _randomize_bns(ref)
+        img = rng.randn(1, ci, 32, 32).astype(np.float32)  # finer grid
+        radar = rng.randn(1, cr, 16, 16).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref({
+                "spatial_features": torch.from_numpy(img.copy()),
+                "pillar_features_scattered": torch.from_numpy(radar.copy()),
+            })["spatial_features_2d"].numpy()
+
+        bn_p, bn_s = _bn_pair(ref.fuse_conv[1])
+        params = {
+            "fuse_conv": _conv_pair(ref.fuse_conv[0]),
+            "fuse_bn": bn_p,
+            "se": {"att_conv": _conv_pair(ref.se_block.att[1])},
+        }
+        mine = FusionAfterBEVSE(image_out_channels=ci, radar_out_channels=cr)
+        out = mine.apply(
+            {"params": params, "batch_stats": {"fuse_bn": bn_s}},
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            jnp.asarray(radar.transpose(0, 2, 3, 1)), False)
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), out_ref, atol=3e-5)
+
+
+class TestFPNLSSParity:
+    def test_pillarnet_neck_matches_reference(self, ref_lss_fpn):
+        """FLAGSHIP radar neck: reference FPN_LSS (lss_fpn.py:12-127,
+        pillarnet instantiation: extra_upsample=None, scale_factor=2)
+        vs our FPNLSS with copied weights."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.bev_encoder import FPNLSS
+
+        rng = np.random.RandomState(7)
+        c1, c2, c3, n = 8, 12, 16, 16
+        ref = ref_lss_fpn.FPN_LSS(
+            in_channels=[c1 + 10, c2 + c3], out_channels=[10, 10],
+            scale_factor=2, extra_upsample=None)
+        ref.eval()
+        _randomize_bns(ref)
+        x1 = rng.randn(1, c1, n, n).astype(np.float32)
+        x2 = rng.randn(1, c2, n // 2, n // 2).astype(np.float32)
+        x3 = rng.randn(1, c3, n // 4, n // 4).astype(np.float32)
+
+        class _Dense:  # the reference calls .dense() on spconv tensors
+            def __init__(self, t):
+                self._t = t
+
+            def dense(self):
+                return self._t
+
+        with torch.no_grad():
+            out_ref = ref([_Dense(torch.from_numpy(x1.copy())),
+                           _Dense(torch.from_numpy(x2.copy())),
+                           _Dense(torch.from_numpy(x3.copy()))]).numpy()
+
+        params, stats = {}, {}
+        for name, seq in (("conv34", ref.conv34), ("conv23", ref.conv23)):
+            p, s = {}, {}
+            p["conv0"] = _conv_pair(seq[0])
+            p["bn0"], s["bn0"] = _bn_pair(seq[1])
+            p["conv1"] = _conv_pair(seq[3])
+            p["bn1"], s["bn1"] = _bn_pair(seq[4])
+            params[name], stats[name] = p, s
+        mine = FPNLSS(out_channels=(10, 10), scale_factor=2)
+        out = mine.apply(
+            {"params": params, "batch_stats": stats},
+            [jnp.asarray(x.transpose(0, 2, 3, 1)) for x in (x1, x2, x3)],
+            False)
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), out_ref, atol=3e-5)
