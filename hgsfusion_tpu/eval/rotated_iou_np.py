@@ -17,13 +17,17 @@ import numpy as np
 
 
 def _corners(boxes5):
-    """(N, 5) -> (N, 4, 2) CCW corners (rotation [[c,-s],[s,c]])."""
+    """(N, 5) -> (N, 4, 2) corners, rotated CLOCKWISE for positive angle
+    (rotation [[c, s], [-s, c]]) — the KITTI/second.pytorch eval
+    convention (reference rotate_iou_cpu.rbbox_to_corners:206-229). The
+    sign matters: the relative geometry of two boxes with DIFFERENT
+    headings mirrors under the opposite convention, changing IoUs."""
     cx, cy, w, h, ang = [boxes5[:, i] for i in range(5)]
     template = np.array([[1, 1], [-1, 1], [-1, -1], [1, -1]], np.float64) / 2
     dxy = np.stack([w, h], axis=1)[:, None, :] * template[None]
     c, s = np.cos(ang), np.sin(ang)
-    x = dxy[..., 0] * c[:, None] - dxy[..., 1] * s[:, None]
-    y = dxy[..., 0] * s[:, None] + dxy[..., 1] * c[:, None]
+    x = dxy[..., 0] * c[:, None] + dxy[..., 1] * s[:, None]
+    y = -dxy[..., 0] * s[:, None] + dxy[..., 1] * c[:, None]
     return np.stack([x + cx[:, None], y + cy[:, None]], axis=-1)
 
 

@@ -103,8 +103,12 @@ def vod_official_eval(gt_annos, dt_annos, class_names=CLASS_NAMES,
                       compute_aos: bool = True):
     """Both protocol variants. Returns (pretty string, flat result dict).
 
-    Headline numbers match vod_dataset.evaluation:402-426: AP_R40 at the
-    official tier (index 1) for 3D and BEV, entire area + driving corridor.
+    Headline `*_all` keys match the reference EXACTLY (parity-tested vs
+    the vendored vod_utils in tests/test_reference_parity.py): 11-point
+    interpolated AP at the official tier (index 1) — vod_utils.do_eval
+    reports get_m_ap (R11) values into the returned dict
+    (vod_utils.py:668-682), even though it also computes R40. The R40
+    values are exposed alongside under `*_R40` keys.
     """
     current_classes = [CLASS_NAMES.index(c) for c in class_names if c in CLASS_NAMES]
     result_dict = {}
@@ -114,15 +118,19 @@ def vod_official_eval(gt_annos, dt_annos, class_names=CLASS_NAMES,
         lines.append(f"==== {region} ====")
         for j, ci in enumerate(current_classes):
             cname = CLASS_NAMES[ci]
-            ap3d = res["3d"]["R40"][j, 0, 1]
-            apbev = res["bev"]["R40"][j, 0, 1]
+            ap3d = res["3d"]["R11"][j, 0, 1]
+            apbev = res["bev"]["R11"][j, 0, 1]
             result_dict[f"{region}/{cname}_3d_all"] = float(ap3d)
             result_dict[f"{region}/{cname}_bev_all"] = float(apbev)
+            result_dict[f"{region}/{cname}_3d_all_R40"] = float(
+                res["3d"]["R40"][j, 0, 1])
+            result_dict[f"{region}/{cname}_bev_all_R40"] = float(
+                res["bev"]["R40"][j, 0, 1])
             if "aos" in res:
                 result_dict[f"{region}/{cname}_aos_all"] = float(
-                    res["aos"]["R40"][j, 0, 1]
+                    res["aos"]["R11"][j, 0, 1]
                 )
-            lines.append(f"{cname:12s} 3D AP_R40: {ap3d:6.2f}  BEV AP_R40: {apbev:6.2f}")
+            lines.append(f"{cname:12s} 3D AP: {ap3d:6.2f}  BEV AP: {apbev:6.2f}")
         m3d = np.mean([result_dict[f"{region}/{CLASS_NAMES[ci]}_3d_all"]
                        for ci in current_classes])
         mbev = np.mean([result_dict[f"{region}/{CLASS_NAMES[ci]}_bev_all"]

@@ -22,16 +22,20 @@ struct Pt {
   double x, y;
 };
 
-// 4 CCW corners of (cx, cy, w, h, angle); template order matches the numpy
+// 4 corners of (cx, cy, w, h, angle); template order matches the numpy
 // implementation ((+,+), (-,+), (-,-), (+,-)) so orientations agree.
+// Rotation is CLOCKWISE for positive angle (x' = c*x + s*y,
+// y' = -s*x + c*y), the KITTI/second.pytorch eval convention
+// (reference rotate_iou_cpu.rbbox_to_corners) — the relative geometry
+// of two boxes with different headings depends on this sign.
 inline void corners(const double* b, Pt* c) {
   const double cx = b[0], cy = b[1], hw = 0.5 * b[2], hh = 0.5 * b[3];
   const double ca = std::cos(b[4]), sa = std::sin(b[4]);
   const double tx[4] = {hw, -hw, -hw, hw};
   const double ty[4] = {hh, hh, -hh, -hh};
   for (int i = 0; i < 4; ++i) {
-    c[i].x = cx + tx[i] * ca - ty[i] * sa;
-    c[i].y = cy + tx[i] * sa + ty[i] * ca;
+    c[i].x = cx + tx[i] * ca + ty[i] * sa;
+    c[i].y = cy - tx[i] * sa + ty[i] * ca;
   }
 }
 

@@ -1061,3 +1061,130 @@ class TestFPNLSSParity:
             False)
         np.testing.assert_allclose(
             np.asarray(out).transpose(0, 3, 1, 2), out_ref, atol=3e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_vod_utils():
+    # vod_utils + rotate_iou_cpu are numba-jitted numpy: stub numba with
+    # identity decorators so they run as plain python (slow but exact)
+    numba = types.ModuleType("numba")
+
+    def _jit(*a, **k):
+        if len(a) == 1 and callable(a[0]):
+            return a[0]
+        return lambda f: f
+
+    numba.jit = _jit
+    numba.njit = _jit
+    numba.float32 = np.float32
+    numba.prange = range
+    sys.modules["numba"] = numba
+    pkg = types.ModuleType("refvodpkg")
+    pkg.__path__ = [str(REF / "utils")]
+    sys.modules["refvodpkg"] = pkg
+    return _load("refvodpkg.vod_utils", REF / "utils/vod_utils.py")
+
+
+def _synthetic_vod_annos(num_frames=8, seed=0):
+    """KITTI-format camera-frame annos with jittered detections so the
+    APs land strictly between 0 and 100."""
+    rng = np.random.RandomState(seed)
+    names = np.array(["Car", "Pedestrian", "Cyclist"])
+    gt_annos, dt_annos = [], []
+    for _ in range(num_frames):
+        n = rng.randint(3, 7)
+        name = names[rng.randint(0, 3, n)]
+        loc = np.stack([
+            rng.uniform(-8, 8, n), rng.uniform(0.8, 1.8, n),
+            rng.uniform(5, 40, n),
+        ], axis=1)
+        dims = np.stack([
+            rng.uniform(3.0, 4.5, n), rng.uniform(1.4, 1.8, n),
+            rng.uniform(1.5, 2.0, n),
+        ], axis=1)  # l, h, w
+        rot = rng.uniform(-np.pi, np.pi, n)
+        bbox = np.stack([
+            rng.uniform(0, 600, n), rng.uniform(0, 120, n),
+            np.zeros(n), np.zeros(n),
+        ], axis=1)
+        bbox[:, 2] = bbox[:, 0] + rng.uniform(30, 120, n)
+        bbox[:, 3] = bbox[:, 1] + rng.uniform(45, 150, n)  # height > 40 px
+        gt = {
+            "name": name, "truncated": np.zeros(n),
+            "occluded": rng.randint(0, 3, n).astype(np.float64),
+            "alpha": rng.uniform(-np.pi, np.pi, n),
+            "bbox": bbox, "dimensions": dims, "location": loc,
+            "rotation_y": rot,
+        }
+        # detections: jittered copies (some bad) + one spurious box
+        keep = rng.rand(n) > 0.15
+        jit = lambda a, s: a + rng.normal(0, s, a.shape)
+        m = int(keep.sum()) + 1
+        dt = {
+            "name": np.concatenate([name[keep], ["Car"]]),
+            "truncated": np.zeros(m), "occluded": np.zeros(m),
+            "alpha": jit(np.concatenate([gt["alpha"][keep], [0.3]]), 0.05),
+            "bbox": np.concatenate(
+                [jit(bbox[keep], 2.0), [[10, 10, 80, 90]]]),
+            "dimensions": np.concatenate(
+                [jit(dims[keep], 0.05), [[4.0, 1.6, 1.8]]]),
+            "location": np.concatenate(
+                [jit(loc[keep], rng.choice([0.1, 1.5])), [[0.0, 1.2, 12.0]]]),
+            "rotation_y": jit(np.concatenate([rot[keep], [0.1]]), 0.05),
+            "score": rng.uniform(0.1, 1.0, m),
+        }
+        gt_annos.append(gt)
+        dt_annos.append(dt)
+    return gt_annos, dt_annos
+
+
+class TestVoDEvalParity:
+    def test_official_eval_matches_reference(self, ref_vod_utils):
+        """The official VoD protocol end-to-end: reference
+        get_official_eval_result (vod_utils.py:681-762, entire area +
+        driving corridor; headline values are R11 means at the official
+        tier) vs our numpy evaluator on the same synthetic annos."""
+        from hgsfusion_tpu.eval.vod_eval import _eval_region
+
+        gt, dt = _synthetic_vod_annos()
+        ref_all = ref_vod_utils.get_official_eval_result(
+            gt, dt, ["Car", "Pedestrian", "Cyclist"], custom_method=0)
+        ref_roi = ref_vod_utils.get_official_eval_result(
+            gt, dt, ["Car", "Pedestrian", "Cyclist"], custom_method=3)
+
+        for roi, ref_ret in ((False, ref_all["entire_area"]),
+                             (True, ref_roi["roi"])):
+            res = _eval_region(gt, dt, [0, 1, 2], roi=roi, compute_aos=True)
+            for j, cname in enumerate(("Car", "Pedestrian", "Cyclist")):
+                np.testing.assert_allclose(
+                    res["3d"]["R11"][j, 0, 1], ref_ret[f"{cname}_3d_all"],
+                    atol=1e-6, err_msg=f"3d {cname} roi={roi}")
+                np.testing.assert_allclose(
+                    res["bev"]["R11"][j, 0, 1], ref_ret[f"{cname}_bev_all"],
+                    atol=1e-6, err_msg=f"bev {cname} roi={roi}")
+                np.testing.assert_allclose(
+                    res["aos"]["R11"][j, 0, 1], ref_ret[f"{cname}_aos_all"],
+                    atol=1e-6, err_msg=f"aos {cname} roi={roi}")
+
+    def test_public_entry_headline_keys_match(self, ref_vod_utils):
+        """vod_official_eval's `*_all` result keys equal the reference's
+        returned dict values (R11 at the official tier, the numbers
+        vod_dataset.evaluation:402-426 reports)."""
+        from hgsfusion_tpu.eval.vod_eval import vod_official_eval
+
+        gt, dt = _synthetic_vod_annos(seed=11)
+        ref_all = ref_vod_utils.get_official_eval_result(
+            gt, dt, ["Car", "Pedestrian", "Cyclist"],
+            custom_method=0)["entire_area"]
+        ref_roi = ref_vod_utils.get_official_eval_result(
+            gt, dt, ["Car", "Pedestrian", "Cyclist"],
+            custom_method=3)["roi"]
+        _, res = vod_official_eval(gt, dt)
+        for cname in ("Car", "Pedestrian", "Cyclist"):
+            for metric in ("3d", "bev", "aos"):
+                np.testing.assert_allclose(
+                    res[f"entire_area/{cname}_{metric}_all"],
+                    ref_all[f"{cname}_{metric}_all"], atol=1e-6)
+                np.testing.assert_allclose(
+                    res[f"roi/{cname}_{metric}_all"],
+                    ref_roi[f"{cname}_{metric}_all"], atol=1e-6)
