@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .kitti_ap import eval_class, get_map_r40
+from .kitti_ap import eval_class
 
 CLASS_NAMES = ["Car", "Pedestrian", "Cyclist", "Truck"]
 EVAL_ORDER = ["Pedestrian", "Cyclist", "Car", "Truck"]
@@ -63,13 +63,20 @@ def tj4d_official_eval(gt_annos, dt_annos, class_names=None):
     difficulties = [0, 1, 2]
     difficulty_names = ["easy", "moderate", "hard"]
 
+    def tj4d_map(prec):
+        """TJ4D's AP40 quirk (tj4d_utils.get_mAP:775-779): sums ALL 41
+        recall samples including i=0 (prec at recall 0) over /40 —
+        unlike the VoD/KITTI R40 which starts at i=1. Parity-tested
+        against the vendored tj4d_utils."""
+        return sum(prec[..., i] for i in range(prec.shape[-1])) / 40 * 100
+
     maps = {}
     for metric, mname in ((0, "2D"), (1, "BEV"), (2, "3D")):
         ret = eval_class(
             gt_annos, dt_annos, clean_data, current_classes, difficulties,
             metric, MIN_OVERLAPS[:, :, current_classes],
         )
-        maps[mname] = get_map_r40(ret["precision"])  # (cls, diff, tier)
+        maps[mname] = tj4d_map(ret["precision"])  # (cls, diff, tier)
 
     result_dict = {}
     lines = []

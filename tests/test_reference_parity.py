@@ -1188,3 +1188,109 @@ class TestVoDEvalParity:
                 np.testing.assert_allclose(
                     res[f"roi/{cname}_{metric}_all"],
                     ref_roi[f"{cname}_{metric}_all"], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_tj4d_utils():
+    # numba stub (same as vod), plus the function-local
+    # `from .kitti_object_eval_python.rotate_iou import rotate_iou_gpu_eval`
+    # (a CUDA-numba kernel): satisfied with our CPU rotate-IoU, which the
+    # VoD parity test has already verified against the reference's own
+    # CPU implementation end-to-end.
+    from hgsfusion_tpu.eval.rotated_iou_np import rotate_iou_eval_np
+
+    numba = sys.modules.get("numba")
+    if numba is None or not hasattr(numba, "jit"):
+        numba = types.ModuleType("numba")
+
+        def _jit(*a, **k):
+            if len(a) == 1 and callable(a[0]):
+                return a[0]
+            return lambda f: f
+
+        numba.jit = _jit
+        numba.njit = _jit
+        numba.float32 = np.float32
+        numba.prange = range
+        sys.modules["numba"] = numba
+    pkg = types.ModuleType("reftj4d")
+    pkg.__path__ = [str(REF / "datasets/kitti")]
+    sys.modules["reftj4d"] = pkg
+    sub = types.ModuleType("reftj4d.kitti_object_eval_python")
+    sub.__path__ = []
+    riou = types.ModuleType("reftj4d.kitti_object_eval_python.rotate_iou")
+    riou.rotate_iou_gpu_eval = (
+        lambda b, q, criterion=-1: rotate_iou_eval_np(b, q, criterion)
+        .astype(np.float32))
+    sys.modules["reftj4d.kitti_object_eval_python"] = sub
+    sys.modules["reftj4d.kitti_object_eval_python.rotate_iou"] = riou
+    return _load("reftj4d.tj4d_utils", REF / "datasets/kitti/tj4d_utils.py")
+
+
+class TestTJ4DEvalParity:
+    def test_official_eval_matches_reference(self, ref_tj4d_utils):
+        """TJ4D protocol (tj4d_utils.tj4d_eval:846-994): per-class AP40 at
+        both tiers x range difficulties, and the tier-mixing Overall
+        (Ped/Cyc loose + Car/Truck strict), vs our evaluator."""
+        import copy
+
+        from hgsfusion_tpu.eval.tj4d_eval import tj4d_official_eval
+
+        rng = np.random.RandomState(12)
+        names = np.array(["Car", "Pedestrian", "Cyclist", "Truck"])
+        gt_annos, dt_annos = [], []
+        for _ in range(8):
+            n = rng.randint(3, 7)
+            name = names[rng.randint(0, 4, n)]
+            loc = np.stack([
+                rng.uniform(-20, 20, n), rng.uniform(0.8, 1.8, n),
+                rng.uniform(5, 75, n),
+            ], axis=1)
+            dims = np.stack([
+                rng.uniform(3.0, 4.5, n), rng.uniform(1.4, 1.8, n),
+                rng.uniform(1.5, 2.0, n),
+            ], axis=1)
+            rot = rng.uniform(-np.pi, np.pi, n)
+            bbox = np.stack([
+                rng.uniform(0, 600, n), rng.uniform(0, 120, n),
+                np.zeros(n), np.zeros(n),
+            ], axis=1)
+            bbox[:, 2] = bbox[:, 0] + rng.uniform(30, 120, n)
+            bbox[:, 3] = bbox[:, 1] + rng.uniform(45, 150, n)
+            gt = {
+                "name": name, "truncated": np.zeros(n),
+                "occluded": np.zeros(n),
+                "alpha": rng.uniform(-np.pi, np.pi, n),
+                "bbox": bbox, "dimensions": dims, "location": loc,
+                "rotation_y": rot, "difficulty": np.zeros(n, np.int32),
+            }
+            keep = rng.rand(n) > 0.2
+            jit = lambda a, s: a + rng.normal(0, s, a.shape)
+            m = int(keep.sum()) + 1
+            dt = {
+                "name": np.concatenate([name[keep], ["Car"]]),
+                "truncated": np.zeros(m), "occluded": np.zeros(m),
+                "alpha": jit(np.concatenate([gt["alpha"][keep], [0.3]]), 0.05),
+                "bbox": np.concatenate(
+                    [jit(bbox[keep], 2.0), [[10, 10, 80, 90]]]),
+                "dimensions": np.concatenate(
+                    [jit(dims[keep], 0.05), [[4.0, 1.6, 1.8]]]),
+                "location": np.concatenate(
+                    [jit(loc[keep], rng.choice([0.1, 1.0])),
+                     [[0.0, 1.2, 12.0]]]),
+                "rotation_y": jit(np.concatenate([rot[keep], [0.1]]), 0.05),
+                "score": rng.uniform(0.1, 1.0, m),
+            }
+            gt_annos.append(gt)
+            dt_annos.append(dt)
+
+        _, ref_ret = ref_tj4d_utils.tj4d_eval(
+            copy.deepcopy(gt_annos), copy.deepcopy(dt_annos),
+            ["Pedestrian", "Cyclist", "Car", "Truck"])
+        _, mine = tj4d_official_eval(copy.deepcopy(gt_annos),
+                                     copy.deepcopy(dt_annos))
+        shared = sorted(set(ref_ret) & set(mine))
+        assert len(shared) >= 24, (sorted(ref_ret), sorted(mine))
+        for k in shared:
+            np.testing.assert_allclose(mine[k], ref_ret[k], atol=1e-6,
+                                       err_msg=k)
