@@ -1390,3 +1390,77 @@ class TestKittiOfficialEvalParity:
                         err_msg=k_ref)
                     checked += 1
         assert checked == 27
+
+
+@pytest.fixture(scope="module")
+def ref_once_eval():
+    # evaluation.py + eval_utils are numpy/numba; iou_utils is CUDA-only —
+    # satisfied by our CPU rotate-IoU (verified against the reference's
+    # own CPU kernel in the VoD test)
+    from hgsfusion_tpu.eval.rotated_iou_np import rotate_iou_eval_np
+
+    if "numba" not in sys.modules or not hasattr(sys.modules["numba"], "jit"):
+        numba = types.ModuleType("numba")
+
+        def _jit(*a, **k):
+            if len(a) == 1 and callable(a[0]):
+                return a[0]
+            return lambda f: f
+
+        numba.jit = _jit
+        numba.njit = _jit
+        numba.float32 = np.float32
+        numba.prange = range
+        sys.modules["numba"] = numba
+    pkg = types.ModuleType("refonce")
+    pkg.__path__ = [str(REF / "datasets/once/once_eval")]
+    sys.modules["refonce"] = pkg
+    iou_utils = types.ModuleType("refonce.iou_utils")
+    iou_utils.rotate_iou_gpu_eval = (
+        lambda b, q, criterion=-1: rotate_iou_eval_np(b, q, criterion))
+    sys.modules["refonce.iou_utils"] = iou_utils
+    return _load("refonce.evaluation",
+                 REF / "datasets/once/once_eval/evaluation.py")
+
+
+class TestONCEEvalParity:
+    def test_superclass_protocol_matches_reference(self, ref_once_eval):
+        """ONCE protocol end-to-end (once_eval/evaluation.py:26-151):
+        superclass merge, Overall&Distance difficulty rings, 50-point AP
+        with heading filtering — reference vs our evaluator on the same
+        synthetic lidar-frame annos."""
+        from hgsfusion_tpu.eval.once_eval import get_evaluation_results
+
+        rng = np.random.RandomState(30)
+        classes = ["Car", "Bus", "Truck", "Pedestrian", "Cyclist"]
+        gt_annos, pred_annos = [], []
+        for _ in range(6):
+            n = rng.randint(4, 9)
+            name = np.array(classes)[rng.randint(0, 5, n)]
+            boxes = np.zeros((n, 7))
+            boxes[:, 0] = rng.uniform(-60, 60, n)
+            boxes[:, 1] = rng.uniform(-40, 40, n)
+            boxes[:, 2] = rng.uniform(-1, 1, n)
+            boxes[:, 3:6] = rng.uniform(1.2, 4.5, (n, 3))
+            boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+            gt_annos.append({"name": name, "boxes_3d": boxes})
+            keep = rng.rand(n) > 0.2
+            m = int(keep.sum()) + 1
+            pb = np.concatenate([
+                boxes[keep] + rng.normal(0, 0.12, (int(keep.sum()), 7)),
+                [[5.0, 0.0, 0.0, 4.0, 1.8, 1.6, 0.2]],
+            ])
+            pred_annos.append({
+                "name": np.concatenate([name[keep], ["Car"]]),
+                "boxes_3d": pb,
+                "score": rng.uniform(0.1, 1.0, m),
+            })
+
+        ref_str, ref_ret = ref_once_eval.get_evaluation_results(
+            gt_annos, pred_annos, list(classes))
+        _, mine = get_evaluation_results(gt_annos, pred_annos, list(classes))
+        shared = sorted(set(ref_ret) & set(mine))
+        assert len(shared) >= 12, (sorted(ref_ret)[:5], sorted(mine)[:5])
+        for k in shared:
+            np.testing.assert_allclose(mine[k], ref_ret[k], atol=1e-6,
+                                       err_msg=k)
