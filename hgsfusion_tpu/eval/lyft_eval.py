@@ -57,9 +57,16 @@ def recall_precision(gt, predictions, iou_thresholds):
         if gts is None:
             fp[pi] = 1
             continue
-        ious = iou3d_with_heading(
-            np.stack(gts), np.asarray(pred["box"])[None, :7],
-            with_heading=False)[:, 0]
+        # the Lyft devkit's ground polygon uses an IMPROPER rotation
+        # (corner offset map [[c, s], [s, -c]], det -1 — lyft_eval.py:
+        # 131-155): equivalent to a proper clockwise rotation of boxes
+        # with the y axis mirrored, so negate y before the IoU to
+        # reproduce the official numbers exactly (parity-tested)
+        gb = np.stack(gts).copy()
+        pb = np.asarray(pred["box"], np.float64)[None, :7].copy()
+        gb[:, 1] = -gb[:, 1]
+        pb[:, 1] = -pb[:, 1]
+        ious = iou3d_with_heading(gb, pb, with_heading=False)[:, 0]
         best = int(np.argmax(ious))
         for ti, th in enumerate(iou_thresholds):
             if ious[best] > th:

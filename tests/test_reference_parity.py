@@ -1464,3 +1464,107 @@ class TestONCEEvalParity:
         for k in shared:
             np.testing.assert_allclose(mine[k], ref_ret[k], atol=1e-6,
                                        err_msg=k)
+
+
+@pytest.fixture(scope="module")
+def ref_lyft_eval():
+    """Vendored lyft_mAP_eval with shapely/pyquaternion stubbed: the
+    reference only needs Polygon(...).intersection(...).area (convex quad
+    clip — served by our verified Sutherland-Hodgman) and
+    Quaternion(wxyz).rotation_matrix (our nuScenes helper)."""
+    from hgsfusion_tpu.datasets.nuscenes import quat_to_rotmat
+    from hgsfusion_tpu.eval.rotated_iou_np import _pairwise_intersection
+
+    class _Poly:
+        def __init__(self, coords):
+            pts = np.asarray(coords, np.float64)
+            if np.allclose(pts[0], pts[-1]):
+                pts = pts[:-1]
+            self._pts = pts
+
+        def intersection(self, other):
+            area = float(_pairwise_intersection(
+                self._pts[None], other._pts[None])[0, 0])
+            out = types.SimpleNamespace()
+            out.area = area
+            return out
+
+    class _Quat:
+        def __init__(self, wxyz):
+            self._q = np.asarray(wxyz, np.float64)
+
+        @property
+        def rotation_matrix(self):
+            q = self._q / np.linalg.norm(self._q)
+            return np.asarray(quat_to_rotmat(q))
+
+    shapely = types.ModuleType("shapely")
+    geometry = types.ModuleType("shapely.geometry")
+    geometry.Polygon = _Poly
+    sys.modules["shapely"] = shapely
+    sys.modules["shapely.geometry"] = geometry
+    pyq = types.ModuleType("pyquaternion")
+    pyq.Quaternion = _Quat
+    sys.modules["pyquaternion"] = pyq
+    return _load("ref_lyft_eval",
+                 REF / "datasets/lyft/lyft_mAP_eval/lyft_eval.py")
+
+
+class TestLyftEvalParity:
+    def test_average_precisions_match_reference(self, ref_lyft_eval):
+        """Lyft mAP protocol (lyft_mAP_eval/lyft_eval.py:345-395): per-class
+        AP averaged over IoU thresholds, reference vs our evaluator on the
+        same world-frame predictions."""
+        from hgsfusion_tpu.eval.lyft_eval import get_average_precisions
+
+        rng = np.random.RandomState(40)
+        classes = ["car", "pedestrian", "bicycle"]
+        gt, preds = [], []
+        for s in range(6):
+            token = f"tok{s}"
+            n = rng.randint(3, 7)
+            for i in range(n):
+                name = classes[rng.randint(0, 3)]
+                tr = [float(rng.uniform(-40, 40)),
+                      float(rng.uniform(-40, 40)),
+                      float(rng.uniform(-2, 0))]
+                size = [float(rng.uniform(1.5, 2.2)),
+                        float(rng.uniform(3.5, 5.0)),
+                        float(rng.uniform(1.4, 2.0))]
+                yaw = rng.uniform(-np.pi, np.pi)
+                rot = [float(np.cos(yaw / 2)), 0.0, 0.0,
+                       float(np.sin(yaw / 2))]
+                gt.append({"sample_token": token, "translation": tr,
+                           "size": size, "rotation": rot, "name": name})
+                if rng.rand() > 0.15:
+                    jr = rng.normal(0, rng.choice([0.15, 1.2]), 3)
+                    preds.append({
+                        "sample_token": token,
+                        "translation": [tr[0] + jr[0], tr[1] + jr[1],
+                                        tr[2] + jr[2] * 0.1],
+                        "size": [s * float(rng.uniform(0.95, 1.05))
+                                 for s in size],
+                        "rotation": rot, "name": name,
+                        "score": float(rng.uniform(0.1, 1.0)),
+                    })
+            preds.append({"sample_token": token,
+                          "translation": [5.0, 5.0, -1.0],
+                          "size": [1.8, 4.4, 1.6],
+                          "rotation": [1.0, 0, 0, 0], "name": "car",
+                          "score": 0.5})
+
+        def to_box7(d):
+            w, l, h = d["size"]
+            qw, qx, qy, qz = d["rotation"]
+            yaw = np.arctan2(2 * (qw * qz + qx * qy),
+                             1 - 2 * (qy * qy + qz * qz))
+            return {**d, "box": np.array(
+                [*d["translation"], l, w, h, yaw], np.float64)}
+
+        ths = [0.4, 0.5, 0.7]
+        want = ref_lyft_eval.get_average_precisions(gt, preds, classes, ths)
+        got = get_average_precisions(
+            [to_box7(g) for g in gt], [to_box7(p) for p in preds],
+            classes, ths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-9)
