@@ -1568,3 +1568,65 @@ class TestLyftEvalParity:
             classes, ths)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def ref_nusc_projection():
+    import functools
+
+    mod = _load("ref_nusc_projection",
+                REF.parent / "hybrid_pts/nusc_image_projection.py")
+    # batch_view_points hardcodes device='cuda:0'; pin it to cpu
+    mod.batch_view_points = functools.partial(
+        mod.batch_view_points, device="cpu")
+    return mod
+
+
+class TestRHGMProjectionParity:
+    def test_projection_roundtrip_matches_reference(self, ref_nusc_projection):
+        """The RHGM geometric core: reference projectionV2 +
+        reverse_view_points (hybrid_pts/nusc_image_projection.py:38-93)
+        vs our rhgm project/back_project on one camera."""
+        from hgsfusion_tpu.rhgm.generator import (
+            back_project, project_points_to_image)
+
+        rng = np.random.RandomState(50)
+        n = 200
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, 0] = rng.uniform(1, 50, n)
+        pts[:, 1] = rng.uniform(-20, 20, n)
+        pts[:, 2] = rng.uniform(-2, 2, n)
+        # rigid lidar->cam: camera looks down +x (KITTI-style axes swap)
+        ext = np.array([
+            [0, -1, 0, 0.1], [0, 0, -1, -0.3], [1, 0, 0, 0.2], [0, 0, 0, 1],
+        ], np.float32)
+        k = np.array([[700.0, 0, 960], [0, 700, 450], [0, 0, 1]], np.float32)
+
+        proj = ref_nusc_projection.projectionV2(
+            torch.from_numpy(pts), torch.from_numpy(ext[None]),
+            torch.from_numpy(k[None]), H=900, W=1600, device="cpu",
+        )[0].numpy()  # (N, 4) floor(u), floor(v), depth, valid
+
+        cam_to_img = np.concatenate([k, np.zeros((3, 1), np.float32)], axis=1)
+        uvd, in_front = project_points_to_image(pts, ext, cam_to_img)
+        mask = proj[:, 3] == 1
+        assert mask.sum() > 50
+        np.testing.assert_allclose(np.floor(uvd[mask, :2]), proj[mask, :2],
+                                   atol=1e-4)
+        np.testing.assert_allclose(uvd[mask, 2], proj[mask, 2], atol=1e-4)
+        assert in_front[mask].all()
+
+        # reverse: reference un-projects pixels to CAMERA frame; compose
+        # with the inverse extrinsic and compare to our back_project
+        uv_h = np.concatenate(
+            [uvd[mask, :2].T, np.ones((1, int(mask.sum())), np.float32)])
+        cam_pts = ref_nusc_projection.reverse_view_points(
+            torch.from_numpy(uv_h), torch.from_numpy(uvd[mask, 2]),
+            torch.from_numpy(k), device="cpu").numpy().T
+        hom = np.concatenate(
+            [cam_pts, np.ones((cam_pts.shape[0], 1), np.float32)], axis=1)
+        ref_lidar = (hom @ np.linalg.inv(ext).T)[:, :3]
+        mine = back_project(uvd[mask, :2], uvd[mask, 2], ext, cam_to_img)
+        np.testing.assert_allclose(mine, ref_lidar, atol=1e-3)
+        # and the roundtrip recovers the original points
+        np.testing.assert_allclose(mine, pts[mask], atol=1e-3)
