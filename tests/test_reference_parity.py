@@ -1630,3 +1630,94 @@ class TestRHGMProjectionParity:
         np.testing.assert_allclose(mine, ref_lidar, atol=1e-3)
         # and the roundtrip recovers the original points
         np.testing.assert_allclose(mine, pts[mask], atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def ref_center_head():
+    """Load the reference CenterHead class standalone: relative-import
+    parents stubbed (loss_utils/model_nms_utils unused by target
+    assignment), centernet_utils loaded for real."""
+    if "numba" not in sys.modules or not hasattr(sys.modules["numba"], "jit"):
+        numba = types.ModuleType("numba")
+
+        def _jit(*a, **k):
+            if len(a) == 1 and callable(a[0]):
+                return a[0]
+            return lambda f: f
+
+        numba.jit = _jit
+        numba.njit = _jit
+        numba.float32 = np.float32
+        numba.prange = range
+        sys.modules["numba"] = numba
+    root = types.ModuleType("refroot")
+    root.__path__ = [str(REF)]
+    models = types.ModuleType("refroot.models")
+    models.__path__ = [str(REF / "models")]
+    mu = types.ModuleType("refroot.models.model_utils")
+    mu.__path__ = [str(REF / "models/model_utils")]
+    dh = types.ModuleType("refroot.models.dense_heads")
+    dh.__path__ = [str(REF / "models/dense_heads")]
+    utils_stub = types.ModuleType("refroot.utils")
+    loss_stub = types.ModuleType("refroot.utils.loss_utils")
+    utils_stub.loss_utils = loss_stub
+    nms_stub = types.ModuleType("refroot.models.model_utils.model_nms_utils")
+    mu.model_nms_utils = nms_stub
+    sys.modules.update({
+        "refroot": root, "refroot.models": models,
+        "refroot.models.model_utils": mu,
+        "refroot.models.dense_heads": dh,
+        "refroot.utils": utils_stub,
+        "refroot.utils.loss_utils": loss_stub,
+        "refroot.models.model_utils.model_nms_utils": nms_stub,
+    })
+    return _load("refroot.models.dense_heads.center_head",
+                 REF / "models/dense_heads/center_head.py")
+
+
+class TestCenterTargetsParity:
+    def test_single_head_targets_match_reference(self, ref_center_head):
+        """CenterPoint target assignment: the reference's per-object loop
+        (center_head.assign_target_of_single_head:106-163 + the gaussian
+        splat in centernet_utils:38-70) vs our vectorized center_targets."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.center_head import center_targets
+
+        rng = np.random.RandomState(60)
+        pc_range = [0.0, -20.0, -3.0, 40.0, 20.0, 1.0]
+        voxel = [0.25, 0.25, 4.0]
+        stride = 2
+        w, h = 80, 80  # feature map (x, y)
+        m = 12
+        n = 7
+        gt = np.zeros((m, 8), np.float32)
+        gt[:n, 0] = rng.uniform(1, 39, n)
+        gt[:n, 1] = rng.uniform(-19, 19, n)
+        gt[:n, 2] = rng.uniform(-2, 0, n)
+        gt[:n, 3:6] = rng.uniform(1.0, 5.0, (n, 3))
+        gt[:n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[:n, 7] = rng.randint(1, 4, n)  # classes 1..3
+
+        dummy = types.SimpleNamespace(
+            point_cloud_range=pc_range, voxel_size=voxel)
+        hm_ref, boxes_ref, inds_ref, mask_ref, _ = (
+            ref_center_head.CenterHead.assign_target_of_single_head(
+                dummy, num_classes=3, gt_boxes=torch.from_numpy(gt[:n]),
+                feature_map_size=[w, h], feature_map_stride=stride,
+                num_max_objs=m))
+
+        out = center_targets(
+            jnp.asarray(gt[None]), num_class=3, feature_map_hw=(h, w),
+            feature_map_stride=stride, pc_range=pc_range, voxel_size=voxel)
+        np.testing.assert_allclose(
+            np.asarray(out["heatmap"][0]).transpose(2, 0, 1),
+            hm_ref.numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out["boxes"][0][:n]), boxes_ref.numpy()[:n],
+            atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(out["inds"][0][:n]), inds_ref.numpy()[:n])
+        np.testing.assert_array_equal(
+            np.asarray(out["mask"][0]).astype(np.int64),
+            mask_ref.numpy())
