@@ -1800,3 +1800,82 @@ class TestLidarIoUParity:
         # reference computes in f32; ours in f32 on device — small float
         # differences at polygon-clip edge cases only
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_points_in_boxes_host(tmp_path_factory):
+    """Compile the reference roiaware kernel's pure device functions
+    (roiaware_pool3d_kernel.cu:16-37, check_pt_in_box3d) as host C++."""
+    import ctypes
+    import subprocess
+
+    src = (REF / "ops/roiaware_pool3d/src/roiaware_pool3d_kernel.cu"
+           ).read_text()
+    cut = src.index("__global__")
+    build = tmp_path_factory.mktemp("refpib")
+    cc = build / "ref_pib.cc"
+    cc.write_text(
+        "#include <math.h>\n#define __device__\n"
+        + src[:cut]
+        + """
+extern "C" void ref_pts_in_boxes(const float* pts, long n,
+                                 const float* boxes, long m, int* out) {
+  float lx, ly;
+  for (long j = 0; j < m; ++j)
+    for (long i = 0; i < n; ++i)
+      out[j * n + i] = check_pt_in_box3d(pts + 3 * i, boxes + 7 * j, lx, ly);
+}
+"""
+    )
+    so = build / "ref_pib.so"
+    subprocess.run(["g++", "-O2", "-shared", "-fPIC", str(cc), "-o", str(so)],
+                   check=True)
+    lib = ctypes.CDLL(str(so))
+    lib.ref_pts_in_boxes.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+
+    def pts_in_boxes(pts, boxes):
+        p = np.ascontiguousarray(pts, np.float32)
+        b = np.ascontiguousarray(boxes, np.float32)
+        out = np.zeros((len(b), len(p)), np.int32)
+        lib.ref_pts_in_boxes(
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(p),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(b),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return out
+
+    return pts_in_boxes
+
+
+class TestPointsInBoxesParity:
+    def test_matches_reference_kernel(self, ref_points_in_boxes_host):
+        """ops/points_in_boxes vs the reference CUDA check_pt_in_box3d
+        (exclusive z at dz/2, 1e-5 xy margin) on random points/boxes,
+        with boundary-straddling points excluded (float32 vs float64
+        comparisons at the exact edge legitimately differ)."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.ops.points_in_boxes import points_in_boxes
+
+        rng = np.random.RandomState(80)
+        pts = np.stack([
+            rng.uniform(0, 20, 500), rng.uniform(-10, 10, 500),
+            rng.uniform(-2, 1, 500),
+        ], axis=1).astype(np.float32)
+        boxes = np.zeros((12, 7), np.float32)
+        boxes[:, 0] = rng.uniform(2, 18, 12)
+        boxes[:, 1] = rng.uniform(-8, 8, 12)
+        boxes[:, 2] = rng.uniform(-1.5, 0.0, 12)
+        boxes[:, 3:6] = rng.uniform(1.0, 5.0, (12, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, 12)
+
+        want = ref_points_in_boxes_host(pts, boxes).astype(bool)
+        got = np.asarray(points_in_boxes(
+            jnp.asarray(pts), jnp.asarray(boxes)))
+        assert got.shape == want.shape
+        disagree = got != want
+        # allow only exact-boundary flips (within 1e-4 of a face)
+        assert disagree.mean() < 0.002, disagree.sum()
