@@ -15,7 +15,7 @@ class VODDataset(KittiFormatDataset):
     IMAGE_EXT = ".jpg"
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """Official VoD protocol: AP_R40 IoU .5/.25/.25, entire annotated area
+        """Official VoD protocol: 11-point AP (the reference's headline; R40 under *_R40 keys) IoU .5/.25/.25, entire annotated area
         plus the driving-corridor ROI (camera coords |x|<4 m, z<25 m).
 
         vod_dataset.evaluation:402-426 / utils/vod_utils.py.

@@ -44,6 +44,11 @@ def recall_precision(gt, predictions, iou_thresholds):
     for g in gt:
         by_sample.setdefault(g["sample_token"], []).append(
             np.asarray(g["box"], np.float64))
+    # pre-mirror y once per token (see the convention note below)
+    by_sample = {
+        tok: np.stack(boxes) * np.array([1, -1, 1, 1, 1, 1, 1])
+        for tok, boxes in by_sample.items()
+    }
     checked = {
         tok: np.zeros((len(boxes), len(iou_thresholds)))
         for tok, boxes in by_sample.items()
@@ -60,13 +65,12 @@ def recall_precision(gt, predictions, iou_thresholds):
         # the Lyft devkit's ground polygon uses an IMPROPER rotation
         # (corner offset map [[c, s], [s, -c]], det -1 — lyft_eval.py:
         # 131-155): equivalent to a proper clockwise rotation of boxes
-        # with the y axis mirrored, so negate y before the IoU to
-        # reproduce the official numbers exactly (parity-tested)
-        gb = np.stack(gts).copy()
+        # with the y axis mirrored, so both sides have y negated (gts
+        # once per token above) to reproduce the official numbers
+        # exactly (parity-tested)
         pb = np.asarray(pred["box"], np.float64)[None, :7].copy()
-        gb[:, 1] = -gb[:, 1]
         pb[:, 1] = -pb[:, 1]
-        ious = iou3d_with_heading(gb, pb, with_heading=False)[:, 0]
+        ious = iou3d_with_heading(gts, pb, with_heading=False)[:, 0]
         best = int(np.argmax(ious))
         for ti, th in enumerate(iou_thresholds):
             if ious[best] > th:

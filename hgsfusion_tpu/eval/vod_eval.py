@@ -130,6 +130,9 @@ def vod_official_eval(gt_annos, dt_annos, class_names=CLASS_NAMES,
                 result_dict[f"{region}/{cname}_aos_all"] = float(
                     res["aos"]["R11"][j, 0, 1]
                 )
+                result_dict[f"{region}/{cname}_aos_all_R40"] = float(
+                    res["aos"]["R40"][j, 0, 1]
+                )
             lines.append(f"{cname:12s} 3D AP: {ap3d:6.2f}  BEV AP: {apbev:6.2f}")
         m3d = np.mean([result_dict[f"{region}/{CLASS_NAMES[ci]}_3d_all"]
                        for ci in current_classes])

@@ -66,11 +66,19 @@ def _accumulate_class(gt_frames, pred_frames, class_name, level,
         if len(p_boxes) == 0:
             continue
         order = np.argsort(-p_scores)
-        iou = (
-            iou3d_with_heading(g_boxes[:, :7], p_boxes[:, :7],
-                               with_heading=False)
-            if len(g_boxes) else np.zeros((0, len(p_boxes)))
-        )
+        # Waymo's metric library computes TRUE geometric IoU; the shared
+        # kernel uses the KITTI clockwise corner convention, and
+        # CW-corners(-theta) == CCW-corners(theta), so negate headings to
+        # get the proper lidar-frame IoU (ONCE keeps CW on purpose — its
+        # official eval uses the second.pytorch kernel as-is)
+        if len(g_boxes):
+            gb = g_boxes[:, :7].copy()
+            pb = p_boxes[:, :7].copy()
+            gb[:, 6] = -gb[:, 6]
+            pb[:, 6] = -pb[:, 6]
+            iou = iou3d_with_heading(gb, pb, with_heading=False)
+        else:
+            iou = np.zeros((0, len(p_boxes)))
         taken = np.zeros(len(g_boxes), bool)
         for j in order:
             best, best_i = iou_threshold, -1
