@@ -667,3 +667,67 @@ class TestPyramidAug:
         # at least one point actually moved between boxes
         assert not np.allclose(np.sort(out[:, 0]), np.sort(pts[:, 0]),
                                atol=1e-6)
+
+
+class TestPipelineEdgeCases:
+    """Fuzz the host pipeline at its degenerate corners: the static-shape
+    contract must survive frames the reference's ragged pipeline handles
+    implicitly (resample-on-empty, mask-to-zero)."""
+
+    def test_all_points_out_of_range(self, synthetic_root):
+        ds = _make_dataset(synthetic_root, training=False)
+        d = ds.compose_input_dict(0)
+        d["points"][:, 0] = 999.0  # everything outside the range mask
+        out = ds.prepare_data(d)
+        assert out is not None  # eval path never resamples
+        out = ds.pad_to_static(out)
+        assert out["points_valid"].sum() == 0
+        batch = DatasetTemplate.collate_batch([out])
+        assert batch["points"].shape[1] == 1024
+
+    def test_all_gt_filtered_returns_none_in_training(self, synthetic_root):
+        ds = _make_dataset(synthetic_root, training=True)
+        np.random.seed(0)
+        d = ds.compose_input_dict(0)
+        d["gt_names"] = np.array(["Unknown"] * len(d["gt_names"]))
+        assert ds.prepare_data(d) is None  # caller redraws (reference quirk)
+
+    def test_single_point_frame(self, synthetic_root):
+        ds = _make_dataset(synthetic_root, training=False)
+        d = ds.compose_input_dict(0)
+        d["points"] = d["points"][:1]
+        out = ds.pad_to_static(ds.prepare_data(d))
+        assert out["points_valid"].sum() <= 1
+        assert out["points"].shape == (1024, 17)
+
+    def test_gt_boxes_overflow_truncates(self, synthetic_root):
+        """More gt boxes than MAX_GT_BOXES must truncate, not crash."""
+        ds = _make_dataset(synthetic_root, training=False)
+        d = ds.compose_input_dict(0)
+        reps = int(np.ceil(40 / max(len(d["gt_boxes"]), 1)))
+        d["gt_boxes"] = np.tile(d["gt_boxes"], (reps, 1))[:40]
+        d["gt_names"] = np.tile(d["gt_names"], reps)[:40]
+        if d.get("gt_boxes2d") is not None:
+            d["gt_boxes2d"] = np.tile(d["gt_boxes2d"], (reps, 1))[:40]
+        out = ds.pad_to_static(ds.prepare_data(d))
+        assert out["gt_boxes"].shape == (16, 8)
+
+    def test_fuzz_random_degenerate_frames(self, synthetic_root):
+        """Random subsets/corruptions of a real frame never crash the
+        eval-path pipeline and always emit contract-shaped arrays."""
+        ds = _make_dataset(synthetic_root, training=False)
+        rng = np.random.RandomState(0)
+        for trial in range(20):
+            d = ds.compose_input_dict(trial % len(ds))
+            n = len(d["points"])
+            keep = rng.rand(n) < rng.choice([0.0, 0.01, 0.5, 1.0])
+            d["points"] = d["points"][keep]
+            if rng.rand() < 0.3 and len(d["gt_boxes"]):
+                d["gt_boxes"] = d["gt_boxes"][:0]
+                d["gt_names"] = d["gt_names"][:0]
+                if d.get("gt_boxes2d") is not None:
+                    d["gt_boxes2d"] = d["gt_boxes2d"][:0]
+            out = ds.pad_to_static(ds.prepare_data(d))
+            assert out["points"].shape == (1024, 17)
+            assert out["gt_boxes"].shape == (16, 8)
+            assert np.all(np.isfinite(out["points"]))
