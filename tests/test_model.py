@@ -390,3 +390,63 @@ class TestDeformConvAndParallelASPP:
         assert occ.shape == (1, 16, 16, 1)
         assert "aspp_dcn1" in variables["params"]
         assert "aspp_branch0" in variables["params"]
+
+
+class TestFlagshipDegenerateInputs:
+    def test_empty_point_cloud_forward_finite(self, tiny_model_and_vars):
+        """All points invalid: the radar branch sees an empty BEV; the
+        forward (and its gradients) must stay finite."""
+        model, variables, batch = tiny_model_and_vars
+        b2 = dict(batch)
+        b2["points_valid"] = jnp.zeros_like(batch["points_valid"])
+        preds, _ = jax.jit(
+            lambda v, b: model.apply(v, b, False, mutable=["batch_stats"])
+        )(variables, b2)
+        for k, v in preds.items():
+            assert np.all(np.isfinite(np.asarray(v))), k
+
+    def test_empty_scene_train_grads_finite(self, tiny_model_and_vars):
+        """Empty points + zero gt through the full training loss: grads
+        must be finite (the all-background assignment path)."""
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+        from hgsfusion_tpu.train.optim import build_optimizer
+        from hgsfusion_tpu.train.trainer import TrainState, make_train_step
+
+        model, variables, batch = tiny_model_and_vars
+        b2 = {k: v for k, v in batch.items()}
+        b2["points_valid"] = jnp.zeros_like(batch["points_valid"])
+        b2["gt_boxes"] = jnp.zeros_like(batch["gt_boxes"])
+
+        anchor_cfg = [
+            dict(class_name=n, anchor_sizes=[s], anchor_rotations=[0, 1.57],
+                 anchor_bottom_heights=[h], align_center=False,
+                 feature_map_stride=1, matched_threshold=m,
+                 unmatched_threshold=u)
+            for n, s, h, m, u in [
+                ("Car", [3.9, 1.6, 1.56], -1.78, 0.6, 0.45),
+                ("Pedestrian", [0.8, 0.6, 1.73], -0.6, 0.5, 0.35),
+                ("Cyclist", [1.76, 0.6, 1.73], -0.6, 0.5, 0.35),
+            ]
+        ]
+        assigner = TargetAssigner(anchor_cfg, TINY.grid_size, TINY.pc_range,
+                                  class_names=TINY.class_names)
+        optim_cfg = ConfigDict(
+            {"OPTIMIZER": "adam_onecycle", "LR": 1e-3, "WEIGHT_DECAY": 0.01,
+             "MOMS": [0.95, 0.85], "PCT_START": 0.4, "DIV_FACTOR": 10,
+             "GRAD_NORM_CLIP": 10})
+        tx, _ = build_optimizer(optim_cfg, total_steps=4,
+                                params=variables["params"])
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32))
+        loss_weights = {"cls_weight": 1.0, "loc_weight": 2.0,
+                        "dir_weight": 0.2, "code_weights": [1.0] * 7}
+        step = jax.jit(make_train_step(model, assigner, tx, loss_weights,
+                                       TINY))
+        new_state, tb = step(state, b2)
+        assert np.isfinite(float(tb["loss"]))
+        leaves = jax.tree_util.tree_leaves(new_state.params)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
