@@ -370,3 +370,53 @@ class TestExportCLI:
         dets = exported.call(inputs)
         assert set(dets) >= {"boxes", "scores", "labels", "valid"}
         assert np.asarray(dets["boxes"]).ndim == 3
+
+
+class TestServeCLI:
+    def test_export_then_serve(self, tmp_path):
+        """tools/serve.py drives an exported artifact from .npz batches
+        with no model code and writes fixed-shape detections."""
+        from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
+
+        data_root = tmp_path / "data"
+        make_synthetic_kitti(data_root, num_frames=2, num_points=256,
+                             num_virtual=32)
+        cfg_path = tmp_path / "tiny_radar.yaml"
+        _write_cfg(cfg_path, data_root)
+        _run(["tools/create_infos.py", "--cfg_file", str(cfg_path)],
+             cwd=REPO)
+        artifact = tmp_path / "model.stablehlo"
+        _run([
+            "tools/export.py", "--cfg_file", str(cfg_path),
+            "--out", str(artifact),
+        ], cwd=REPO, timeout=1200)
+
+        # dump two batches as npz (the serving host's input format)
+        import numpy as np
+
+        sys.path.insert(0, str(REPO))
+        from hgsfusion_tpu.config import load_config
+        from hgsfusion_tpu.datasets import build_dataset
+        from hgsfusion_tpu.train.trainer import device_batch, model_inputs
+
+        cfg = load_config(cfg_path)
+        ds = build_dataset(cfg.DATA_CONFIG, list(cfg.CLASS_NAMES),
+                           training=False)
+        in_dir = tmp_path / "batches"
+        in_dir.mkdir()
+        for i in range(2):
+            batch = ds.collate_batch([ds[i]])
+            np.savez(in_dir / f"frame{i}.npz",
+                     **{k: np.asarray(v)
+                        for k, v in model_inputs(device_batch(batch)).items()})
+
+        out_dir = tmp_path / "dets"
+        proc = _run([
+            "tools/serve.py", "--artifact", str(artifact),
+            "--inputs", str(in_dir), "--out_dir", str(out_dir), "--time",
+        ], cwd=REPO, timeout=1200)
+        outs = sorted(out_dir.glob("*_dets.npz"))
+        assert len(outs) == 2, proc.stdout + proc.stderr
+        d = np.load(outs[0])
+        assert set(d.files) >= {"boxes", "scores", "labels", "valid"}
+        assert np.isfinite(d["boxes"]).all()
