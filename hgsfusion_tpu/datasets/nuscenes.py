@@ -703,9 +703,10 @@ class NuScenesDataset(DatasetTemplate):
         boxes = np.asarray(info["gt_boxes"], np.float64)
         attrs = info.get("gt_attributes", [""] * len(boxes))
         for k in range(len(boxes)):
+            # NaN gt velocities stay NaN (devkit load_gt): accumulate()
+            # then records vel_err as NaN and _cummean skips those samples
+            # instead of counting |pred_vel| toward mAVE.
             vel = tuple(boxes[k, 7:9]) if boxes.shape[1] >= 9 else (0.0, 0.0)
-            if np.any(np.isnan(vel)):
-                vel = (0.0, 0.0)
             out.append({
                 "translation": boxes[k, :3],
                 "size": boxes[k, [4, 3, 5]],

@@ -56,11 +56,17 @@ def _scale_err(size_a, size_b):
 
 
 def _cummean(x):
-    """Mean of the first k entries, NaNs skipped (devkit cummean)."""
+    """Mean of the first k entries, NaNs skipped (devkit cummean).
+
+    Positions before the first valid entry are 0.0 (the devkit's np.divide
+    with a zeros `out` and `where=count!=0`); the all-NaN input is the
+    devkit's special case returning ones."""
     ok = ~np.isnan(x)
+    if not ok.any():
+        return np.ones_like(x)
     cnt = np.cumsum(ok)
     s = np.cumsum(np.where(ok, x, 0.0))
-    return np.where(cnt > 0, s / np.maximum(cnt, 1), 1.0)
+    return np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
 
 
 def _filter_by_range(boxes):

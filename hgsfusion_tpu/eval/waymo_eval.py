@@ -162,7 +162,10 @@ def waymo_evaluation(det_annos, gt_annos, class_names, distance_thresh=1000):
         for level in (1, 2):
             scores, tp, hw, num_gt = _accumulate_class(
                 gt_frames, pred_frames, cls, level, iou_th)
-            ap = _ap_from_matches(scores, tp, np.ones_like(tp), num_gt)
+            # AP weights = tp, so cum_w == cum_tp and precision is
+            # tp/(tp+fp); all-ones weights would make precision identically
+            # 1.0 and false positives would never reduce AP.
+            ap = _ap_from_matches(scores, tp, tp, num_gt)
             aph = _ap_from_matches(scores, tp, hw, num_gt)
             key = f"OBJECT_TYPE_TYPE_{cls.upper()}_LEVEL_{level}"
             ap_dict[key + "/AP"] = ap

@@ -462,7 +462,19 @@ def make_eval_step_for_cfg(yaml_cfg, model_cfg, model) -> Callable:
     tools/export.py, and tools/demo.py (one place for the head->decode
     routing instead of three copies)."""
     post_cfg = dict(yaml_cfg.MODEL.POST_PROCESSING)
-    head_name = yaml_cfg.MODEL.DENSE_HEAD.NAME
+    if yaml_cfg.MODEL.NAME in ("MPPNet", "MPPNetE2E"):
+        # second stage only — no DENSE_HEAD in the config; proposals come in
+        # through the batch and the pvrcnn decode (canonical residuals vs
+        # rois, sigmoid rcnn_cls) serves the refinement head directly
+        return make_pvrcnn_eval_step(model, None, model_cfg, post_cfg)
+    head_cfg = yaml_cfg.MODEL.get("DENSE_HEAD")
+    if head_cfg is None:
+        raise NotImplementedError(
+            f"no eval-step dispatch for model {yaml_cfg.MODEL.NAME!r} "
+            "(config has no DENSE_HEAD and it is not a known second-stage "
+            "family)"
+        )
+    head_name = head_cfg.NAME
     if head_name == "CenterHead":
         return make_center_eval_step(model, model_cfg, post_cfg)
     if head_name == "TransFusionHead":

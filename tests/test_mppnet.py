@@ -204,3 +204,56 @@ class TestMPPNetStreaming:
             jnp.asarray(pts), jnp.ones((n,), bool))
         assert int(state.frames_seen) == 1
         assert np.all(np.isfinite(np.asarray(out["rcnn_cls"])))
+
+
+class TestEvalDispatch:
+    def test_make_eval_step_for_cfg_routes_mppnet(self):
+        """tools/test.py's factory must serve MPPNet (no DENSE_HEAD in its
+        config) instead of raising on the DENSE_HEAD lookup."""
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.train.trainer import make_eval_step_for_cfg
+
+        cfg = HGSFusionConfig(pv_num_rois=4)
+        model = MPPNetModel(cfg=cfg)
+        yaml_cfg = ConfigDict({
+            "MODEL": {
+                "NAME": "MPPNet",
+                "POST_PROCESSING": {
+                    "SCORE_THRESH": 0.0,
+                    "NMS_CONFIG": {"NMS_THRESH": 0.1, "NMS_POST_MAXSIZE": 4},
+                },
+            },
+        })
+        ev = make_eval_step_for_cfg(yaml_cfg, cfg, model)
+
+        rng = np.random.RandomState(0)
+        b, t, n, p = 1, 4, 64, 6
+        pts = np.zeros((b, t, n, 4), np.float32)
+        pts[..., 0] = rng.uniform(0, 16, (b, t, n))
+        pts[..., 1] = rng.uniform(-8, 8, (b, t, n))
+        props = np.zeros((b, t, p, 9), np.float32)
+        props[..., 3:6] = [3.9, 1.6, 1.56]
+        props[..., 0] = rng.uniform(2, 14, (b, t, p))
+        batch = {
+            "points_multi": jnp.asarray(pts),
+            "points_multi_valid": jnp.ones((b, t, n), bool),
+            "roi_boxes": jnp.asarray(props),
+            "roi_scores": jnp.asarray(
+                rng.uniform(0, 1, (b, t, p)).astype(np.float32)),
+            "roi_labels": jnp.ones((b, t, p), jnp.int32),
+        }
+        variables = MPPNetModel(cfg=cfg).init(
+            jax.random.PRNGKey(0), batch, False)
+        out = ev(variables["params"], variables.get("batch_stats", {}), batch)
+        assert out["boxes"].shape == (b, 4, 7)
+        assert np.all(np.isfinite(np.asarray(out["boxes"])))
+
+    def test_make_eval_step_for_cfg_unknown_model_raises(self):
+        from hgsfusion_tpu.config import ConfigDict
+        from hgsfusion_tpu.train.trainer import make_eval_step_for_cfg
+        import pytest
+
+        yaml_cfg = ConfigDict(
+            {"MODEL": {"NAME": "Mystery", "POST_PROCESSING": {}}})
+        with pytest.raises(NotImplementedError, match="Mystery"):
+            make_eval_step_for_cfg(yaml_cfg, None, None)

@@ -286,6 +286,30 @@ class TestNuScenesEval:
         assert np.isnan(details["mAVE"])  # undefined for barrier
         assert np.isnan(details["mAAE"])
 
+    def test_cummean_prefix_before_first_valid_is_zero(self):
+        from hgsfusion_tpu.eval.nuscenes_eval import _cummean
+
+        # devkit cummean: positions before the first non-NaN entry are 0.0
+        out = _cummean(np.array([np.nan, np.nan, 2.0, 4.0]))
+        np.testing.assert_allclose(out, [0.0, 0.0, 2.0, 3.0])
+        # all-NaN special case -> ones
+        np.testing.assert_allclose(
+            _cummean(np.array([np.nan, np.nan])), [1.0, 1.0])
+
+    def test_nan_gt_velocity_skipped_in_mave(self):
+        # two gts: one with NaN velocity (single-annotation instance), one
+        # with a real velocity error of 2.0; devkit semantics: the NaN match
+        # is skipped by cummean, so the final vel_err is 2.0 — not biased
+        # by |pred_vel| of the NaN match.
+        gt = {"s0": (
+            self._boxes([[0, 0, 1]], "car", vel=(np.nan, np.nan))
+            + self._boxes([[20, 0, 1]], "car", vel=(1.0, 0.0)))}
+        pred = {"s0": (
+            self._boxes([[0, 0, 1]], "car", score=0.9, vel=(5.0, 0.0))
+            + self._boxes([[20, 0, 1]], "car", score=0.8, vel=(3.0, 0.0)))}
+        md = accumulate(gt, pred, "car", 2.0)
+        assert md["vel_err"][-1] == pytest.approx(2.0)
+
     def test_range_filter_drops_far_boxes(self):
         gt = {"s0": self._boxes([[5, 0, 1], [100, 0, 1]], "car")}
         pred = {"s0": self._boxes([[5, 0, 1]], "car", score=0.9)}

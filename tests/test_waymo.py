@@ -144,6 +144,22 @@ class TestWaymoEval:
         assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/APH"] == pytest.approx(
             0.0, abs=1e-6)
 
+    def test_false_positive_reduces_ap(self):
+        # 1 TP + 1 higher-scored FP: precision at full recall is 0.5, so
+        # max-interpolated AP must be 0.5 (a regression here means AP
+        # weights degenerated to all-ones and FPs stopped counting).
+        gt = [self._frame([[10, 0, 0, 4.6, 1.9, 1.6, 0.0]], ["Vehicle"])]
+        det = [self._frame(
+            [[10, 0, 0, 4.6, 1.9, 1.6, 0.0],
+             [40, 20, 0, 4.6, 1.9, 1.6, 0.0]],
+            ["Vehicle", "Vehicle"], score=[0.9, 0.95])]
+        _, ap = waymo_evaluation(det, gt, ["Vehicle"])
+        assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP"] == pytest.approx(
+            0.5, abs=0.01)
+        # APH at the FP is zero-weighted either way
+        assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/APH"] == pytest.approx(
+            0.5, abs=0.01)
+
     def test_level1_ignores_hard_gts(self):
         boxes = [[10, 0, 0, 4.6, 1.9, 1.6, 0.0],
                  [30, 0, 0, 4.6, 1.9, 1.6, 0.0]]

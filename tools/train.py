@@ -111,7 +111,15 @@ def main():
     )
 
     model = build_network(cfg, model_cfg)
-    head_name = cfg.MODEL.DENSE_HEAD.NAME
+    mppnet = cfg.MODEL.NAME in ("MPPNet", "MPPNetE2E")
+    head_cfg = cfg.MODEL.get("DENSE_HEAD")
+    if head_cfg is None and not mppnet:
+        raise NotImplementedError(
+            f"no train-step dispatch for model {cfg.MODEL.NAME!r} "
+            "(config has no DENSE_HEAD and it is not a known second-stage "
+            "family)"
+        )
+    head_name = head_cfg.NAME if head_cfg is not None else ""
     center_head = head_name == "CenterHead"
     transfusion_head = head_name == "TransFusionHead"
     # two-stage (RoIHeadTemplate) families and their loss recipes
@@ -123,16 +131,21 @@ def main():
         "PointRCNN": "pointrcnn",
         "PartA2Net": "parta2", "PartA2": "parta2",
     }
+    if mppnet:
+        TWOSTAGE_FAMILIES["MPPNet"] = TWOSTAGE_FAMILIES["MPPNetE2E"] = "mppnet"
     twostage = TWOSTAGE_FAMILIES.get(cfg.MODEL.NAME)
-    pvrcnn = twostage is not None and twostage != "pointrcnn"
+    pvrcnn = twostage is not None and twostage not in ("pointrcnn", "mppnet")
     assigner = None
-    if not center_head and not transfusion_head and twostage != "pointrcnn":
+    if (not center_head and not transfusion_head
+            and twostage not in ("pointrcnn", "mppnet")):
         assigner = TargetAssigner(
             [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
             model_cfg.grid_size, model_cfg.pc_range,
             class_names=model_cfg.class_names,
         )
-    loss_weights = dict(cfg.MODEL.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS)
+    loss_weights = (
+        dict(head_cfg.LOSS_CONFIG.LOSS_WEIGHTS) if head_cfg is not None else {}
+    )
 
     mesh = make_mesh()
 
