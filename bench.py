@@ -7,10 +7,14 @@ device until the final fixed-shape detections).
 
 Baseline note: the reference repo publishes no FPS numbers (BASELINE.md).
 The target from BASELINE.json is >=3x the reference's A100 end-to-end FPS on
-one v5e chip. Until the reference is measured, we anchor on an estimate of
-REF_A100_FPS = 10.0 (CaDDN-family detectors with a ResNet-101 on ~0.5Mpx
-images run ~5-15 FPS on data-center GPUs; the hook in tools/test.py:142-143
-measures per-frame ms with CUDA_LAUNCH_BLOCKING). vs_baseline = fps /
+one v5e chip. No GPU exists in this environment, so the denominator is a
+per-stage roofline estimate of the reference forward on A100 (fp32 with
+cudnn TF32, eager PyTorch, B=1), built in BASELINE.md "Reference A100
+roofline": dilated DeepLabV3-ResNet101 backbone 670 GMACs ~= 18 ms, frustum
+grid gen + 4x 5-D grid_sample + concat + Conv3d reduce ~= 20 ms of mostly
+HBM traffic, radar branch ~= 4 ms, DSM + head ~= 4.5 ms, NMS (GPU bitmask +
+D2H + CPU sweep) ~= 3 ms, eager dispatch + H2D ~= 6 ms => ~56 ms/frame,
+REF_A100_FPS = 18 (defended range 13-26). vs_baseline = fps /
 (3 * REF_A100_FPS), so 1.0 == target met.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -20,7 +24,7 @@ from __future__ import annotations
 import json
 import time
 
-REF_A100_FPS = 10.0  # documented estimate; see module docstring
+REF_A100_FPS = 18.0  # roofline estimate; see BASELINE.md "Reference A100 roofline"
 TARGET_MULTIPLIER = 3.0
 
 

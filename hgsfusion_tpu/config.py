@@ -167,6 +167,7 @@ def model_config_from_yaml(cfg: ConfigDict):
         image_backbone=image_vfe.FFN.DDN.BACKBONE_NAME,
         channel_reduce_out=image_vfe.FFN.CHANNEL_REDUCE.out_channels,
         f2v_out_channels=image_vfe.F2V.OUT_CHANNELS,
+        f2v_quant=image_vfe.F2V.get("QUANT", "none"),
         disc_mode=disc["mode"],
         disc_num_bins=disc["num_bins"],
         disc_depth_min=disc["depth_min"],

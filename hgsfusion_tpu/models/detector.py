@@ -43,6 +43,9 @@ class HGSFusionConfig:
     image_backbone: str = "ResNet101"
     channel_reduce_out: int = 64
     f2v_out_channels: int = 128
+    # f2v gather-payload quantization ("none" | "int8"); see
+    # FrustumToVoxelMultiScale.quant
+    f2v_quant: str = "none"
     disc_mode: str = "LID"
     disc_num_bins: int = 80
     disc_depth_min: float = 1.0
@@ -158,10 +161,19 @@ class HGSFusionModel(nn.Module):
             nn.remat(ResNetDeepLabBackbone, static_argnums=(2,))
             if cfg.remat else ResNetDeepLabBackbone
         )
-        backbone = backbone_cls(
-            stage_sizes=stage_sizes, dtype=cfg.dtype, name="ddn_backbone"
-        )
-        taps = backbone(images, train)
+        if "ddn_features" in batch:
+            # Injection hook: precomputed multi-scale backbone taps (NHWC,
+            # one per feat_extract_layer). Used by the whole-graph parity
+            # test to feed BOTH frameworks identical image features at the
+            # DDN boundary (the reference's backbone is torchvision
+            # DeepLabV3, depth_ffn.py:106-115), and by serving deployments
+            # with cached image features.
+            taps = list(batch["ddn_features"])
+        else:
+            backbone = backbone_cls(
+                stage_sizes=stage_sizes, dtype=cfg.dtype, name="ddn_backbone"
+            )
+            taps = backbone(images, train)
         feats = [
             ConvBNReLU(
                 cfg.channel_reduce_out, kernel_size=(1, 1), use_bias=False,
@@ -208,7 +220,8 @@ class HGSFusionModel(nn.Module):
         )
         voxel = f2v_cls(
             out_channels=cfg.f2v_out_channels, dtype=cfg.dtype,
-            num_depth_bins=cfg.disc_num_bins, name="f2v",
+            num_depth_bins=cfg.disc_num_bins, quant=cfg.f2v_quant,
+            name="f2v",
         )(feats, grid, train, depth_probs)  # (B, Y, X, Z, C)
 
         # ---- radar branch

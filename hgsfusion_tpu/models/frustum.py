@@ -205,6 +205,12 @@ class FrustumToVoxelMultiScale(nn.Module):
     # suggesting near-width-independence. Kept for hardware where fat rows
     # win; off by default.
     merge_nested_gather: bool = False
+    # Gather-payload quantization ("none" | "int8"): int8 halves the bytes
+    # the HBM-bound f2v gather + tap combine move (BASELINE.md); per-channel
+    # scales are folded into the reduce kernel so dequantization is exact
+    # algebra and the only approximation is the 0.5-ulp rounding of the
+    # source maps. Backward is straight-through (exact bf16 sampler VJP).
+    quant: str = "none"
 
     def _sample_with_depth(self, f, probs, grid, cdt):
         """Exact trilinear sampling of the frustum volume probs*feat without
@@ -333,12 +339,20 @@ class FrustumToVoxelMultiScale(nn.Module):
 
         for f, k_off in groups:
             cg = f.shape[-1]
-            sampled = grid_sample_2d_quad(
-                f.astype(cdt), uv_by_group[id(f)]
-            )  # (B, Y, X, Z, cg)
+            k_rows = kernel[k_off : k_off + cg]
+            if self.quant == "int8":
+                from ..ops.grid_sample import grid_sample_2d_quad_q8
+
+                sampled, scale = grid_sample_2d_quad_q8(
+                    f, uv_by_group[id(f)], cdt
+                )  # unscaled; fold the per-channel scales into the kernel
+                k_rows = k_rows * scale[:, None]
+            else:
+                sampled = grid_sample_2d_quad(
+                    f.astype(cdt), uv_by_group[id(f)]
+                )  # (B, Y, X, Z, cg)
             vox = vox + jnp.einsum(
-                "byxzc,co->byxzo", sampled,
-                kernel[k_off : k_off + cg].astype(cdt),
+                "byxzc,co->byxzo", sampled, k_rows.astype(cdt),
                 preferred_element_type=jnp.float32,
             )
         vox = vox.astype(cdt)

@@ -10,6 +10,9 @@ that 2-D sample directly.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 
@@ -159,6 +162,121 @@ def grid_sample_2d_quad(features, coords):
         + rows[..., 3 * c : 4 * c] * w11
     )
     return out.reshape(out_shape)
+
+
+def quantize_per_channel_int8(features):
+    """Symmetric per-channel int8 quantization of a feature map.
+
+    Returns (q int8 (B, H, W, C), scale f32 (C,)) with q = round(f / scale)
+    clipped to [-127, 127] and scale = max|f| / 127 per channel. Exact-range:
+    the scale is computed from the map itself, so the only error is the
+    0.5-ulp rounding (|f - q*scale| <= scale/2).
+    """
+    f32 = features.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f32), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(f32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quad_idx_weights(coords, h, w, dtype):
+    """Shared quad-gather indexing: flat padded-map row index + 4 bilinear
+    tap weights (zeros-padding masks folded in)."""
+    hp, wp = h + 1, w + 1
+    ix = _unnormalize(coords[..., 0], w)
+    iy = _unnormalize(coords[..., 1], h)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = (ix - ix0).astype(dtype)
+    ty = (iy - iy0).astype(dtype)
+
+    def inb(v, n):
+        return ((v >= 0) & (v <= n - 1)).astype(dtype)
+
+    mx0, mx1 = inb(ix0, w), inb(ix0 + 1, w)
+    my0, my1 = inb(iy0, h), inb(iy0 + 1, h)
+    xp = jnp.clip(ix0 + 1, 0, wp - 1).astype(jnp.int32)
+    yp = jnp.clip(iy0 + 1, 0, hp - 1).astype(jnp.int32)
+    flat = yp * wp + xp
+    w4 = (
+        (1 - tx) * (1 - ty) * mx0 * my0,
+        tx * (1 - ty) * mx1 * my0,
+        (1 - tx) * ty * mx0 * my1,
+        tx * ty * mx1 * my1,
+    )
+    return flat, w4
+
+
+def _q8_sample_impl(features, coords, compute_dtype):
+    """int8-payload quad sample: returns (out_unscaled, scale).
+
+    out_unscaled = sum_tap w_tap * q_tap in compute_dtype — integer-valued
+    magnitudes <= 127, exact in bfloat16 — so the caller dequantizes by
+    folding `scale` (C,) into whatever linear op consumes the samples
+    (e.g. kernel_rows * scale[:, None]); dequantization commutes with the
+    bilinear tap combine because the scale is per-channel.
+    """
+    b, h, w, c = features.shape
+    out_shape = coords.shape[:-1] + (c,)
+    coords = coords.reshape(b, -1, 2)
+
+    q, scale = quantize_per_channel_int8(features)
+    fp = jnp.pad(q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [fp[:, :-1, :-1], fp[:, :-1, 1:], fp[:, 1:, :-1], fp[:, 1:, 1:]],
+        axis=-1,
+    ).reshape(b, (h + 1) * (w + 1), 4 * c)
+
+    flat, w4 = _quad_idx_weights(coords, h, w, compute_dtype)
+    rows = jnp.take_along_axis(quad, flat[..., None], axis=1)
+    rows = rows.astype(compute_dtype)  # fused into the tap combine by XLA
+    out = (
+        rows[..., 0 * c : 1 * c] * w4[0][..., None]
+        + rows[..., 1 * c : 2 * c] * w4[1][..., None]
+        + rows[..., 2 * c : 3 * c] * w4[2][..., None]
+        + rows[..., 3 * c : 4 * c] * w4[3][..., None]
+    )
+    return out.reshape(out_shape), scale
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample_2d_quad_q8(features, coords, compute_dtype=jnp.bfloat16):
+    """One-gather bilinear sample with an int8-quantized payload.
+
+    Halves the gathered bytes vs a bf16 quad map (the f2v gather is
+    HBM-bandwidth-bound at 1536 B rows, BASELINE.md); per-channel scales are
+    returned for the caller to fold into the consuming matmul, so the only
+    approximation is the 0.5-ulp int8 rounding of the source map.
+
+    Gradient: straight-through — the backward pass is the exact (bf16)
+    bilinear-sample VJP of the unquantized map, rescaled by 1/scale to match
+    the unscaled forward output. Training with the quantized forward
+    therefore sees the same cotangent scatter as the exact path.
+
+    Returns (out_unscaled (..., C), scale (C,)).
+    """
+    return _q8_sample_impl(features, coords, compute_dtype)
+
+
+def _q8_fwd(features, coords, compute_dtype):
+    out, scale = _q8_sample_impl(features, coords, compute_dtype)
+    return (out, scale), (features, coords, scale)
+
+
+def _q8_bwd(compute_dtype, res, cts):
+    ct_out, _ct_scale = cts
+    features, coords, scale = res
+    # exact-sampler VJP (sample is linear per channel; forward output is
+    # sample(f)/scale, so the cotangent is rescaled by 1/scale)
+    _, vjp = jax.vjp(
+        lambda f: grid_sample_2d_quad(f.astype(compute_dtype), coords),
+        features,
+    )
+    (ct_f,) = vjp(ct_out / scale.astype(ct_out.dtype))
+    return ct_f, None
+
+
+grid_sample_2d_quad_q8.defvjp(_q8_fwd, _q8_bwd)
 
 
 def grid_sample_2d_quad_taps(features, coords):

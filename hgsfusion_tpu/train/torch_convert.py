@@ -141,6 +141,29 @@ def load_deeplab_backbone_into_variables(variables, pth_path,
 # Full HGSFusion reference checkpoint mapping (torch module path -> flax path)
 # ---------------------------------------------------------------------------
 
+# The reference registers FusionVFE submodules under CamelCase names
+# (fusion_vfe.py:40-41 add_module('ImageVFE'/'RadarVFE'); RadarOccupancy is
+# registered twice — attribute `radar_occupancy` AND add_module
+# 'RadarOccupancy', so real checkpoints carry both spellings). The mapping
+# below uses one canonical snake_case scheme; normalize incoming keys to it.
+_KEY_ALIASES = (
+    ("fusion_vfe.ImageVFE.", "fusion_vfe.image_vfe."),
+    ("fusion_vfe.RadarVFE.", "fusion_vfe.radar_backbone."),
+    ("fusion_vfe.RadarOccupancy.", "fusion_vfe.radar_occupancy."),
+)
+
+
+def _normalize_state_keys(state: Dict[str, np.ndarray]):
+    out = {}
+    for k, v in state.items():
+        for src, dst in _KEY_ALIASES:
+            if k.startswith(src):
+                k = dst + k[len(src):]
+                break
+        out.setdefault(k, v)  # duplicate registrations collapse to one key
+    return out
+
+
 def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
     """Map a reference HGSFusion `model_state` onto this framework's tree.
 
@@ -151,6 +174,18 @@ def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
     """
     import jax
 
+    class _Recording(dict):
+        """Records which torch keys the mapping consumed (for `unmatched`)."""
+
+        used: set = set()
+
+        def __getitem__(self, k):
+            v = dict.__getitem__(self, k)
+            self.used.add(k)
+            return v
+
+    state = _Recording(_normalize_state_keys(state))
+    state.used = set()
     copied, missing, unmatched = [], [], []
     p = jax.tree_util.tree_map(np.asarray, variables["params"])
     s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
@@ -287,7 +322,7 @@ def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
         try_(conv, ("dense_head", name), f"dense_head.{name}")
 
     for k in state:
-        if not any(k in c for c in copied):
+        if k not in state.used and not k.endswith("num_batches_tracked"):
             unmatched.append(k)
     report = {"copied": copied, "missing": missing, "unmatched": unmatched}
     return {"params": p, "batch_stats": s}, report

@@ -448,3 +448,92 @@ class TestIngroupInds:
 
         out = jax.jit(ingroup_inds)(jnp.asarray([0, 0, 0, 0]))
         np.testing.assert_array_equal(np.asarray(out), [0, 1, 2, 3])
+
+
+class TestGridSampleQuantized:
+    def _coords(self, rng, b, n=17):
+        return np.concatenate(
+            [
+                rng.uniform(-1.4, 1.4, (b, n, 2)),
+                np.array([[[-1, -1], [1, 1], [-1.0001, 0], [1.0001, 0],
+                           [0, 0], [-2, 2]]] * b),
+            ],
+            axis=1,
+        ).astype(np.float32)
+
+    def test_q8_matches_exact_within_quant_step(self, rng):
+        """Dequantized q8 sample == exact sample up to the per-channel
+        int8 rounding (|err| <= scale: 4 taps, weights sum <= 1)."""
+        from hgsfusion_tpu.ops.grid_sample import (
+            grid_sample_2d, grid_sample_2d_quad_q8,
+        )
+
+        b, h, w, c = 2, 9, 13, 5
+        feats = (rng.randn(b, h, w, c) * rng.uniform(0.1, 10, c)).astype(
+            np.float32)
+        coords = self._coords(rng, b)
+        exact = np.asarray(grid_sample_2d(jnp.array(feats), jnp.array(coords)))
+        out, scale = grid_sample_2d_quad_q8(
+            jnp.array(feats), jnp.array(coords), jnp.float32)
+        got = np.asarray(out) * np.asarray(scale)
+        err = np.abs(got - exact)
+        assert np.all(err <= np.asarray(scale) * (0.5 + 1e-5) + 1e-6), (
+            err.max(), np.asarray(scale))
+
+    def test_q8_out_of_range_is_zero(self, rng):
+        from hgsfusion_tpu.ops.grid_sample import grid_sample_2d_quad_q8
+
+        feats = rng.randn(1, 5, 7, 3).astype(np.float32)
+        coords = np.array([[[-2.0, 0.0], [0.0, 3.0], [5.0, 5.0]]],
+                          np.float32)
+        out, _ = grid_sample_2d_quad_q8(
+            jnp.array(feats), jnp.array(coords), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_q8_gradient_is_exact_sampler_gradient(self, rng):
+        """Straight-through backward: grad of (q8 sample * scale) w.r.t. the
+        features == grad of the exact sampler (scale treated constant)."""
+        from hgsfusion_tpu.ops.grid_sample import (
+            grid_sample_2d_quad, grid_sample_2d_quad_q8,
+        )
+
+        b, h, w, c = 1, 6, 8, 4
+        feats = rng.randn(b, h, w, c).astype(np.float32)
+        coords = self._coords(rng, b, n=9)
+        ct = rng.randn(b, coords.shape[1], c).astype(np.float32)
+
+        def loss_q8(f):
+            out, scale = grid_sample_2d_quad_q8(
+                f, jnp.array(coords), jnp.float32)
+            return jnp.sum(out * jax.lax.stop_gradient(scale) * ct)
+
+        def loss_exact(f):
+            return jnp.sum(grid_sample_2d_quad(f, jnp.array(coords)) * ct)
+
+        g_q8 = np.asarray(jax.grad(loss_q8)(jnp.array(feats)))
+        g_ex = np.asarray(jax.grad(loss_exact)(jnp.array(feats)))
+        np.testing.assert_allclose(g_q8, g_ex, atol=1e-5)
+
+    def test_frustum_module_int8_close_to_exact(self, rng):
+        """FrustumToVoxelMultiScale(quant=int8) output stays close to the
+        exact path at realistic activation scales (same params)."""
+        import jax
+
+        from hgsfusion_tpu.models.frustum import FrustumToVoxelMultiScale
+
+        feats = [
+            jnp.asarray(np.abs(rng.randn(1, 17, 25, 8)).astype(np.float32)),
+            jnp.asarray(np.abs(rng.randn(1, 9, 13, 12)).astype(np.float32)),
+        ]
+        grid = jnp.asarray(
+            rng.uniform(-1.2, 1.2, (1, 10, 10, 4, 3)).astype(np.float32))
+        exact_m = FrustumToVoxelMultiScale(out_channels=16)
+        q8_m = FrustumToVoxelMultiScale(out_channels=16, quant="int8")
+        variables = exact_m.init(jax.random.PRNGKey(0), feats, grid, False)
+        a = np.asarray(exact_m.apply(variables, feats, grid, False))
+        b = np.asarray(q8_m.apply(variables, feats, grid, False))
+        # int8 rounding on the inputs of a 20-channel reduce: small relative
+        # error on the BN+ReLU output
+        denom = np.maximum(np.abs(a).max(), 1e-6)
+        assert np.max(np.abs(a - b)) / denom < 0.02, (
+            np.max(np.abs(a - b)) / denom)
