@@ -28,7 +28,9 @@ REF_A100_FPS = 18.0  # roofline estimate; see BASELINE.md "Reference A100 roofli
 TARGET_MULTIPLIER = 3.0
 
 
-def main():
+def main(dataset: str = "vod"):
+    """dataset: 'vod' (driver default) or 'tj4d' (python bench.py --tj4d —
+    the second headline config: 216x248 grid, 4 classes, 31-wide reader)."""
     import jax
 
     from __graft_entry__ import _vod_flagship
@@ -36,8 +38,9 @@ def main():
     from hgsfusion_tpu.config import load_config
     from hgsfusion_tpu.models.detector import post_process
 
-    model, cfg, batch = _vod_flagship()
-    yaml_cfg = load_config("configs/hgsfusion_vod.yaml")
+    config_path = f"configs/hgsfusion_{dataset}.yaml"
+    model, cfg, batch = _vod_flagship(config_path=config_path)
+    yaml_cfg = load_config(config_path)
     anchor_cfg = [dict(c) for c in yaml_cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG]
     assigner = TargetAssigner(
         anchor_cfg, cfg.grid_size, cfg.pc_range, class_names=cfg.class_names
@@ -83,7 +86,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "hgsfusion_vod_e2e_inference",
+                "metric": f"hgsfusion_{dataset}_e2e_inference",
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / (TARGET_MULTIPLIER * REF_A100_FPS), 4),
@@ -93,4 +96,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main("tj4d" if "--tj4d" in sys.argv[1:] else "vod")
