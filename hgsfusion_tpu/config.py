@@ -160,6 +160,20 @@ def model_config_from_yaml(cfg: ConfigDict):
     tgt = head.get("TARGET_ASSIGNER_CONFIG", {})
     post = cfg.MODEL.get("POST_PROCESSING", {})
     num_pt_feats = len(data.POINT_FEATURE_ENCODING.used_feature_list)
+    # AnchorHeadMulti (grouped multihead) static shape extraction
+    coder_cfg = tgt.get("BOX_CODER_CONFIG", {})
+    sep_reg = head.get("SEPARATE_REG_CONFIG", {})
+    rpn_head_cfgs = None
+    mh_num_per_loc = ()
+    if head.get("NAME") == "AnchorHeadMulti":
+        rpn_head_cfgs = tuple(
+            tuple(h["HEAD_CLS_NAME"]) for h in head.RPN_HEAD_CFGS
+        )
+        mh_num_per_loc = tuple(
+            len(c["anchor_rotations"]) * len(c["anchor_sizes"])
+            * len(c["anchor_bottom_heights"])
+            for c in head.ANCHOR_GENERATOR_CONFIG
+        )
     return HGSFusionConfig(
         class_names=tuple(cfg.CLASS_NAMES),
         pc_range=pc_range,
@@ -192,6 +206,21 @@ def model_config_from_yaml(cfg: ConfigDict):
         num_dir_bins=head.get("NUM_DIR_BINS", 2),
         dir_offset=head.get("DIR_OFFSET", 0.78539),
         dir_limit_offset=head.get("DIR_LIMIT_OFFSET", 0.0),
+        rpn_head_cfgs=rpn_head_cfgs,
+        mh_num_per_loc=mh_num_per_loc,
+        mh_shared_conv_filters=head.get("SHARED_CONV_NUM_FILTER", 64),
+        mh_separate_reg_list=tuple(sep_reg.get(
+            "REG_LIST", ("reg:2", "height:1", "size:3", "angle:2", "velo:2")
+        )),
+        mh_num_middle_conv=sep_reg.get("NUM_MIDDLE_CONV", 1),
+        mh_num_middle_filter=sep_reg.get("NUM_MIDDLE_FILTER", 64),
+        mh_separate_multihead=head.get("SEPARATE_MULTIHEAD", True),
+        # reference semantics: the dir head exists iff the key is PRESENT
+        # (anchor_head_multi.py:87), regardless of its value
+        mh_use_dir=head.get("USE_DIRECTION_CLASSIFIER", None) is not None
+        if rpn_head_cfgs else False,
+        box_coder_size=coder_cfg.get("code_size", 7),
+        box_coder_sincos=coder_cfg.get("encode_angle_by_sincos", False),
         compute_dtype=model.get("COMPUTE_DTYPE", "float32"),
         remat=model.get("REMAT", True),
         use_depth=image_vfe.get("USE_DEPTH", True),

@@ -191,7 +191,8 @@ def generate_predicted_boxes(cls_preds, box_preds, dir_preds, anchors,
     a = anchors.shape[0]
     batch_cls = cls_preds.reshape(b, a, num_class)
     batch_box = box_coder.decode(
-        box_preds.reshape(b, a, -1), jnp.broadcast_to(anchors[None], (b, a, 7))
+        box_preds.reshape(b, a, -1),
+        jnp.broadcast_to(anchors[None], (b, a, anchors.shape[-1]))
     )
     if dir_preds is not None:
         dir_labels = jnp.argmax(dir_preds.reshape(b, a, num_dir_bins), axis=-1)
@@ -200,3 +201,285 @@ def generate_predicted_boxes(cls_preds, box_preds, dir_preds, anchors,
         heading = dir_rot + dir_offset + period * dir_labels.astype(batch_box.dtype)
         batch_box = batch_box.at[..., 6].set(heading)
     return batch_cls, batch_box
+
+
+# ---------------------------------------------------------------------------
+# AnchorHeadMulti (grouped multi-head, nuScenes-style)
+# ---------------------------------------------------------------------------
+
+class SingleRPNHead(nn.Module):
+    """One class-group head (anchor_head_multi.SingleHead:9-148).
+
+    With the nuScenes RPN_HEAD_CFGS the inherited per-head BaseBEVBackbone
+    has no layers (rpn_head_cfg carries only HEAD_CLS_NAME), so it is the
+    identity and is omitted here. Channel layouts replicate the reference
+    exactly, including the separate-reg quirk: the per-part conv outputs are
+    concatenated part-major ([reg:A*2 | height:A*1 | ...]) but then
+    REinterpreted anchor-major by `.view(-1, A, code, H, W)`
+    (anchor_head_multi.py:118-126) — train and decode share the same view,
+    so the permutation is consistent; we reproduce it bit-for-bit.
+    """
+
+    num_class: int  # classes served by this head
+    num_anchors_per_location: int
+    code_size: int
+    separate_reg_list: tuple  # e.g. ("reg:2","height:1","size:3","angle:2","velo:2")
+    num_middle_conv: int = 1
+    num_middle_filter: int = 64
+    num_dir_bins: int = 2
+    use_dir: bool = False
+    dtype: object = jnp.float32
+
+    def _middle(self, x, prefix, train):
+        for k in range(self.num_middle_conv):
+            x = nn.Conv(
+                self.num_middle_filter, (3, 3), use_bias=False,
+                dtype=self.dtype, name=f"{prefix}_mid{k}_conv",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-5,
+                dtype=jnp.float32, name=f"{prefix}_mid{k}_bn",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+    def _to_multihead(self, x, per_anchor):
+        """(B, H, W, A*F) channel-major -> (B, A*H*W, F) anchor-major rows
+        (the torch .view(-1, A, F, H, W).permute(0,1,3,4,2) flattening)."""
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h, w, self.num_anchors_per_location, per_anchor)
+        x = jnp.transpose(x, (0, 3, 1, 2, 4))
+        return x.reshape(b, -1, per_anchor)
+
+    @nn.compact
+    def __call__(self, feats, train: bool):
+        a = self.num_anchors_per_location
+        pi = 0.01
+        cls_in = self._middle(feats, "cls", train)
+        cls_preds = nn.Conv(
+            a * self.num_class, (3, 3),
+            bias_init=nn.initializers.constant(-np.log((1 - pi) / pi)),
+            dtype=self.dtype, name="conv_cls",
+        )(cls_in)
+
+        parts = []
+        for reg_cfg in self.separate_reg_list:
+            reg_name, reg_ch = reg_cfg.split(":")
+            x = self._middle(feats, f"reg_{reg_name}", train)
+            parts.append(nn.Conv(
+                a * int(reg_ch), (3, 3),
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_out", "truncated_normal"),
+                dtype=self.dtype, name=f"conv_{reg_name}",
+            )(x))
+        box_preds = jnp.concatenate(parts, axis=-1)  # part-major channels
+
+        out = {
+            "cls_preds": self._to_multihead(
+                cls_preds.astype(jnp.float32), self.num_class),
+            "box_preds": self._to_multihead(
+                box_preds.astype(jnp.float32), self.code_size),
+        }
+        if self.use_dir:
+            dir_preds = nn.Conv(
+                a * self.num_dir_bins, (1, 1), dtype=self.dtype,
+                name="conv_dir_cls",
+            )(feats)
+            out["dir_cls_preds"] = self._to_multihead(
+                dir_preds.astype(jnp.float32), self.num_dir_bins)
+        return out
+
+
+class AnchorHeadMulti(nn.Module):
+    """Grouped multi-head anchor head (anchor_head_multi.AnchorHeadMulti).
+
+    shared 3x3 conv -> one SingleRPNHead per class group; outputs per-head
+    lists in the multihead anchor order (per-class blocks, anchor-major —
+    flatten_anchors_multihead).
+    """
+
+    class_names: tuple  # all classes, CLASS_NAMES order
+    rpn_head_cfgs: tuple  # tuple of class-name tuples
+    num_per_loc: tuple  # anchors per location per class (CLASS_NAMES order)
+    code_size: int = 10  # ResidualCoder(code_size=9, sincos) -> 10
+    shared_conv_filters: int = 64
+    separate_reg_list: tuple = (
+        "reg:2", "height:1", "size:3", "angle:2", "velo:2")
+    num_middle_conv: int = 1
+    num_middle_filter: int = 64
+    num_dir_bins: int = 2
+    use_dir: bool = False
+    separate_multihead: bool = True
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool):
+        if self.shared_conv_filters:
+            feats = nn.Conv(
+                self.shared_conv_filters, (3, 3), use_bias=False,
+                dtype=self.dtype, name="shared_conv",
+            )(feats)
+            feats = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=jnp.float32, name="shared_bn",
+            )(feats)
+            feats = nn.relu(feats)
+
+        head_outs = []
+        names = list(self.class_names)
+        for hi, head_cls in enumerate(self.rpn_head_cfgs):
+            a = sum(self.num_per_loc[names.index(c)] for c in head_cls)
+            nc = len(head_cls) if self.separate_multihead else len(names)
+            head_outs.append(SingleRPNHead(
+                num_class=nc, num_anchors_per_location=a,
+                code_size=self.code_size,
+                separate_reg_list=self.separate_reg_list,
+                num_middle_conv=self.num_middle_conv,
+                num_middle_filter=self.num_middle_filter,
+                num_dir_bins=self.num_dir_bins, use_dir=self.use_dir,
+                dtype=self.dtype, name=f"head_{hi}",
+            )(feats, train))
+
+        out = {
+            "cls_preds": [h["cls_preds"] for h in head_outs],
+            "box_preds": [h["box_preds"] for h in head_outs],
+        }
+        if self.use_dir:
+            out["dir_cls_preds"] = [h["dir_cls_preds"] for h in head_outs]
+        if not self.separate_multihead:
+            out = {k: jnp.concatenate(v, axis=1) for k, v in out.items()}
+        return out
+
+
+def multihead_anchor_slices(class_names, rpn_head_cfgs, num_per_loc,
+                            grid_hw):
+    """Per-head (start, stop) slices into the multihead-flattened anchor
+    axis, plus per-head 1-based label indices (head_label_indices)."""
+    names = list(class_names)
+    per_class = [n * grid_hw for n in num_per_loc]
+    starts = np.concatenate([[0], np.cumsum(per_class)])
+    slices, label_idx = [], []
+    for head_cls in rpn_head_cfgs:
+        cls_ids = [names.index(c) for c in head_cls]
+        assert cls_ids == list(range(cls_ids[0], cls_ids[0] + len(cls_ids))), (
+            "head classes must be contiguous in CLASS_NAMES order "
+            "(reference RPN_HEAD_CFGS convention)")
+        slices.append((int(starts[cls_ids[0]]),
+                       int(starts[cls_ids[-1] + 1])))
+        label_idx.append([i + 1 for i in cls_ids])
+    return slices, label_idx
+
+
+def anchor_head_multi_loss(preds, targets, assigner, loss_weights,
+                           rpn_head_cfgs, grid_hw,
+                           dir_offset: float = 0.78539,
+                           num_dir_bins: int = 2,
+                           separate_multihead: bool = True):
+    """Multihead cls + reg (+dir) loss (anchor_head_multi.py:246-373).
+
+    targets come from TargetAssigner(use_multihead=True) in the same
+    per-class-block anchor order as the head outputs.
+    """
+    cls_preds = preds["cls_preds"]
+    box_preds = preds["box_preds"]
+    dir_preds = preds.get("dir_cls_preds")
+    if not isinstance(cls_preds, (list, tuple)):
+        cls_preds, box_preds = [cls_preds], [box_preds]
+        dir_preds = [dir_preds] if dir_preds is not None else None
+
+    labels = targets["box_cls_labels"]  # (B, A)
+    reg_targets = targets["box_reg_targets"]
+    b = labels.shape[0]
+    num_class = len(assigner.class_names)
+
+    pos = labels > 0
+    neg = labels == 0
+    cls_weights = (neg + 1.0 * pos).astype(jnp.float32)
+    reg_weights = pos.astype(jnp.float32)
+    pos_norm = jnp.clip(jnp.sum(pos, axis=1, keepdims=True), 1.0, None)
+    cls_weights = cls_weights / pos_norm
+    reg_weights = reg_weights / pos_norm
+    cared = labels >= 0
+    cls_targets = jnp.where(cared, labels, 0)
+    one_hot = jax.nn.one_hot(cls_targets, num_class + 1)[..., 1:]
+
+    slices, _ = multihead_anchor_slices(
+        assigner.class_names, rpn_head_cfgs, assigner.num_per_loc, grid_hw)
+
+    anchors = assigner.flat_anchors
+    cls_loss = 0.0
+    loc_loss = 0.0
+    dir_loss = 0.0
+    c_idx = 0
+    for hi, (cp, bp) in enumerate(zip(cls_preds, box_preds)):
+        s0, s1 = slices[hi]
+        nc = cp.shape[-1]
+        oh = one_hot[:, s0:s1]
+        if separate_multihead:
+            oh = oh[..., c_idx:c_idx + nc]
+            c_idx += nc
+        cls_loss = cls_loss + jnp.sum(sigmoid_focal_loss(
+            cp, oh, cls_weights[:, s0:s1])) / b
+
+        rt = reg_targets[:, s0:s1]
+        bp_sin, rt_sin = add_sin_difference(bp, rt)
+        loc_loss = loc_loss + jnp.sum(weighted_smooth_l1(
+            bp_sin, rt_sin, reg_weights[:, s0:s1],
+            code_weights=loss_weights.get("code_weights"))) / b
+
+        if dir_preds is not None:
+            dir_targets = get_direction_target(
+                jnp.broadcast_to(
+                    anchors[None, s0:s1], (b, s1 - s0, anchors.shape[-1])),
+                rt, dir_offset, num_dir_bins)
+            w = pos.astype(jnp.float32)
+            w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1.0, None)
+            dir_loss = dir_loss + jnp.sum(weighted_cross_entropy(
+                dir_preds[hi], dir_targets, w[:, s0:s1])) / b
+
+    cls_loss = cls_loss * loss_weights["cls_weight"]
+    loc_loss = loc_loss * loss_weights["loc_weight"]
+    tb = {"rpn_loss_cls": cls_loss, "rpn_loss_loc": loc_loss}
+    total = cls_loss + loc_loss
+    if dir_preds is not None:
+        dir_loss = dir_loss * loss_weights["dir_weight"]
+        tb["rpn_loss_dir"] = dir_loss
+        total = total + dir_loss
+    tb["rpn_loss"] = total
+    return total, tb
+
+
+def generate_predicted_boxes_multihead(preds, assigner, rpn_head_cfgs,
+                                       grid_hw,
+                                       dir_offset: float = 0.78539,
+                                       dir_limit_offset: float = 0.0,
+                                       num_dir_bins: int = 2):
+    """Per-head decode (generate_predicted_boxes with use_multihead).
+
+    Returns (cls_list, box_list, label_mapping): per-head sigmoid-ready
+    logits (B, A_h, nc_h), decoded boxes (B, A_h, 7+extras), and the
+    1-based global class ids of each head (multihead_label_mapping).
+    """
+    slices, label_idx = multihead_anchor_slices(
+        assigner.class_names, rpn_head_cfgs, assigner.num_per_loc, grid_hw)
+    anchors = assigner.flat_anchors
+    cls_out, box_out = [], []
+    dir_preds = preds.get("dir_cls_preds")
+    for hi, (cp, bp) in enumerate(zip(preds["cls_preds"],
+                                      preds["box_preds"])):
+        s0, s1 = slices[hi]
+        b = cp.shape[0]
+        anchors_h = jnp.broadcast_to(
+            anchors[None, s0:s1], (b, s1 - s0, anchors.shape[-1]))
+        boxes = assigner.box_coder.decode(bp, anchors_h)
+        if dir_preds is not None:
+            dir_labels = jnp.argmax(dir_preds[hi], axis=-1)
+            period = 2 * np.pi / num_dir_bins
+            dir_rot = limit_period(
+                boxes[..., 6] - dir_offset, dir_limit_offset, period)
+            heading = (dir_rot + dir_offset
+                       + period * dir_labels.astype(boxes.dtype))
+            boxes = boxes.at[..., 6].set(heading)
+        cls_out.append(cp)
+        box_out.append(boxes)
+    return cls_out, box_out, label_idx

@@ -46,10 +46,15 @@ def generate_anchors(anchor_configs: Sequence[dict], grid_size, pc_range):
             x_stride = (pc_range[3] - pc_range[0]) / (gx - 1)
             y_stride = (pc_range[4] - pc_range[1]) / (gy - 1)
             x_off, y_off = 0.0, 0.0
-        x_shifts = np.arange(pc_range[0] + x_off, pc_range[3] + 1e-5, x_stride,
-                             dtype=np.float32)
-        y_shifts = np.arange(pc_range[1] + y_off, pc_range[4] + 1e-5, y_stride,
-                             dtype=np.float32)
+        # accumulate in float64 then cast, matching torch.arange semantics
+        # (anchor_generator.py:30-35) — float32 accumulation breaks exact
+        # coordinate symmetry, which flips force-match ties in the assigner
+        x_shifts = np.arange(
+            pc_range[0] + x_off, pc_range[3] + 1e-5, x_stride
+        ).astype(np.float32)
+        y_shifts = np.arange(
+            pc_range[1] + y_off, pc_range[4] + 1e-5, y_stride
+        ).astype(np.float32)
         z_shifts = heights
         nx, ny, nz = len(x_shifts), len(y_shifts), len(z_shifts)
         ns, nr = len(sizes), len(rotations)
@@ -80,6 +85,21 @@ def flatten_anchors(all_anchors: List[np.ndarray]) -> np.ndarray:
     """
     cat = np.concatenate(all_anchors, axis=-3)
     return cat.reshape(-1, cat.shape[-1])
+
+
+def flatten_anchors_multihead(all_anchors: List[np.ndarray]) -> np.ndarray:
+    """Multihead anchor order: per-class blocks, anchor-type-major.
+
+    Matches torch.cat([a.permute(3, 4, 0, 1, 2, 5).view(-1, C) for a in
+    anchors]) (anchor_head_template.generate_predicted_boxes:240-241 with
+    use_multihead): within each class block, index =
+    (((ns*nr + nr)*nz + z)*ny + y)*nx + x.
+    """
+    flat = [
+        np.transpose(a, (3, 4, 0, 1, 2, 5)).reshape(-1, a.shape[-1])
+        for a in all_anchors
+    ]
+    return np.concatenate(flat, axis=0)
 
 
 def _assign_single_class(anchors, gt_boxes, gt_mask, gt_classes, matched_thr,
@@ -124,17 +144,35 @@ class TargetAssigner:
     """Axis-aligned target assigner over padded gt boxes, fully vectorized."""
 
     def __init__(self, anchor_configs, grid_size, pc_range, class_names,
-                 box_coder: ResidualCoder | None = None):
+                 box_coder: ResidualCoder | None = None,
+                 use_multihead: bool = False):
         self.class_names = list(class_names)
         self.box_coder = box_coder or ResidualCoder()
         self.anchor_configs = list(anchor_configs)
+        self.use_multihead = use_multihead
         all_anchors, num_per_loc = generate_anchors(
             anchor_configs, grid_size, pc_range
         )
-        self.per_class_anchors = [jnp.asarray(a.reshape(-1, 7)) for a in all_anchors]
+        if self.box_coder.code_size > 7:
+            # pad anchors to the coder width with zeros (e.g. nuScenes
+            # velocity anchors), anchor_head_template.generate_anchors:46-50
+            pad = self.box_coder.code_size - 7
+            all_anchors = [
+                np.concatenate(
+                    [a, np.zeros(a.shape[:-1] + (pad,), np.float32)], axis=-1
+                )
+                for a in all_anchors
+            ]
+        self.anchor_dim = all_anchors[0].shape[-1]
+        self.per_class_anchors = [
+            jnp.asarray(a.reshape(-1, self.anchor_dim)) for a in all_anchors]
         self.anchor_shapes = [a.shape for a in all_anchors]
+        self.num_per_loc = [int(n) for n in num_per_loc]
         self.num_anchors_per_location = int(np.sum(num_per_loc))
-        self.flat_anchors = jnp.asarray(flatten_anchors(all_anchors))
+        self.flat_anchors = jnp.asarray(
+            flatten_anchors_multihead(all_anchors) if use_multihead
+            else flatten_anchors(all_anchors)
+        )
         self.matched = [c["matched_threshold"] for c in anchor_configs]
         self.unmatched = [c["unmatched_threshold"] for c in anchor_configs]
 
@@ -144,7 +182,9 @@ class TargetAssigner:
         Returns dict with box_cls_labels (B, A), box_reg_targets (B, A, code),
         reg_weights (B, A) in the flattened anchor order of flatten_anchors.
         """
-        gt7 = gt_boxes[..., :7]
+        # all box columns except the trailing class id (7-dof, or 9-dof with
+        # velocities for the nuScenes-style multihead coder)
+        gt7 = gt_boxes[..., :-1]
         gt_cls = gt_boxes[..., -1].astype(jnp.int32)
 
         per_class = []
@@ -164,10 +204,35 @@ class TargetAssigner:
             labels, targets, weights = jax.vmap(one)(gt7, gt_mask, gt_cls)
             per_class.append((labels, targets, weights))
 
-        # interleave classes per spatial location: (B, nz*ny*nx, ncls, nr[*ns])
         b = gt_boxes.shape[0]
         code = self.box_coder.code_size
         labels_c, targets_c, weights_c = [], [], []
+        if self.use_multihead:
+            # per-class blocks, anchor-type-major within each block (the
+            # multihead flattening of axis_aligned_target_assigner.py:44-49)
+            for (labels, targets, weights), shape in zip(
+                    per_class, self.anchor_shapes):
+                nz, ny, nx, ns, nr, _ = shape
+
+                def mh(x, extra=()):
+                    x = x.reshape(b, nz, ny, nx, ns, nr, *extra)
+                    x = jnp.transpose(
+                        x, (0, 4, 5, 1, 2, 3) + tuple(
+                            6 + i for i in range(len(extra))))
+                    return x.reshape((b, -1) + tuple(extra))
+
+                labels_c.append(mh(labels))
+                targets_c.append(mh(targets, (code,)))
+                weights_c.append(mh(weights))
+            box_cls_labels = jnp.concatenate(labels_c, axis=1)
+            box_reg_targets = jnp.concatenate(targets_c, axis=1)
+            reg_weights = jnp.concatenate(weights_c, axis=1)
+            return {
+                "box_cls_labels": box_cls_labels,
+                "box_reg_targets": box_reg_targets,
+                "reg_weights": reg_weights,
+            }
+        # interleave classes per spatial location: (B, nz*ny*nx, ncls, nr[*ns])
         for (labels, targets, weights), shape in zip(per_class, self.anchor_shapes):
             nz, ny, nx, ns, nr, _ = shape
             labels_c.append(labels.reshape(b, nz * ny * nx, ns * nr))

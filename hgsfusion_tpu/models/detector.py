@@ -74,6 +74,22 @@ class HGSFusionConfig:
     dir_offset: float = 0.78539
     dir_limit_offset: float = 0.0
     code_size: int = 7
+    # AnchorHeadMulti (grouped multihead, anchor_head_multi.py; None ->
+    # AnchorHeadSingle). rpn_head_cfgs: class-name groups; mh_num_per_loc:
+    # anchors/location per class in CLASS_NAMES order.
+    rpn_head_cfgs: tuple | None = None
+    mh_num_per_loc: Tuple[int, ...] = ()
+    mh_shared_conv_filters: int = 64
+    mh_separate_reg_list: Tuple[str, ...] = (
+        "reg:2", "height:1", "size:3", "angle:2", "velo:2")
+    mh_num_middle_conv: int = 1
+    mh_num_middle_filter: int = 64
+    mh_separate_multihead: bool = True
+    mh_use_dir: bool = False
+    # ResidualCoder(code_size=..., encode_angle_by_sincos=...) for the
+    # anchor families (TARGET_ASSIGNER_CONFIG.BOX_CODER_CONFIG)
+    box_coder_size: int = 7
+    box_coder_sincos: bool = False
     # compute dtype for the conv-heavy branches ("float32" | "bfloat16");
     # params, BN statistics, geometry, and head outputs stay f32
     compute_dtype: str = "float32"
@@ -315,6 +331,55 @@ class PointPillarModel(nn.Module):
             num_dir_bins=cfg.num_dir_bins,
             name="dense_head",
         )(feats)
+
+
+class PointPillarMultiHeadModel(nn.Module):
+    """PointPillars with the grouped multi-head anchor head (zoo family).
+
+    Topology of the nuScenes CBGS multihead configs: pillar VFE -> dense
+    scatter -> BaseBEVBackbone -> AnchorHeadMulti (anchor_head_multi.py:
+    SingleHead per class group, separate per-part reg convs, 10-dof
+    sincos+velocity coder). Outputs per-head lists in the multihead anchor
+    order (flatten_anchors_multihead).
+    """
+
+    cfg: HGSFusionConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
+        from .anchor_head import AnchorHeadMulti
+        from .base_bev_backbone import BaseBEVBackbone
+
+        cfg = self.cfg
+        pillar_bev, occ_mask = PillarFeatureNet(
+            num_input_features=batch["points"].shape[-1],
+            pillar_size=cfg.voxel_size[0],
+            pc_range=cfg.pc_range,
+            use_virtual=False,
+            encoding_type="mixed",
+            num_filters=(64,),
+            dtype=cfg.dtype,
+            name="pillar_net",
+        )(batch["points"], batch["points_valid"], train)
+        feats = BaseBEVBackbone(dtype=cfg.dtype, name="backbone_2d")(
+            pillar_bev, train
+        )
+        code_size = cfg.box_coder_size + (1 if cfg.box_coder_sincos else 0)
+        return AnchorHeadMulti(
+            class_names=tuple(cfg.class_names),
+            rpn_head_cfgs=cfg.rpn_head_cfgs,
+            num_per_loc=cfg.mh_num_per_loc,
+            code_size=code_size,
+            shared_conv_filters=cfg.mh_shared_conv_filters,
+            separate_reg_list=cfg.mh_separate_reg_list,
+            num_middle_conv=cfg.mh_num_middle_conv,
+            num_middle_filter=cfg.mh_num_middle_filter,
+            num_dir_bins=cfg.num_dir_bins,
+            use_dir=cfg.mh_use_dir,
+            separate_multihead=cfg.mh_separate_multihead,
+            dtype=cfg.dtype,
+            name="dense_head",
+        )(feats, train)
 
 
 class SECONDModel(nn.Module):
@@ -1179,3 +1244,53 @@ def post_process(preds: Dict[str, jnp.ndarray], anchors, box_coder, cfg,
         "labels": take(labels, idx),
         "valid": valid,
     }
+
+
+def post_process_multihead(preds, assigner, cfg, post_cfg: Dict):
+    """Multihead decode + per-head multi-class NMS, fixed shapes.
+
+    detector3d_template.post_processing:319-340 with MULTI_CLASSES_NMS: per
+    head, per class, rotated NMS on that class's scores; labels map through
+    multihead_label_mapping. Fixed-shape: each (head, class) contributes a
+    post_max-size block; invalid rows carry valid=False.
+    """
+    import jax
+
+    from .anchor_head import generate_predicted_boxes_multihead
+    from ..ops.nms import class_agnostic_nms
+
+    s0 = assigner.anchor_shapes[0]
+    grid_hw = int(s0[0] * s0[1] * s0[2])  # nz*ny*nx (shared by all classes)
+    cls_list, box_list, label_map = generate_predicted_boxes_multihead(
+        preds, assigner, cfg.rpn_head_cfgs, grid_hw,
+        dir_offset=cfg.dir_offset, dir_limit_offset=cfg.dir_limit_offset,
+        num_dir_bins=cfg.num_dir_bins,
+    )
+    score_thresh = post_cfg.get("SCORE_THRESH", 0.1)
+    nms_cfg = post_cfg["NMS_CONFIG"]
+    blocks = {"boxes": [], "scores": [], "labels": [], "valid": []}
+    for cp, bp, labels in zip(cls_list, box_list, label_map):
+        scores = jax.nn.sigmoid(cp)  # (B, A_h, nc_h)
+        for ci, global_label in enumerate(labels):
+            s = scores[..., ci]
+
+            def one(s_b, b_b):
+                return class_agnostic_nms(
+                    s_b, b_b[..., :7], score_thresh=score_thresh,
+                    nms_thresh=nms_cfg["NMS_THRESH"],
+                    pre_max_size=nms_cfg["NMS_PRE_MAXSIZE"],
+                    post_max_size=nms_cfg["NMS_POST_MAXSIZE"],
+                )
+
+            idx, valid = jax.vmap(one)(s, bp)
+            take = jax.vmap(lambda arr, i: arr[i])
+            blocks["boxes"].append(take(bp, idx))
+            blocks["scores"].append(take(s, idx))
+            blocks["labels"].append(
+                jnp.full(idx.shape, global_label, jnp.int32))
+            blocks["valid"].append(valid)
+    out = {k: jnp.concatenate(v, axis=1) for k, v in blocks.items()}
+    if out["boxes"].shape[-1] > 7:  # velocity extras ride along
+        out["vels"] = out["boxes"][..., 7:]
+        out["boxes"] = out["boxes"][..., :7]
+    return out

@@ -58,6 +58,15 @@ DETECTORS = {
 def build_network(cfg, model_cfg: HGSFusionConfig):
     """cfg: loaded YAML ConfigDict; model_cfg: static HGSFusionConfig."""
     name = cfg.MODEL.NAME
+    # the reference selects the head by DENSE_HEAD.NAME inside one detector
+    # entry (detector3d_template.build_dense_head); the multihead variant is
+    # a distinct static topology here
+    if (name in ("PointPillar", "PointPillarMultiHead")
+            and cfg.MODEL.get("DENSE_HEAD", {}).get("NAME")
+            == "AnchorHeadMulti"):
+        from .detector import PointPillarMultiHeadModel
+
+        return PointPillarMultiHeadModel(cfg=model_cfg)
     if name not in DETECTORS:
         raise KeyError(
             f"unknown detector '{name}'; available: {sorted(DETECTORS)}"

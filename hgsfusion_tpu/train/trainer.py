@@ -479,6 +479,10 @@ def make_eval_step_for_cfg(yaml_cfg, model_cfg, model) -> Callable:
         return make_center_eval_step(model, model_cfg, post_cfg)
     if head_name == "TransFusionHead":
         return make_transfusion_eval_step(model, model_cfg, post_cfg)
+    if head_name == "AnchorHeadMulti":
+        return make_multihead_eval_step(
+            model, make_anchor_assigner(yaml_cfg, model_cfg), model_cfg,
+            post_cfg)
     if yaml_cfg.MODEL.NAME in (
         "PVRCNN", "PV-RCNN", "PVRCNNPlusPlus", "PV-RCNN++", "VoxelRCNN",
         "PartA2Net", "PartA2", "PointRCNN", "SECONDNetIoU",
@@ -502,3 +506,66 @@ def make_eval_step_for_cfg(yaml_cfg, model_cfg, model) -> Callable:
         class_names=model_cfg.class_names,
     )
     return make_eval_step(model, assigner, model_cfg, post_cfg)
+
+
+# ---------------------------------------------------------------------------
+# AnchorHeadMulti (grouped multihead) family
+# ---------------------------------------------------------------------------
+
+def make_anchor_assigner(yaml_cfg, model_cfg) -> TargetAssigner:
+    """TargetAssigner from the yaml DENSE_HEAD: multihead anchor order and
+    BOX_CODER_CONFIG (code_size / sincos) when AnchorHeadMulti."""
+    from ..utils.box_coder import ResidualCoder
+
+    head = yaml_cfg.MODEL.DENSE_HEAD
+    tgt = head.get("TARGET_ASSIGNER_CONFIG", {})
+    coder = ResidualCoder(**dict(tgt.get("BOX_CODER_CONFIG", {})))
+    return TargetAssigner(
+        [dict(c) for c in head.ANCHOR_GENERATOR_CONFIG],
+        model_cfg.grid_size, model_cfg.pc_range,
+        class_names=model_cfg.class_names, box_coder=coder,
+        use_multihead=head.NAME == "AnchorHeadMulti",
+    )
+
+
+def make_multihead_train_step(model, assigner: TargetAssigner, tx,
+                              loss_weights: Dict, cfg) -> Callable:
+    """Train step for the AnchorHeadMulti family (anchor_head_multi.py
+    get_cls_layer_loss/get_box_reg_layer_loss over per-head slices)."""
+    from ..models.anchor_head import anchor_head_multi_loss
+
+    shape0 = assigner.anchor_shapes[0]
+    grid_hw = int(shape0[0] * shape0[1] * shape0[2])
+
+    def loss_fn(params, batch_stats, batch):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), True, mutable=["batch_stats"],
+        )
+        targets = assigner(batch["gt_boxes"])
+        total, tb = anchor_head_multi_loss(
+            preds, targets, assigner, loss_weights, cfg.rpn_head_cfgs,
+            grid_hw, dir_offset=cfg.dir_offset,
+            num_dir_bins=cfg.num_dir_bins,
+            separate_multihead=cfg.mh_separate_multihead,
+        )
+        tb = {**tb, "loss": total}
+        return total, (tb, mutated["batch_stats"])
+
+    return _grad_step(loss_fn, tx)
+
+
+def make_multihead_eval_step(model, assigner: TargetAssigner, cfg,
+                             post_cfg: Dict) -> Callable:
+    """Inference step for AnchorHeadMulti: per-head decode + per-class NMS
+    (post_processing MULTI_CLASSES_NMS branch)."""
+    from ..models.detector import post_process_multihead
+
+    def eval_step(params, batch_stats, batch):
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            model_inputs(batch), False,
+        )
+        return post_process_multihead(preds, assigner, cfg, post_cfg)
+
+    return eval_step

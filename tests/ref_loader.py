@@ -32,6 +32,10 @@ _PACKAGES = [
     "pcdet.ops.roiaware_pool3d",
     "pcdet.models",
     "pcdet.models.model_utils",
+    "pcdet.models.backbones_2d",
+    "pcdet.models.backbones_2d.resnet_modules",
+    "pcdet.models.backbones_image",
+    "pcdet.models.backbones_image.img_neck",
     "pcdet.models.fusion",
     "pcdet.models.dense_heads",
     "pcdet.models.dense_heads.target_assigner",
@@ -148,26 +152,39 @@ def _install_kornia():
     geometry.conversions = conversions
 
 
+def _get_or_stub(name):
+    return sys.modules.get(name) or _stub(name)
+
+
 def _install_misc_stubs():
     # mmcv: only ModulatedDeformConv2dPack is imported (unused in the
-    # flagship config path, radar_occupancy_2d_v2.py:6)
-    if "mmcv" not in sys.modules:
-        mmcv = _stub("mmcv")
-        ops = _stub("mmcv.ops")
-        mdc = _stub("mmcv.ops.modulated_deform_conv")
+    # flagship config path, radar_occupancy_2d_v2.py:6). Other tests in the
+    # same session may have pre-stubbed parts of mmcv — heal attributes
+    # instead of skipping, so ordering doesn't matter.
+    mmcv = _get_or_stub("mmcv")
+    ops = _get_or_stub("mmcv.ops")
+    mdc = _get_or_stub("mmcv.ops.modulated_deform_conv")
 
-        class _DCNUnavailable(torch.nn.Module):
-            def __init__(self, *a, **k):
-                super().__init__()
+    class _DCNUnavailable(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
 
+    if not hasattr(mdc, "ModulatedDeformConv2dPack"):
         mdc.ModulatedDeformConv2dPack = _DCNUnavailable
-        cnn = _stub("mmcv.cnn")
+    cnn = _get_or_stub("mmcv.cnn")
+    if not hasattr(cnn, "build_norm_layer"):
         cnn.build_norm_layer = (
             lambda cfg, ch, postfix=0: (None, torch.nn.BatchNorm2d(ch)))
-        # ddn_yolox.py/yoloxpafpn.py (unused YOLOX DDN variant) import these
-        # at module scope; instantiating them is out of scope.
+    # ddn_yolox.py/yoloxpafpn.py (unused YOLOX DDN variant) import these
+    # at module scope; instantiating them is out of scope.
+    if not hasattr(cnn, "ConvModule"):
         cnn.ConvModule = _DCNUnavailable
+    if not hasattr(cnn, "DepthwiseSeparableConvModule"):
         cnn.DepthwiseSeparableConvModule = _DCNUnavailable
+    mmcv.ops = ops
+    mmcv.cnn = cnn
+    if not hasattr(ops, "modulated_deform_conv"):
+        ops.modulated_deform_conv = mdc
     # mmengine/mmdet: module-scope imports of the unused YOLOX/mmdet-ResNet
     # DDN variants (ddn_yolox.py:11-12, ddn_resnet.py:8-9, yoloxpafpn.py:6-10)
     if "mmengine" not in sys.modules:
@@ -178,6 +195,8 @@ def _install_misc_stubs():
         me = _stub("mmengine")
         me_model = _stub("mmengine.model")
         me_model.BaseModule = _MMUnavailable
+        me_model.xavier_init = lambda m, **k: torch.nn.init.xavier_uniform_(
+            m.weight) if hasattr(m, "weight") else None
         me.model = me_model
         md = _stub("mmdet")
         md_models = _stub("mmdet.models")
@@ -200,9 +219,6 @@ def _install_misc_stubs():
         md_models.necks = md_necks
         md_models.layers = md_layers
         md.registry = md_registry
-        mmcv.ops = ops
-        mmcv.cnn = cnn
-        ops.modulated_deform_conv = mdc
     # torchvision: rpn.py imports torchvision.models.resnet at module level
     # (RPNV2 itself is dead-as-shipped; pillarnet.py only needs the import
     # to succeed)

@@ -2018,6 +2018,8 @@ def _wg_torch_chain():
     torch.Tensor.cuda = lambda self, *a, **k: self
     # ddn_loss.py:37 pins a CUDA device id at construction time
     torch.cuda.current_device = lambda: "cpu"
+    # init weights must not depend on which tests ran before (global RNG)
+    torch.manual_seed(1234)
 
     from hgsfusion_tpu.config import ConfigDict as CD
 
@@ -2282,3 +2284,219 @@ class TestWholeGraphParity:
         # boxes: xyz+dims in metres, heading in radians
         np.testing.assert_allclose(
             np.asarray(box), ref_box, atol=5e-3, err_msg="batch_box_preds")
+
+
+# ---------------------------------------------------------------------------
+# AnchorHeadMulti (grouped multihead) parity
+# ---------------------------------------------------------------------------
+
+_MH_CLASSES = ["car", "truck", "pedestrian", "traffic_cone"]
+_MH_GROUPS = [["car"], ["truck"], ["pedestrian", "traffic_cone"]]
+_MH_PC_RANGE = [-4.0, -4.0, -5.0, 4.0, 4.0, 3.0]
+_MH_ANCHOR_CFG = [
+    {"class_name": "car", "anchor_sizes": [[4.6, 2.0, 1.7]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.95],
+     "align_center": False, "feature_map_stride": 2,
+     "matched_threshold": 0.6, "unmatched_threshold": 0.45},
+    {"class_name": "truck", "anchor_sizes": [[6.9, 2.5, 2.8]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.6],
+     "align_center": False, "feature_map_stride": 2,
+     "matched_threshold": 0.55, "unmatched_threshold": 0.4},
+    {"class_name": "pedestrian", "anchor_sizes": [[0.73, 0.67, 1.77]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.935],
+     "align_center": False, "feature_map_stride": 2,
+     "matched_threshold": 0.6, "unmatched_threshold": 0.4},
+    {"class_name": "traffic_cone", "anchor_sizes": [[0.41, 0.41, 1.07]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.285],
+     "align_center": False, "feature_map_stride": 2,
+     "matched_threshold": 0.6, "unmatched_threshold": 0.4},
+]
+
+
+@pytest.fixture(scope="module")
+def ref_multihead():
+    """Reference AnchorHeadMulti (anchor_head_multi.py) on CPU."""
+    from ref_loader import install_reference_packages
+
+    load = install_reference_packages()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.manual_seed(4321)  # order-independent module init
+    bb = load("pcdet.models.backbones_2d.base_bev_backbone")
+    sys.modules["pcdet.models.backbones_2d"].BaseBEVBackbone = (
+        bb.BaseBEVBackbone)
+    ahm = load("pcdet.models.dense_heads.anchor_head_multi")
+
+    from hgsfusion_tpu.config import ConfigDict as CD
+
+    head_cfg = CD({
+        "NAME": "AnchorHeadMulti", "CLASS_AGNOSTIC": False,
+        "USE_MULTIHEAD": True, "SEPARATE_MULTIHEAD": True,
+        "SHARED_CONV_NUM_FILTER": 16,
+        "RPN_HEAD_CFGS": [{"HEAD_CLS_NAME": list(g)} for g in _MH_GROUPS],
+        "SEPARATE_REG_CONFIG": {
+            "NUM_MIDDLE_CONV": 1, "NUM_MIDDLE_FILTER": 16,
+            "REG_LIST": ["reg:2", "height:1", "size:3", "angle:2",
+                         "velo:2"]},
+        "ANCHOR_GENERATOR_CONFIG": [dict(c) for c in _MH_ANCHOR_CFG],
+        "TARGET_ASSIGNER_CONFIG": {
+            "NAME": "AxisAlignedTargetAssigner", "POS_FRACTION": -1.0,
+            "SAMPLE_SIZE": 512, "NORM_BY_NUM_EXAMPLES": False,
+            "MATCH_HEIGHT": False, "BOX_CODER": "ResidualCoder",
+            "BOX_CODER_CONFIG": {"code_size": 9,
+                                 "encode_angle_by_sincos": True}},
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+            "cls_weight": 1.0, "loc_weight": 0.25, "dir_weight": 0.2,
+            "code_weights": [1.0] * 8 + [0.2, 0.2]}},
+    })
+    head = ahm.AnchorHeadMulti(
+        model_cfg=head_cfg, input_channels=32, num_class=4,
+        class_names=list(_MH_CLASSES), grid_size=np.array([16, 16, 1]),
+        point_cloud_range=np.array(_MH_PC_RANGE),
+        predict_boxes_when_training=False)
+    return head
+
+
+def _copy_multihead_weights(head, n_groups):
+    """torch AnchorHeadMulti state -> flax AnchorHeadMulti trees."""
+    p, s = {}, {}
+    sd = {k: v.detach().numpy() for k, v in head.state_dict().items()}
+
+    def conv(dst, key):
+        d = {"kernel": sd[key + ".weight"].transpose(2, 3, 1, 0)}
+        if key + ".bias" in sd:
+            d["bias"] = sd[key + ".bias"]
+        p_node = p
+        for k in dst[:-1]:
+            p_node = p_node.setdefault(k, {})
+        p_node[dst[-1]] = d
+
+    def bn(dst, key):
+        p_node, s_node = p, s
+        for k in dst[:-1]:
+            p_node = p_node.setdefault(k, {})
+            s_node = s_node.setdefault(k, {})
+        p_node[dst[-1]] = {"scale": sd[key + ".weight"],
+                           "bias": sd[key + ".bias"]}
+        s_node[dst[-1]] = {"mean": sd[key + ".running_mean"],
+                           "var": sd[key + ".running_var"]}
+
+    conv(("shared_conv",), "shared_conv.0")
+    bn(("shared_bn",), "shared_conv.1")
+    for hi in range(n_groups):
+        t = f"rpn_heads.{hi}"
+        conv((f"head_{hi}", "cls_mid0_conv"), f"{t}.conv_cls.0")
+        bn((f"head_{hi}", "cls_mid0_bn"), f"{t}.conv_cls.1")
+        conv((f"head_{hi}", "conv_cls"), f"{t}.conv_cls.3")
+        for reg in ("reg", "height", "size", "angle", "velo"):
+            tb = f"{t}.conv_box.conv_{reg}"
+            conv((f"head_{hi}", f"reg_{reg}_mid0_conv"), f"{tb}.0")
+            bn((f"head_{hi}", f"reg_{reg}_mid0_bn"), f"{tb}.1")
+            conv((f"head_{hi}", f"conv_{reg}"), f"{tb}.3")
+    return p, s
+
+
+class TestAnchorHeadMultiParity:
+    def _ours(self, ref_multihead, feats_t):
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.anchor_head import AnchorHeadMulti
+
+        ours = AnchorHeadMulti(
+            class_names=tuple(_MH_CLASSES),
+            rpn_head_cfgs=tuple(tuple(g) for g in _MH_GROUPS),
+            num_per_loc=(2, 2, 2, 2), code_size=10,
+            shared_conv_filters=16,
+            num_middle_conv=1, num_middle_filter=16, use_dir=False)
+        params, stats = _copy_multihead_weights(
+            ref_multihead, len(_MH_GROUPS))
+        feats = jnp.asarray(feats_t.numpy().transpose(0, 2, 3, 1))
+        return ours.apply(
+            {"params": params, "batch_stats": stats}, feats, False)
+
+    def test_head_outputs_match(self, ref_multihead):
+        """Per-head cls/box preds in the multihead flattening, incl. the
+        separate-reg cat-then-view channel permutation."""
+        _randomize_bns(ref_multihead)
+        ref_multihead.eval()
+        rng = np.random.RandomState(5)
+        feats_t = torch.from_numpy(
+            rng.randn(2, 32, 8, 8).astype(np.float32))
+        with torch.no_grad():
+            bd = ref_multihead({"spatial_features_2d": feats_t,
+                                "batch_size": 2})
+        preds = self._ours(ref_multihead, feats_t)
+        ref_ret = ref_multihead.forward_ret_dict
+        assert len(preds["cls_preds"]) == len(_MH_GROUPS)
+        for hi in range(len(_MH_GROUPS)):
+            np.testing.assert_allclose(
+                np.asarray(preds["cls_preds"][hi]),
+                ref_ret["cls_preds"][hi].view(
+                    2, -1, preds["cls_preds"][hi].shape[-1]).numpy(),
+                atol=2e-4, err_msg=f"cls head {hi}")
+            np.testing.assert_allclose(
+                np.asarray(preds["box_preds"][hi]),
+                ref_ret["box_preds"][hi].view(2, -1, 10).numpy(),
+                atol=2e-4, err_msg=f"box head {hi}")
+        # decoded boxes through the 10-dof sincos coder, per head
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.anchor_head import (
+            generate_predicted_boxes_multihead,
+        )
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+        from hgsfusion_tpu.utils.box_coder import ResidualCoder
+
+        assigner = TargetAssigner(
+            [dict(c) for c in _MH_ANCHOR_CFG], (16, 16, 1), _MH_PC_RANGE,
+            class_names=_MH_CLASSES,
+            box_coder=ResidualCoder(code_size=9, encode_angle_by_sincos=True),
+            use_multihead=True)
+        cls_l, box_l, label_map = generate_predicted_boxes_multihead(
+            preds, assigner, tuple(tuple(g) for g in _MH_GROUPS), 8 * 8)
+        ref_box = bd["batch_box_preds"]
+        start = 0
+        for hi, bx in enumerate(box_l):
+            nb = bx.shape[1]
+            np.testing.assert_allclose(
+                np.asarray(bx), ref_box[:, start:start + nb].numpy(),
+                atol=1e-3, err_msg=f"decoded head {hi}")
+            start += nb
+        assert start == ref_box.shape[1]
+        assert [list(m) for m in label_map] == [
+            [i + 1 for i, c in enumerate(_MH_CLASSES) if c in g]
+            for g in _MH_GROUPS]
+
+    def test_multihead_target_assignment_matches(self, ref_multihead):
+        """box_cls_labels / box_reg_targets / reg_weights vs the reference
+        AxisAlignedTargetAssigner(use_multihead) on padded gt."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+        from hgsfusion_tpu.utils.box_coder import ResidualCoder
+
+        rng = np.random.RandomState(7)
+        b, m = 2, 5
+        gt = np.zeros((b, m, 10), np.float32)
+        # sample 0: car + pedestrian + truck; sample 1: cone only
+        gt[0, 0] = [1.0, 0.5, -0.9, 4.6, 2.0, 1.7, 0.3, 0.4, 0.1, 1]
+        gt[0, 1] = [-2.0, 2.0, -0.9, 0.7, 0.7, 1.8, 1.2, 0.0, 0.0, 3]
+        gt[0, 2] = [-1.0, -2.5, -0.6, 6.9, 2.5, 2.8, -0.4, 1.0, 0.2, 2]
+        gt[1, 0] = [2.5, -1.5, -1.2, 0.4, 0.4, 1.1, 0.0, 0.0, 0.0, 4]
+        with torch.no_grad():
+            ref_t = ref_multihead.assign_targets(torch.from_numpy(gt))
+
+        assigner = TargetAssigner(
+            [dict(c) for c in _MH_ANCHOR_CFG], (16, 16, 1), _MH_PC_RANGE,
+            class_names=_MH_CLASSES,
+            box_coder=ResidualCoder(code_size=9, encode_angle_by_sincos=True),
+            use_multihead=True)
+        ours = assigner(jnp.asarray(gt))
+        np.testing.assert_array_equal(
+            np.asarray(ours["box_cls_labels"]),
+            ref_t["box_cls_labels"].numpy())
+        np.testing.assert_allclose(
+            np.asarray(ours["box_reg_targets"]),
+            ref_t["box_reg_targets"].numpy(), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ours["reg_weights"]), ref_t["reg_weights"].numpy(),
+            atol=1e-6)

@@ -135,14 +135,20 @@ def main():
         TWOSTAGE_FAMILIES["MPPNet"] = TWOSTAGE_FAMILIES["MPPNetE2E"] = "mppnet"
     twostage = TWOSTAGE_FAMILIES.get(cfg.MODEL.NAME)
     pvrcnn = twostage is not None and twostage not in ("pointrcnn", "mppnet")
+    multihead = head_name == "AnchorHeadMulti"
     assigner = None
     if (not center_head and not transfusion_head
             and twostage not in ("pointrcnn", "mppnet")):
-        assigner = TargetAssigner(
-            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-            model_cfg.grid_size, model_cfg.pc_range,
-            class_names=model_cfg.class_names,
-        )
+        if multihead:
+            from hgsfusion_tpu.train.trainer import make_anchor_assigner
+
+            assigner = make_anchor_assigner(cfg, model_cfg)
+        else:
+            assigner = TargetAssigner(
+                [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+                model_cfg.grid_size, model_cfg.pc_range,
+                class_names=model_cfg.class_names,
+            )
     loss_weights = (
         dict(head_cfg.LOSS_CONFIG.LOSS_WEIGHTS) if head_cfg is not None else {}
     )
@@ -197,6 +203,14 @@ def main():
         train_step = jax.jit(
             make_twostage_train_step(
                 model, assigner, tx, loss_weights, model_cfg, family=twostage
+            )
+        )
+    elif multihead:
+        from hgsfusion_tpu.train.trainer import make_multihead_train_step
+
+        train_step = jax.jit(
+            make_multihead_train_step(
+                model, assigner, tx, loss_weights, model_cfg
             )
         )
     else:
