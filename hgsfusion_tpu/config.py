@@ -221,6 +221,25 @@ def model_config_from_yaml(cfg: ConfigDict):
         if rpn_head_cfgs else False,
         box_coder_size=coder_cfg.get("code_size", 7),
         box_coder_sincos=coder_cfg.get("encode_angle_by_sincos", False),
+        image_backbone_arch=(
+            "swin"
+            if model.get("IMAGE_BACKBONE", {}).get("NAME")
+            == "SwinTransformer" else "ddn"
+        ),
+        swin_embed_dims=model.get("IMAGE_BACKBONE", {}).get("EMBED_DIMS", 96),
+        swin_depths=tuple(
+            model.get("IMAGE_BACKBONE", {}).get("DEPTHS", (2, 2, 6, 2))),
+        swin_num_heads=tuple(
+            model.get("IMAGE_BACKBONE", {}).get("NUM_HEADS", (3, 6, 12, 24))),
+        swin_window_size=model.get("IMAGE_BACKBONE", {}).get(
+            "WINDOW_SIZE", 7),
+        swin_mlp_ratio=model.get("IMAGE_BACKBONE", {}).get("MLP_RATIO", 4),
+        swin_out_indices=tuple(
+            model.get("IMAGE_BACKBONE", {}).get("OUT_INDICES", (1, 2, 3))),
+        swin_drop_path=model.get("IMAGE_BACKBONE", {}).get(
+            "DROP_PATH_RATE", 0.2),
+        swin_patch_size=model.get("IMAGE_BACKBONE", {}).get("PATCH_SIZE", 4),
+        fpn_out_channels=model.get("NECK", {}).get("OUT_CHANNELS", 256),
         compute_dtype=model.get("COMPUTE_DTYPE", "float32"),
         remat=model.get("REMAT", True),
         use_depth=image_vfe.get("USE_DEPTH", True),

@@ -90,6 +90,20 @@ class HGSFusionConfig:
     # anchor families (TARGET_ASSIGNER_CONFIG.BOX_CODER_CONFIG)
     box_coder_size: int = 7
     box_coder_sincos: bool = False
+    # BEVFusion image branch (MODEL.IMAGE_BACKBONE / MODEL.NECK): "swin"
+    # runs SwinTransformer + GeneralizedLSSFPN (architecture-faithful,
+    # bevfusion.py build_image_backbone/build_neck); "ddn" substitutes the
+    # ResNet-DeepLab DDN (round-1 documented deviation, kept as a switch)
+    image_backbone_arch: str = "ddn"
+    swin_embed_dims: int = 96
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    swin_num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    swin_window_size: int = 7
+    swin_mlp_ratio: int = 4
+    swin_out_indices: Tuple[int, ...] = (1, 2, 3)
+    swin_drop_path: float = 0.2
+    swin_patch_size: int = 4
+    fpn_out_channels: int = 256
     # compute dtype for the conv-heavy branches ("float32" | "bfloat16");
     # params, BN statistics, geometry, and head outputs stay f32
     compute_dtype: str = "float32"
@@ -499,19 +513,51 @@ class BEVFusionModel(nn.Module):
         nx, ny, nz = cfg.grid_size
         stride = 8
 
-        # ---- camera branch: DDN features + depth distribution -> LSS BEV
+        # ---- camera branch: image features + depth distribution -> LSS BEV
         images = preprocess_images(batch["images"])
-        taps = ResNetDeepLabBackbone(
-            stage_sizes=(3, 4, 6, 3), dtype=cfg.dtype, name="ddn_backbone"
-        )(images, train)
-        feat = ConvBNReLU(
-            cfg.channel_reduce_out, kernel_size=(1, 1), use_bias=False,
-            dtype=cfg.dtype, name="channel_reduce",
-        )(taps[0], train)
-        logits = DeepLabClassifier(
-            num_classes=cfg.disc_num_bins + 1, dtype=cfg.dtype,
-            name="ddn_classifier",
-        )(taps[-1], train)
+        if cfg.image_backbone_arch == "swin":
+            # architecture-faithful: SwinTransformer + GeneralizedLSSFPN
+            # (bevfusion.py module_topology image_backbone -> neck); the
+            # finest FPN level feeds the depth head and the frustum sampler
+            from .swin import GeneralizedLSSFPN, SwinTransformer
+
+            taps = SwinTransformer(
+                embed_dims=cfg.swin_embed_dims, depths=cfg.swin_depths,
+                num_heads=cfg.swin_num_heads,
+                window_size=cfg.swin_window_size,
+                mlp_ratio=cfg.swin_mlp_ratio,
+                out_indices=cfg.swin_out_indices,
+                drop_path_rate=cfg.swin_drop_path,
+                patch_size=cfg.swin_patch_size,
+                dtype=cfg.dtype, name="image_backbone",
+            )(images, train)
+            fpn = GeneralizedLSSFPN(
+                out_channels=cfg.fpn_out_channels, dtype=cfg.dtype,
+                name="neck",
+            )(taps, train)
+            feat = ConvBNReLU(
+                cfg.channel_reduce_out, kernel_size=(1, 1), use_bias=False,
+                dtype=cfg.dtype, name="channel_reduce",
+            )(fpn[0], train)
+            # depth distribution head on the same level (the DepthLSS
+            # transform's depthnet role, camera-only variant)
+            logits = nn.Conv(
+                cfg.disc_num_bins + 1, (1, 1), dtype=cfg.dtype,
+                name="depth_head",
+            )(fpn[0])
+        else:
+            taps = ResNetDeepLabBackbone(
+                stage_sizes=(3, 4, 6, 3), dtype=cfg.dtype,
+                name="ddn_backbone"
+            )(images, train)
+            feat = ConvBNReLU(
+                cfg.channel_reduce_out, kernel_size=(1, 1), use_bias=False,
+                dtype=cfg.dtype, name="channel_reduce",
+            )(taps[0], train)
+            logits = DeepLabClassifier(
+                num_classes=cfg.disc_num_bins + 1, dtype=cfg.dtype,
+                name="ddn_classifier",
+            )(taps[-1], train)
         logits = resize_bilinear(logits, feat.shape[1:3])
         probs = jax.nn.softmax(logits, axis=-1)[..., : cfg.disc_num_bins]
 

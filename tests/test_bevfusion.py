@@ -90,3 +90,46 @@ class TestBEVFusionModel:
         assert not np.allclose(
             np.asarray(p1["dense_heatmap"]), np.asarray(p2["dense_heatmap"])
         )
+
+
+class TestBEVFusionSwinVariant:
+    def test_swin_image_branch_forward(self, rng):
+        """Architecture-faithful variant: SwinTransformer +
+        GeneralizedLSSFPN image branch (MODEL.IMAGE_BACKBONE switch)."""
+        from hgsfusion_tpu.models.detector import (
+            BEVFusionModel, HGSFusionConfig,
+        )
+
+        cfg = HGSFusionConfig(
+            pc_range=(0.0, -8.0, -3.0, 16.0, 8.0, 2.0),
+            voxel_size=(0.5, 0.5, 0.125),
+            image_size=(64, 96), disc_num_bins=16, disc_depth_max=16.0,
+            center_max_k=16, center_feature_map_stride=8,
+            image_backbone_arch="swin", swin_embed_dims=16,
+            swin_depths=(2, 2), swin_num_heads=(2, 4), swin_window_size=4,
+            swin_mlp_ratio=2, swin_out_indices=(0, 1), fpn_out_channels=24,
+            remat=False,
+        )
+        model = BEVFusionModel(cfg=cfg)
+        batch = _batch(rng)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        # swin params present, ddn absent
+        assert "image_backbone" in variables["params"]
+        assert "neck" in variables["params"]
+        assert "ddn_backbone" not in variables["params"]
+        preds = model.apply(variables, batch, False)
+        for k, v in preds.items():
+            assert np.all(np.isfinite(np.asarray(v))), k
+
+    def test_config_builds_both_variants(self):
+        from hgsfusion_tpu.config import load_config, model_config_from_yaml
+
+        cfg = load_config("configs/bevfusion_vod.yaml")
+        mc = model_config_from_yaml(cfg)
+        assert mc.image_backbone_arch == "swin"
+        assert mc.swin_depths == (2, 2, 6, 2)
+        assert mc.fpn_out_channels == 256
+        # removing the IMAGE_BACKBONE block falls back to the DDN variant
+        del cfg.MODEL["IMAGE_BACKBONE"]
+        mc2 = model_config_from_yaml(cfg)
+        assert mc2.image_backbone_arch == "ddn"

@@ -2500,3 +2500,189 @@ class TestAnchorHeadMultiParity:
         np.testing.assert_allclose(
             np.asarray(ours["reg_weights"]), ref_t["reg_weights"].numpy(),
             atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Swin Transformer backbone + GeneralizedLSSFPN neck parity
+# ---------------------------------------------------------------------------
+
+_SWIN_CFG = {
+    "EMBED_DIMS": 16, "DEPTHS": [2, 2], "NUM_HEADS": [2, 4],
+    "WINDOW_SIZE": 4, "MLP_RATIO": 2, "DROP_RATE": 0.0,
+    "ATTN_DROP_RATE": 0.0, "DROP_PATH_RATE": 0.2, "PATCH_SIZE": 4,
+    "OUT_INDICES": [0, 1],
+}
+
+
+@pytest.fixture(scope="module")
+def ref_swin():
+    """Reference SwinTransformer (backbones_image/swin.py) on CPU, tiny."""
+    from ref_loader import install_reference_packages
+
+    load = install_reference_packages()
+    torch.manual_seed(77)
+    swin_mod = load("pcdet.models.backbones_image.swin")
+
+    from hgsfusion_tpu.config import ConfigDict as CD
+
+    model = swin_mod.SwinTransformer(CD(dict(_SWIN_CFG)))
+    model.init_weights()
+    model.eval()
+    return model
+
+
+def _copy_swin_weights(ref, depths, out_indices):
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    p = {"patch_embed": {
+        "projection": {
+            "kernel": sd["patch_embed.projection.weight"].transpose(
+                2, 3, 1, 0),
+            "bias": sd["patch_embed.projection.bias"]},
+        "norm": {"scale": sd["patch_embed.norm.weight"],
+                 "bias": sd["patch_embed.norm.bias"]},
+    }}
+
+    def ln(key):
+        return {"scale": sd[key + ".weight"], "bias": sd[key + ".bias"]}
+
+    def dense(key, bias=True):
+        d = {"kernel": sd[key + ".weight"].T}
+        if bias:
+            d["bias"] = sd[key + ".bias"]
+        return d
+
+    for s in range(len(depths)):
+        for b in range(depths[s]):
+            t = f"stages.{s}.blocks.{b}"
+            p[f"stage{s}_block{b}"] = {
+                "norm1": ln(t + ".norm1"),
+                "norm2": ln(t + ".norm2"),
+                "attn": {"w_msa": {
+                    "relative_position_bias_table":
+                        sd[t + ".attn.w_msa.relative_position_bias_table"],
+                    "qkv": dense(t + ".attn.w_msa.qkv"),
+                    "proj": dense(t + ".attn.w_msa.proj"),
+                }},
+                "ffn": {"fc1": dense(t + ".ffn.layers.0.0"),
+                        "fc2": dense(t + ".ffn.layers.1")},
+            }
+        if s < len(depths) - 1:
+            p[f"downsample{s}"] = {
+                "norm": ln(f"stages.{s}.downsample.norm"),
+                "reduction": dense(
+                    f"stages.{s}.downsample.reduction", bias=False),
+            }
+    for i in out_indices:
+        p[f"norm{i}"] = ln(f"norm{i}")
+    return p
+
+
+class TestSwinParity:
+    def test_window_attention_matches(self, ref_swin):
+        """WindowMSA alone (relative-position bias + qkv/proj), with and
+        without the shifted-window mask."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.swin import WindowMSA, _shift_attn_mask
+
+        ref_msa = ref_swin.stages[0].blocks[0].attn.w_msa
+        rng = np.random.RandomState(3)
+        nw, n, c = 6, 16, 16  # window 4x4, embed 16
+        x = rng.randn(nw, n, c).astype(np.float32)
+        mask = _shift_attn_mask(8, 12, 4, 2)  # (6, 16, 16)
+        with torch.no_grad():
+            want_nomask = ref_msa(torch.from_numpy(x)).numpy()
+            want_mask = ref_msa(
+                torch.from_numpy(x), torch.from_numpy(mask)).numpy()
+
+        ours = WindowMSA(embed_dims=c, num_heads=2, window_size=4)
+        sd = {k: v.detach().numpy() for k, v in ref_msa.state_dict().items()}
+        params = {
+            "relative_position_bias_table":
+                sd["relative_position_bias_table"],
+            "qkv": {"kernel": sd["qkv.weight"].T, "bias": sd["qkv.bias"]},
+            "proj": {"kernel": sd["proj.weight"].T, "bias": sd["proj.bias"]},
+        }
+        got = ours.apply({"params": params}, jnp.asarray(x), None)
+        np.testing.assert_allclose(np.asarray(got), want_nomask, atol=2e-5)
+        got_m = ours.apply({"params": params}, jnp.asarray(x), mask)
+        np.testing.assert_allclose(np.asarray(got_m), want_mask, atol=2e-5)
+        # the reference's relative_position_index must equal ours
+        from hgsfusion_tpu.models.swin import _rel_position_index
+
+        np.testing.assert_array_equal(
+            _rel_position_index(4, 4),
+            ref_msa.relative_position_index.numpy())
+
+    def test_full_backbone_matches(self, ref_swin):
+        """Whole SwinTransformer on a non-multiple image size (exercises
+        corner padding, shifted windows, patch merging, out norms)."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.swin import SwinTransformer
+
+        rng = np.random.RandomState(4)
+        imgs = rng.randn(2, 3, 20, 28).astype(np.float32)
+        with torch.no_grad():
+            bd = ref_swin({"camera_imgs": torch.from_numpy(imgs[:, None])})
+        want = [t.numpy() for t in bd["image_features"]]
+
+        ours = SwinTransformer(
+            embed_dims=16, depths=(2, 2), num_heads=(2, 4), window_size=4,
+            mlp_ratio=2, out_indices=(0, 1), drop_path_rate=0.2)
+        params = _copy_swin_weights(ref_swin, [2, 2], [0, 1])
+        outs = ours.apply(
+            {"params": params},
+            jnp.asarray(imgs.transpose(0, 2, 3, 1)), False)
+        assert len(outs) == len(want) == 2
+        for i, (got, w) in enumerate(zip(outs, want)):
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4,
+                err_msg=f"stage {i}")
+
+
+class TestGeneralizedLSSFPNParity:
+    def test_fpn_matches(self):
+        from ref_loader import install_reference_packages
+
+        load = install_reference_packages()
+        torch.manual_seed(99)
+        lss = load("pcdet.models.backbones_image.img_neck.generalized_lss")
+
+        from hgsfusion_tpu.config import ConfigDict as CD
+
+        ref = lss.GeneralizedLSSFPN(CD({
+            "IN_CHANNELS": [16, 32, 64], "OUT_CHANNELS": 24,
+            "NUM_OUTS": 2, "START_LEVEL": 0, "END_LEVEL": -1}))
+        _randomize_bns(ref)
+        ref.eval()
+        rng = np.random.RandomState(8)
+        feats = [rng.randn(2, 16, 16, 22).astype(np.float32),
+                 rng.randn(2, 32, 8, 11).astype(np.float32),
+                 rng.randn(2, 64, 4, 6).astype(np.float32)]
+        with torch.no_grad():
+            bd = ref({"image_features": [torch.from_numpy(f) for f in feats]})
+        want = [t.numpy() for t in bd["image_fpn"]]
+
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.swin import GeneralizedLSSFPN
+
+        p, s = {}, {}
+        for i in range(2):
+            for group, tname in (("lateral", "lateral_convs"),
+                                 ("fpn", "fpn_convs")):
+                mod = getattr(ref, tname)[i]
+                p[f"{group}_{i}"] = {"conv": _conv_pair(mod.conv)}
+                bp, bs = _bn_pair(mod.bn)
+                p[f"{group}_{i}"]["bn"] = bp
+                s[f"{group}_{i}"] = {"bn": bs}
+        ours = GeneralizedLSSFPN(out_channels=24)
+        outs = ours.apply(
+            {"params": p, "batch_stats": s},
+            [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats], False)
+        assert len(outs) == len(want) == 2
+        for i, (got, w) in enumerate(zip(outs, want)):
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4,
+                err_msg=f"level {i}")
