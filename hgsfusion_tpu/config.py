@@ -276,5 +276,26 @@ def model_config_from_yaml(cfg: ConfigDict):
         iou_score_type=model.get("POST_PROCESSING", {}).get(
             "SCORE_TYPE", "iou"
         ),
+        backbone_3d_arch={
+            "VoxelBackBone8xFocal": "voxel8x_focal",
+            "PillarBackBone8x": "pillar_8x",
+            "PillarRes18BackBone8x": "pillar_res2d_8x",
+            "VoxelResBackBone8xVoxelNeXt2D": "voxelnext2d",
+        }.get(model.get("BACKBONE_3D", {}).get("NAME"), "voxel8x"),
+        bev_v1_layer_nums=tuple(
+            model.get("BACKBONE_2D", {}).get("LAYER_NUMS", (5, 5))),
+        bev_v1_num_filters=tuple(
+            model.get("BACKBONE_2D", {}).get("NUM_FILTERS", (256, 256))),
+        bev_v1_upsample_strides=tuple(
+            model.get("BACKBONE_2D", {}).get("UPSAMPLE_STRIDES", (1, 2))),
+        bev_v1_num_upsample_filters=tuple(
+            model.get("BACKBONE_2D", {}).get(
+                "NUM_UPSAMPLE_FILTERS", (128, 128))),
+        focal_topk=model.get("BACKBONE_3D", {}).get("TOPK", True),
+        focal_threshold=model.get("BACKBONE_3D", {}).get("THRESHOLD", 0.5),
+        focal_mask_multi=model.get("BACKBONE_3D", {}).get(
+            "MASK_MULTI", False),
+        focal_skip_mask_kernel=model.get("BACKBONE_3D", {}).get(
+            "SKIP_MASK_KERNEL", False),
         parta2_pool_size=model.get("ROI_HEAD", {}).get("POOL_SIZE", 6),
     )

@@ -90,6 +90,20 @@ class HGSFusionConfig:
     # anchor families (TARGET_ASSIGNER_CONFIG.BOX_CODER_CONFIG)
     box_coder_size: int = 7
     box_coder_sincos: bool = False
+    # 3D voxel backbone selector for the SECOND-style families
+    # ("voxel8x" | "voxel8x_focal"; MODEL.BACKBONE_3D.NAME —
+    # spconv_backbone_focal.py VoxelBackBone8xFocal)
+    backbone_3d_arch: str = "voxel8x"
+    focal_topk: bool = True
+    focal_threshold: float = 0.5
+    focal_mask_multi: bool = False
+    focal_skip_mask_kernel: bool = False
+    # BaseBEVBackboneV1 knobs (MODEL.BACKBONE_2D) for the pillar_8x /
+    # pillar_res2d_8x families (base_bev_backbone.py:115-204)
+    bev_v1_layer_nums: Tuple[int, ...] = (5, 5)
+    bev_v1_num_filters: Tuple[int, ...] = (256, 256)
+    bev_v1_upsample_strides: Tuple[int, ...] = (1, 2)
+    bev_v1_num_upsample_filters: Tuple[int, ...] = (128, 128)
     # BEVFusion image branch (MODEL.IMAGE_BACKBONE / MODEL.NECK): "swin"
     # runs SwinTransformer + GeneralizedLSSFPN (architecture-faithful,
     # bevfusion.py build_image_backbone/build_neck); "ddn" substitutes the
@@ -396,6 +410,33 @@ class PointPillarMultiHeadModel(nn.Module):
         )(feats, train)
 
 
+def _voxel_backbone_3d(cfg: HGSFusionConfig, dense, mask, train: bool):
+    """Build the SECOND-style 3D backbone per cfg.backbone_3d_arch.
+
+    Returns (x3d, stages, focal_aux) — focal_aux is None for the plain
+    VoxelBackBone8x, else the per-stage importance dicts for
+    focal_conv_loss (reference consumes it via the hasattr(backbone_3d,
+    'get_loss') guard, voxel_rcnn.py:33-36 / pv_rcnn.py:33-35). Must be
+    called inside an @nn.compact __call__.
+    """
+    from .voxel_backbone import VoxelBackBone8x
+
+    if cfg.backbone_3d_arch == "voxel8x_focal":
+        from .focal_conv import VoxelBackBone8xFocal
+
+        x3d, _, stages, focal_aux = VoxelBackBone8xFocal(
+            topk=cfg.focal_topk, threshold=cfg.focal_threshold,
+            mask_multi=cfg.focal_mask_multi,
+            skip_mask_kernel=cfg.focal_skip_mask_kernel,
+            dtype=cfg.dtype, name="backbone_3d",
+        )(dense.astype(cfg.dtype), mask, train)
+        return x3d, stages, focal_aux
+    x3d, _, stages = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
+        dense.astype(cfg.dtype), mask, train
+    )
+    return x3d, stages, None
+
+
 class SECONDModel(nn.Module):
     """SECOND detector (zoo family): mean VFE -> sparse-equivalent 3D voxel
     backbone -> height compression -> 2D BEV backbone -> anchor head.
@@ -404,6 +445,11 @@ class SECONDModel(nn.Module):
     tools/cfgs/kitti_models/second.yaml hyperparameters (BaseBEVBackbone
     LAYER_NUMS [5,5], strides [1,2], filters [128,256], upsample [1,2] ->
     [256,256]); anchors live at feature_map_stride 8.
+
+    With cfg.backbone_3d_arch == "voxel8x_focal" the 3D backbone is
+    VoxelBackBone8xFocal (spconv_backbone_focal.py:101-269): focal sparse
+    convs close stages 1-3 and their voxel-importance sigmoids ride along
+    in the output dict under "focal_aux" for the auxiliary focal loss.
     """
 
     cfg: HGSFusionConfig
@@ -411,33 +457,30 @@ class SECONDModel(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool):
         from .base_bev_backbone import BaseBEVBackbone
-        from .voxel_backbone import (
-            VoxelBackBone8x,
-            height_compression,
-            mean_vfe,
-        )
+        from .voxel_backbone import height_compression, mean_vfe
 
         cfg = self.cfg
         dense, mask = mean_vfe(
             batch["points"], batch["points_valid"], cfg.pc_range,
             cfg.voxel_size, cfg.grid_size,
         )
-        x, _, _ = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
-            dense.astype(cfg.dtype), mask, train
-        )
+        x, _, focal_aux = _voxel_backbone_3d(cfg, dense, mask, train)
         bev = height_compression(x)
         feats = BaseBEVBackbone(
             layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
             upsample_strides=(1, 2), num_upsample_filters=(256, 256),
             dtype=cfg.dtype, name="backbone_2d",
         )(bev, train)
-        return AnchorHeadSingle(
+        out = AnchorHeadSingle(
             num_class=cfg.num_class,
             num_anchors_per_location=cfg.num_anchors_per_location,
             code_size=cfg.code_size,
             num_dir_bins=cfg.num_dir_bins,
             name="dense_head",
         )(feats)
+        if focal_aux is not None and train:
+            out["focal_aux"] = focal_aux
+        return out
 
 
 class DSVTModel(nn.Module):
@@ -631,11 +674,7 @@ class PVRCNNModel(nn.Module):
             VoxelSetAbstraction,
             generate_proposals,
         )
-        from .voxel_backbone import (
-            VoxelBackBone8x,
-            height_compression,
-            mean_vfe,
-        )
+        from .voxel_backbone import height_compression, mean_vfe
         from ..utils.box_coder import ResidualCoder
 
         cfg = self.cfg
@@ -643,9 +682,7 @@ class PVRCNNModel(nn.Module):
             batch["points"], batch["points_valid"], cfg.pc_range,
             cfg.voxel_size, cfg.grid_size,
         )
-        x3d, _, stages = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
-            dense.astype(cfg.dtype), mask, train
-        )
+        x3d, stages, focal_aux = _voxel_backbone_3d(cfg, dense, mask, train)
         bev8 = height_compression(x3d)  # stride-8 'spatial_features'
         feats2d = BaseBEVBackbone(
             layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
@@ -693,13 +730,16 @@ class PVRCNNModel(nn.Module):
         rcnn_cls, rcnn_reg = RCNNHead(dtype=cfg.dtype, name="roi_head")(
             pooled, train
         )
-        return {
+        out = {
             **rpn,
             "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
             "roi_valid": roi_valid, "keypoints": keypoints,
             "point_logits": point_logits, "rcnn_cls": rcnn_cls,
             "rcnn_reg": rcnn_reg,
         }
+        if focal_aux is not None and train:
+            out["focal_aux"] = focal_aux
+        return out
 
 
 class _RPNProposals:
@@ -742,20 +782,14 @@ class VoxelRCNNModel(nn.Module):
         from .base_bev_backbone import BaseBEVBackbone
         from .pvrcnn import RCNNHead
         from .roi_heads import VoxelRCNNPool
-        from .voxel_backbone import (
-            VoxelBackBone8x,
-            height_compression,
-            mean_vfe,
-        )
+        from .voxel_backbone import height_compression, mean_vfe
 
         cfg = self.cfg
         dense, mask = mean_vfe(
             batch["points"], batch["points_valid"], cfg.pc_range,
             cfg.voxel_size, cfg.grid_size,
         )
-        x3d, _, stages = VoxelBackBone8x(dtype=cfg.dtype, name="backbone_3d")(
-            dense.astype(cfg.dtype), mask, train
-        )
+        x3d, stages, focal_aux = _voxel_backbone_3d(cfg, dense, mask, train)
         bev8 = height_compression(x3d)
         feats2d = BaseBEVBackbone(
             layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
@@ -780,12 +814,15 @@ class VoxelRCNNModel(nn.Module):
         rcnn_cls, rcnn_reg = RCNNHead(dtype=cfg.dtype, name="roi_head")(
             pooled, train
         )
-        return {
+        out = {
             **rpn,
             "rois": rois, "roi_scores": roi_scores, "roi_labels": roi_labels,
             "roi_valid": roi_valid, "rcnn_cls": rcnn_cls,
             "rcnn_reg": rcnn_reg,
         }
+        if focal_aux is not None and train:
+            out["focal_aux"] = focal_aux
+        return out
 
 
 class PVRCNNPlusPlusModel(nn.Module):
@@ -1169,13 +1206,28 @@ class VoxelNeXtModel(nn.Module):
         from .voxel_backbone import VoxelResBackBone8xVoxelNeXt, mean_vfe
 
         cfg = self.cfg
-        dense, mask = mean_vfe(
-            batch["points"], batch["points_valid"], cfg.pc_range,
-            cfg.voxel_size, cfg.grid_size,
-        )
-        bev, bev_mask = VoxelResBackBone8xVoxelNeXt(
-            dtype=cfg.dtype, name="backbone_3d"
-        )(dense.astype(cfg.dtype), mask, train)
+        if cfg.backbone_3d_arch == "voxelnext2d":
+            # 2-D pillar variant (spconv_backbone_voxelnext2d.py): 32-ch
+            # dynamic pillar VFE feeds the six-stage residual 2D backbone
+            from .sparse_backbone_2d import VoxelNeXt2DBackbone
+
+            pillar_bev, occ_mask = PillarFeatureNet(
+                num_input_features=batch["points"].shape[-1],
+                pillar_size=cfg.voxel_size[0], pc_range=cfg.pc_range,
+                use_virtual=False, encoding_type="mixed",
+                num_filters=(32,), dtype=cfg.dtype, name="pillar_net",
+            )(batch["points"], batch["points_valid"], train)
+            bev, _, _ = VoxelNeXt2DBackbone(
+                dtype=cfg.dtype, name="backbone_3d"
+            )(pillar_bev, occ_mask.astype(bool), train)
+        else:
+            dense, mask = mean_vfe(
+                batch["points"], batch["points_valid"], cfg.pc_range,
+                cfg.voxel_size, cfg.grid_size,
+            )
+            bev, bev_mask = VoxelResBackBone8xVoxelNeXt(
+                dtype=cfg.dtype, name="backbone_3d"
+            )(dense.astype(cfg.dtype), mask, train)
         return CenterHead(
             num_class=cfg.num_class, shared_channels=128,
             head_order=cfg.center_head_order,
@@ -1202,19 +1254,46 @@ class CenterPointModel(nn.Module):
         from .center_head import CenterHead
 
         cfg = self.cfg
-        pillar_bev, occ_mask = PillarFeatureNet(
-            num_input_features=batch["points"].shape[-1],
-            pillar_size=cfg.voxel_size[0],
-            pc_range=cfg.pc_range,
-            use_virtual=False,
-            encoding_type="mixed",
-            num_filters=(64,),
-            dtype=cfg.dtype,
-            name="pillar_net",
-        )(batch["points"], batch["points_valid"], train)
-        feats = BaseBEVBackbone(dtype=cfg.dtype, name="backbone_2d")(
-            pillar_bev, train
-        )
+        if cfg.backbone_3d_arch in ("pillar_8x", "pillar_res2d_8x"):
+            # sparse pillar backbone family (spconv_backbone_2d.py):
+            # 32-ch pillar VFE -> PillarRes18BackBone8x/PillarBackBone8x ->
+            # BaseBEVBackboneV1 over (x_conv4, x_conv5); head at stride 8
+            from .sparse_backbone_2d import (
+                BaseBEVBackboneV1,
+                PillarRes18BackBone8x,
+            )
+
+            pillar_bev, occ_mask = PillarFeatureNet(
+                num_input_features=batch["points"].shape[-1],
+                pillar_size=cfg.voxel_size[0], pc_range=cfg.pc_range,
+                use_virtual=False, encoding_type="mixed",
+                num_filters=(32,), dtype=cfg.dtype, name="pillar_net",
+            )(batch["points"], batch["points_valid"], train)
+            outs, masks = PillarRes18BackBone8x(
+                residual=cfg.backbone_3d_arch == "pillar_res2d_8x",
+                dtype=cfg.dtype, name="backbone_3d",
+            )(pillar_bev, occ_mask.astype(bool), train)
+            feats = BaseBEVBackboneV1(
+                layer_nums=cfg.bev_v1_layer_nums,
+                num_filters=cfg.bev_v1_num_filters,
+                upsample_strides=cfg.bev_v1_upsample_strides,
+                num_upsample_filters=cfg.bev_v1_num_upsample_filters,
+                dtype=cfg.dtype, name="backbone_2d",
+            )(outs["x_conv4"], outs["x_conv5"], train)
+        else:
+            pillar_bev, occ_mask = PillarFeatureNet(
+                num_input_features=batch["points"].shape[-1],
+                pillar_size=cfg.voxel_size[0],
+                pc_range=cfg.pc_range,
+                use_virtual=False,
+                encoding_type="mixed",
+                num_filters=(64,),
+                dtype=cfg.dtype,
+                name="pillar_net",
+            )(batch["points"], batch["points_valid"], train)
+            feats = BaseBEVBackbone(dtype=cfg.dtype, name="backbone_2d")(
+                pillar_bev, train
+            )
         return CenterHead(
             num_class=cfg.num_class,
             head_order=cfg.center_head_order,

@@ -8,6 +8,8 @@ the inherited OpenPCDet zoo plug in here as they are implemented.
 """
 from __future__ import annotations
 
+import functools
+
 from .detector import (
     BEVFusionModel,
     CenterPointModel,
@@ -85,10 +87,21 @@ def _sub_modules():
     registered name resolves to the TPU-native class (or function) that
     implements it. Built lazily to keep registry import light.
     """
-    from . import base_bev_backbone, frustum, fusion_bev, occupancy
-    from . import pillar_encoder
+    from . import base_bev_backbone, focal_conv, frustum, fusion_bev
+    from . import occupancy, pillar_encoder, sparse_backbone_2d
 
     return {
+        # backbones_3d (focal sparse conv family)
+        "VoxelBackBone8xFocal": focal_conv.VoxelBackBone8xFocal,
+        "FocalSparseConv": focal_conv.FocalSparseConv3D,
+        # backbones_3d (sparse 2D pillar family, spconv_backbone_2d.py /
+        # spconv_backbone_voxelnext2d.py)
+        "PillarBackBone8x": functools.partial(
+            sparse_backbone_2d.PillarRes18BackBone8x, residual=False),
+        "PillarRes18BackBone8x": sparse_backbone_2d.PillarRes18BackBone8x,
+        "VoxelResBackBone8xVoxelNeXt2D":
+            sparse_backbone_2d.VoxelNeXt2DBackbone,
+        "BaseBEVBackboneV1": sparse_backbone_2d.BaseBEVBackboneV1,
         # backbones_3d/vfe
         "DynamicPillarFeatureNet": pillar_encoder.PillarFeatureNet,
         "Radar7PillarVFE": pillar_encoder.Radar7PillarVFE,

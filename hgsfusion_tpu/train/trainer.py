@@ -114,6 +114,17 @@ def make_train_step(model, assigner: TargetAssigner, tx,
             )
             tb = {**tb, "loss_occ": occ}
             total = total + occ
+        if "focal_aux" in preds:
+            # focal sparse backbone importance supervision, added unweighted
+            # like the reference's hasattr(backbone_3d, 'get_loss') guard
+            from ..models.focal_conv import focal_conv_loss
+
+            fl = focal_conv_loss(
+                preds["focal_aux"], batch["gt_boxes"], cfg.pc_range,
+                cfg.voxel_size,
+            )
+            tb = {**tb, "loss_box_of_pts": fl}
+            total = total + fl
         if "depth_logits" in preds and "depth_maps" in batch:
             from ..models.ddn_loss import ddn_loss
 
@@ -256,6 +267,15 @@ def make_twostage_train_step(model, assigner, tx, loss_weights: Dict, cfg,
             total = total + pl
             tb = {**tb, **ptb}
 
+        if "focal_aux" in preds:
+            from ..models.focal_conv import focal_conv_loss
+
+            fl = focal_conv_loss(
+                preds["focal_aux"], batch["gt_boxes"], cfg.pc_range,
+                cfg.voxel_size,
+            )
+            tb = {**tb, "loss_box_of_pts": fl}
+            total = total + fl
         rt = jax.vmap(roi_targets)(
             preds["rois"], preds["roi_valid"], batch["gt_boxes"]
         )

@@ -40,6 +40,7 @@ _PACKAGES = [
     "pcdet.models.dense_heads",
     "pcdet.models.dense_heads.target_assigner",
     "pcdet.models.backbones_3d",
+    "pcdet.models.backbones_3d.focal_sparse_conv",
     "pcdet.models.backbones_3d.vfe",
     "pcdet.models.backbones_3d.vfe.pillarnet_modules",
     "pcdet.models.backbones_3d.vfe.image_vfe_modules",

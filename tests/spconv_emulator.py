@@ -54,12 +54,13 @@ class SparseConvTensor:
             new_features, self.indices, self.spatial_shape, self.batch_size)
 
     def dense(self):
-        h, w = self.spatial_shape
         c = self.features.shape[1]
-        out = self.features.new_zeros(self.batch_size, h, w, c)
+        out = self.features.new_zeros(self.batch_size, *self.spatial_shape, c)
         idx = self.indices.long()
-        out[idx[:, 0], idx[:, 1], idx[:, 2]] = self.features
-        return out.permute(0, 3, 1, 2).contiguous()
+        out[tuple(idx[:, i] for i in range(idx.shape[1]))] = self.features
+        perm = (0, len(self.spatial_shape) + 1) + tuple(
+            range(1, len(self.spatial_shape) + 1))
+        return out.permute(*perm).contiguous()
 
 
 class SparseModule(nn.Module):
@@ -67,8 +68,7 @@ class SparseModule(nn.Module):
 
 
 def _is_sparse_consumer(m):
-    return isinstance(m, (SubMConv2d, SparseConv2d, SparseMaxPool2d,
-                          SparseModule, SparseSequential))
+    return isinstance(m, (SparseModule, SparseSequential))
 
 
 class SparseSequential(nn.Sequential):
@@ -111,10 +111,17 @@ class _SparseConvBase(SparseModule):
 
 
 class SubMConv2d(_SparseConvBase):
-    """Submanifold conv: active set preserved; stride must be 1."""
+    """Submanifold conv: active set preserved; stride must be 1.
+
+    spconv computes SubM outputs at the input active sites with the stencil
+    implicitly zero-padded — the `padding` argument does not change the
+    output positions (focal_sparse_conv.py:20 passes none) — so the dense
+    emulation always uses SAME padding."""
 
     def forward(self, x: SparseConvTensor):
         assert self.stride == (1, 1)
+        self.padding = tuple(
+            d * (k - 1) // 2 for k, d in zip(self.kernel_size, self.dilation))
         out = self._dense_conv(x)
         idx = x.indices.long()
         feats = out[idx[:, 0], :, idx[:, 1], idx[:, 2]]
@@ -176,10 +183,70 @@ class SparseInverseConv2d(SparseModule):
             "executed paths")
 
 
-class SubMConv3d(SparseModule):  # imported-but-unused by pcnres18
-    def __init__(self, *a, **k):
+class _SparseConvBase3D(SparseModule):
+    """3-D analogue of _SparseConvBase; spconv 2.x layout (O, kD, kH, kW, I).
+
+    Semantics per the 2-D classes above (focal_sparse_conv.py / 
+    spconv_backbone_focal.py usage)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, bias=True, indice_key=None):
         super().__init__()
-        raise NotImplementedError
+        k = (kernel_size if isinstance(kernel_size, (tuple, list))
+             else (kernel_size,) * 3)
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = tuple(k)
+        self.stride = stride if isinstance(stride, (tuple, list)) else (stride,) * 3
+        self.padding = padding if isinstance(padding, (tuple, list)) else (padding,) * 3
+        self.dilation = dilation if isinstance(dilation, (tuple, list)) else (dilation,) * 3
+        self.indice_key = indice_key
+        self.weight = nn.Parameter(
+            torch.empty(out_channels, *self.kernel_size, in_channels))
+        fan_in = in_channels * int(torch.tensor(self.kernel_size).prod())
+        nn.init.uniform_(self.weight, -1 / math.sqrt(fan_in), 1 / math.sqrt(fan_in))
+        if bias:
+            self.bias = nn.Parameter(torch.zeros(out_channels))
+        else:
+            self.register_parameter("bias", None)
+
+    def _dense_conv(self, x: SparseConvTensor):
+        w = self.weight.permute(0, 4, 1, 2, 3)  # (O, I, kD, kH, kW)
+        return F.conv3d(x.dense(), w, self.bias, stride=self.stride,
+                        padding=self.padding, dilation=self.dilation)
+
+
+class SubMConv3d(_SparseConvBase3D):
+    """3-D submanifold conv: active set preserved (stride 1); SAME-padded
+    like real spconv regardless of the padding argument (see SubMConv2d)."""
+
+    def forward(self, x: SparseConvTensor):
+        assert self.stride == (1, 1, 1)
+        self.padding = tuple(
+            d * (k - 1) // 2 for k, d in zip(self.kernel_size, self.dilation))
+        out = self._dense_conv(x)
+        idx = x.indices.long()
+        feats = out[idx[:, 0], :, idx[:, 1], idx[:, 2], idx[:, 3]]
+        return SparseConvTensor(feats, x.indices, x.spatial_shape,
+                                x.batch_size)
+
+
+class SparseConv3d(_SparseConvBase3D):
+    """3-D regular sparse conv: grows/strides the active set."""
+
+    def forward(self, x: SparseConvTensor):
+        out = self._dense_conv(x)
+        d, h, w = x.spatial_shape
+        occ = x.features.new_zeros(x.batch_size, 1, d, h, w)
+        idx = x.indices.long()
+        occ[idx[:, 0], 0, idx[:, 1], idx[:, 2], idx[:, 3]] = 1.0
+        kernel = occ.new_ones(1, 1, *self.kernel_size)
+        hit = F.conv3d(occ, kernel, stride=self.stride, padding=self.padding,
+                       dilation=self.dilation)
+        new_idx = (hit[:, 0] > 0).nonzero().int()
+        li = new_idx.long()
+        feats = out[li[:, 0], :, li[:, 1], li[:, 2], li[:, 3]]
+        return SparseConvTensor(feats, new_idx, hit.shape[-3:], x.batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +328,7 @@ def install_spconv_stub():
         return sys.modules["spconv"]
     sp = types.ModuleType("spconv")
     sp._emulated = True
+    sp.__version__ = "2.1.21"  # spconv_utils.py:4 parses [2:] as a float
     for name, obj in (
         ("SparseConvTensor", SparseConvTensor),
         ("SparseModule", SparseModule),
@@ -270,13 +338,19 @@ def install_spconv_stub():
         ("SparseMaxPool2d", SparseMaxPool2d),
         ("SparseInverseConv2d", SparseInverseConv2d),
         ("SubMConv3d", SubMConv3d),
+        ("SparseConv3d", SparseConv3d),
     ):
         setattr(sp, name, obj)
+    conv_mod = types.ModuleType("spconv.conv")
+    conv_mod.SparseConvolution = _SparseConvBase
+    sp.conv = conv_mod
+    sys.modules["spconv.conv"] = conv_mod
     pytorch = types.ModuleType("spconv.pytorch")
     for name in ("SparseConvTensor", "SparseModule", "SparseSequential",
                  "SubMConv2d", "SparseConv2d", "SparseMaxPool2d",
-                 "SparseInverseConv2d", "SubMConv3d"):
+                 "SparseInverseConv2d", "SubMConv3d", "SparseConv3d"):
         setattr(pytorch, name, getattr(sp, name))
+    pytorch.conv = conv_mod
     functional = types.ModuleType("spconv.pytorch.functional")
     ops = types.ModuleType("spconv.pytorch.ops")
     utils = types.ModuleType("spconv.utils")

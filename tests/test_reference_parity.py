@@ -859,7 +859,15 @@ def ref_radar_occ_v2():
     bb2d = _load("ref_basic_block_2d",
                  REF / "models/model_utils/basic_block_2d.py")
     for name in ("pcdet", "pcdet.models", "pcdet.models.model_utils"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            # keep these importable as PACKAGES: a bare module here would
+            # shadow ref_loader's stub (install_reference_packages skips
+            # names already in sys.modules) and break later relative
+            # imports like swin.py's `from ..model_utils.swin_utils ...`
+            pkg.__path__ = [str(REF / name.replace(".", "/").removeprefix(
+                "pcdet").lstrip("/"))]
+            sys.modules[name] = pkg
     sys.modules["pcdet.models.model_utils.basic_block_2d"] = bb2d
     return _load("ref_radar_occ_v2",
                  REF / "models/backbones_3d/vfe/radar_occupancy_2d_v2.py")
@@ -2686,3 +2694,260 @@ class TestGeneralizedLSSFPNParity:
             np.testing.assert_allclose(
                 np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4,
                 err_msg=f"level {i}")
+
+
+# ---------------------------------------------------------------------------
+# FocalSparseConv (focals-conv family) parity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_focal_mod():
+    from ref_loader import install_reference_packages
+
+    load = install_reference_packages()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.manual_seed(55)
+    return load(
+        "pcdet.models.backbones_3d.focal_sparse_conv.focal_sparse_conv")
+
+
+def _focal_sparse_input(rng, b=2, shape=(6, 10, 12), c=16, density=0.15):
+    """Random sparse volume with empty 0-planes: the reference's
+    check_repeat dedup key strides by max coordinate VALUES
+    (focal_sparse_utils.py:48,71), which collides distinct coords like
+    (y+1, 0) vs (y, x_max) and silently merges them — a lossy artifact we
+    deliberately do not reproduce (focal_conv.py docstring). With no active
+    voxel on any 0-plane (dilation targets are index>0 by the reference's
+    own bound check) the key is injective and the comparison is exact."""
+    from spconv_emulator import SparseConvTensor
+
+    mask = rng.rand(b, *shape) < density
+    mask[:, 3, 4, 5] = True  # non-empty per sample
+    mask[:, 0] = False
+    mask[:, :, 0] = False
+    mask[:, :, :, 0] = False
+    feats = (rng.randn(b, *shape, c).astype(np.float32) * mask[..., None])
+    idx = np.argwhere(mask).astype(np.int32)
+    sp = SparseConvTensor(
+        torch.from_numpy(feats[mask]), torch.from_numpy(idx), shape, b)
+    return sp, feats, mask
+
+
+def _copy_focal_weights(ref):
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    p = {
+        "conv_imp": {"kernel": sd["conv_imp.weight"].transpose(1, 2, 3, 4, 0)},
+        "conv": {"kernel": sd["conv.weight"].transpose(1, 2, 3, 4, 0)},
+        "bn1": {"scale": sd["bn1.weight"], "bias": sd["bn1.bias"]},
+    }
+    s = {"bn1": {"mean": sd["bn1.running_mean"],
+                 "var": sd["bn1.running_var"]}}
+    return p, s
+
+
+class TestFocalSparseConvParity:
+    @pytest.mark.parametrize("topk", [False, True])
+    def test_focal_conv_matches(self, ref_focal_mod, topk):
+        """Importance head -> foreground split -> dilation (with the
+        strict index>0 boundary quirk) -> dedup-averaged kernel mask ->
+        submanifold conv, vs the reference FocalSparseConv in eval."""
+        from functools import partial
+
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.focal_conv import FocalSparseConv3D
+
+        torch.manual_seed(19 + int(topk))
+        norm_fn = partial(torch.nn.BatchNorm1d, eps=1e-3, momentum=0.01)
+        ref = ref_focal_mod.FocalSparseConv(
+            16, 16, voxel_stride=1, norm_fn=norm_fn, indice_key="f",
+            topk=topk, threshold=0.5, mask_multi=False)
+        _randomize_bns(ref)
+        ref.eval()
+
+        rng = np.random.RandomState(23)
+        sp, feats, mask = _focal_sparse_input(rng)
+        with torch.no_grad():
+            out, _, _ = ref(sp, {"batch_size": 2})
+        want = out.dense().numpy()  # (B, C, D, H, W)
+        want_occ = np.zeros((2, 6, 10, 12), bool)
+        oi = out.indices.numpy()
+        want_occ[oi[:, 0], oi[:, 1], oi[:, 2], oi[:, 3]] = True
+
+        ours = FocalSparseConv3D(16, topk=topk, threshold=0.5)
+        p, s = _copy_focal_weights(ref)
+        (y, new_mask, aux) = ours.apply(
+            {"params": p, "batch_stats": s},
+            jnp.asarray(feats), jnp.asarray(mask[..., None]), False)
+        np.testing.assert_array_equal(
+            np.asarray(new_mask[..., 0]), want_occ,
+            err_msg=f"active set (topk={topk})")
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 4, 1, 2, 3), want, atol=2e-4,
+            err_msg=f"features (topk={topk})")
+
+
+# ---------------------------------------------------------------------------
+# Sparse 2D pillar backbones (spconv_backbone_2d / voxelnext2d) parity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_sparse2d_mods():
+    from ref_loader import install_reference_packages
+
+    load = install_reference_packages()
+    torch.manual_seed(91)
+    return (load("pcdet.models.backbones_3d.spconv_backbone_2d"),
+            load("pcdet.models.backbones_3d.spconv_backbone_voxelnext2d"))
+
+
+def _sparse2d_input(rng, b=2, ny=40, nx=48, c=32, density=0.08):
+    from spconv_emulator import SparseConvTensor
+
+    mask = rng.rand(b, ny, nx) < density
+    mask[:, 5, 7] = True
+    feats = rng.randn(b, ny, nx, c).astype(np.float32) * mask[..., None]
+    idx = np.argwhere(mask).astype(np.int32)
+    sp = SparseConvTensor(
+        torch.from_numpy(feats[mask]), torch.from_numpy(idx), [ny, nx], b)
+    return sp, feats, mask
+
+
+def _copy_sparse_res_block(p, s, dst, blk):
+    p[dst] = {"conv1": {"conv": _spconv_pair(blk.conv1),
+                        "bn": _bn_pair(blk.bn1)[0]},
+              "conv2": {"conv": _spconv_pair(blk.conv2),
+                        "bn": _bn_pair(blk.bn2)[0]}}
+    if "bias" not in p[dst]["conv1"]["conv"]:
+        p[dst]["conv1"]["conv"]["bias"] = blk.conv1.bias.detach().numpy()
+        p[dst]["conv2"]["conv"]["bias"] = blk.conv2.bias.detach().numpy()
+    s[dst] = {"conv1": {"bn": _bn_pair(blk.bn1)[1]},
+              "conv2": {"bn": _bn_pair(blk.bn2)[1]}}
+
+
+def _copy_down(p, s, dst, seq):
+    bp, bs = _bn_pair(seq[1])
+    p[dst] = {"conv": _spconv_pair(seq[0]), "bn": bp}
+    s[dst] = {"bn": bs}
+
+
+class TestPillarRes18BackBone2DParity:
+    def test_backbone_matches_reference(self, ref_sparse2d_mods):
+        """Reference PillarRes18BackBone8x (spconv_backbone_2d.py:207-300,
+        spconv emulated) vs the dense-masked equivalent, weight-copied:
+        x_conv4 (densified sparse, stride 8) and x_conv5 (dense stride-16
+        stage) must agree everywhere."""
+        from functools import partial
+
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.sparse_backbone_2d import (
+            PillarRes18BackBone8x,
+        )
+
+        mod2d, _ = ref_sparse2d_mods
+        torch.manual_seed(17)
+        ref = mod2d.PillarRes18BackBone8x(
+            model_cfg={}, input_channels=32,
+            grid_size=np.array([48, 40, 1]))
+        _randomize_bns(ref)
+        ref.eval()
+
+        rng = np.random.RandomState(3)
+        sp, feats, mask = _sparse2d_input(rng)
+        batch = {"pillar_features": sp.features, "pillar_coords": sp.indices,
+                 "batch_size": 2}
+        with torch.no_grad():
+            out = ref.forward(dict(batch))
+        want4 = out["multi_scale_2d_features"]["x_conv4"].numpy()
+        want5 = out["multi_scale_2d_features"]["x_conv5"].numpy()
+
+        p, s = {}, {}
+        for si in (1, 2, 3, 4):
+            stage = getattr(ref, f"conv{si}")
+            off = 0
+            if si > 1:
+                _copy_down(p, s, f"conv{si}_down", stage[0])
+                off = 1
+            for bi in range(2):
+                _copy_sparse_res_block(
+                    p, s, f"conv{si}_block{bi}", stage[off + bi])
+        _copy_down(p, s, "conv5_down", ref.conv5[0])
+        for bi in (0, 1):
+            blk = ref.conv5[1 + bi]
+            p[f"conv5_block{bi}"] = {
+                "conv1": _conv_pair(blk.conv1), "bn1": _bn_pair(blk.bn1)[0],
+                "conv2": _conv_pair(blk.conv2), "bn2": _bn_pair(blk.bn2)[0]}
+            s[f"conv5_block{bi}"] = {"bn1": _bn_pair(blk.bn1)[1],
+                                     "bn2": _bn_pair(blk.bn2)[1]}
+        # dense torch conv weights for conv5_down
+        p["conv5_down"]["conv"]["kernel"] = (
+            ref.conv5[0][0].weight.detach().numpy().transpose(2, 3, 1, 0))
+
+        mine = PillarRes18BackBone8x()
+        outs, masks = mine.apply(
+            {"params": p, "batch_stats": s},
+            jnp.asarray(feats), jnp.asarray(mask[..., None]), False)
+        got4 = np.asarray(outs["x_conv4"]).transpose(0, 3, 1, 2)
+        got5 = np.asarray(outs["x_conv5"]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got4, want4, atol=3e-4)
+        np.testing.assert_allclose(got5, want5, atol=3e-4)
+
+
+class TestVoxelNeXt2DParity:
+    def test_backbone_matches_reference(self, ref_sparse2d_mods):
+        """Reference VoxelResBackBone8xVoxelNeXt2D
+        (spconv_backbone_voxelnext2d.py:70-219, spconv emulated) vs the
+        dense-masked equivalent: the index-doubling multi-scale merge,
+        bev_out coincident-sum, conv_out dilation and shared conv must all
+        agree on the final stride-8 output (active set + features)."""
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.sparse_backbone_2d import (
+            VoxelNeXt2DBackbone,
+        )
+
+        _, modvn = ref_sparse2d_mods
+        torch.manual_seed(29)
+        ref = modvn.VoxelResBackBone8xVoxelNeXt2D(
+            model_cfg={}, input_channels=32,
+            grid_size=np.array([48, 40, 1]))
+        _randomize_bns(ref)
+        ref.eval()
+
+        rng = np.random.RandomState(7)
+        sp, feats, mask = _sparse2d_input(rng)
+        batch = {"pillar_features": sp.features, "pillar_coords": sp.indices,
+                 "batch_size": 2}
+        with torch.no_grad():
+            out = ref.forward(dict(batch))
+        enc = out["encoded_spconv_tensor"]
+        want = enc.dense().numpy()
+        want_occ = np.zeros((2, 40 // 8, 48 // 8), bool)
+        oi = enc.indices.numpy()
+        want_occ[oi[:, 0], oi[:, 1], oi[:, 2]] = True
+
+        p, s = {}, {}
+        for si, n in ((1, 3), (2, 4), (3, 6), (4, 3), (5, 3), (6, 3)):
+            stage = getattr(ref, f"conv{si}")
+            off = 0
+            if si > 1:
+                _copy_down(p, s, f"conv{si}_down", stage[0])
+                off = 1
+            for bi in range(n):
+                _copy_sparse_res_block(
+                    p, s, f"conv{si}_block{bi}", stage[off + bi])
+        p["conv_out"] = _spconv_pair(ref.conv_out[0])
+        bp, bs = _bn_pair(ref.conv_out[1])
+        p["conv_out_bn"], s["conv_out_bn"] = bp, bs
+        p["shared_conv"] = _spconv_pair(ref.shared_conv[0])
+        bp, bs = _bn_pair(ref.shared_conv[1])
+        p["shared_bn"], s["shared_bn"] = bp, bs
+
+        mine = VoxelNeXt2DBackbone()
+        z, omask, _ = mine.apply(
+            {"params": p, "batch_stats": s},
+            jnp.asarray(feats), jnp.asarray(mask[..., None]), False)
+        np.testing.assert_array_equal(np.asarray(omask[..., 0]), want_occ)
+        np.testing.assert_allclose(
+            np.asarray(z).transpose(0, 3, 1, 2), want, atol=5e-4)

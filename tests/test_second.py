@@ -188,3 +188,94 @@ class TestSECONDModel:
         ))
         state2, tb = step(state, batch)
         assert np.isfinite(float(tb["loss"])) and float(tb["loss"]) > 0
+
+
+class TestSECONDFocalModel:
+    """SECOND with the VoxelBackBone8xFocal 3D backbone (focal sparse conv
+    family, spconv_backbone_focal.py; module parity is tested directly in
+    test_reference_parity.py — this exercises the detector integration)."""
+
+    def _batch(self, rng):
+        pts = np.zeros((1, 128, 4), np.float32)
+        pts[0, :, 0] = rng.uniform(0.5, 15, 128)
+        pts[0, :, 1] = rng.uniform(-7, 7, 128)
+        pts[0, :, 2] = rng.uniform(-2, 1, 128)
+        pts[0, :, 3] = rng.randn(128)
+        gt = np.zeros((1, 3, 8), np.float32)
+        gt[0, 0] = [4, -2, -0.5, 3.9, 1.6, 1.56, 0.3, 1]
+        return {
+            "points": jnp.asarray(pts),
+            "points_valid": jnp.ones((1, 128), bool),
+            "gt_boxes": jnp.asarray(gt),
+        }
+
+    def test_train_step_supervises_importance_head(self, rng):
+        import optax
+
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+        from hgsfusion_tpu.models.detector import HGSFusionConfig, SECONDModel
+        from hgsfusion_tpu.train.trainer import TrainState, make_train_step
+
+        cfg = HGSFusionConfig(
+            pc_range=PC_RANGE, voxel_size=(0.5, 0.5, 0.125),
+            num_anchors_per_location=6, backbone_3d_arch="voxel8x_focal",
+        )
+        model = SECONDModel(cfg=cfg)
+        batch = self._batch(rng)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        # the focal importance heads exist on all three stages
+        bb = variables["params"]["backbone_3d"]
+        for stage in ("focal1", "focal2", "focal3"):
+            assert "conv_imp" in bb[stage], sorted(bb[stage])
+        preds = model.apply(variables, batch, False)
+        assert "focal_aux" not in preds  # eval output carries no aux
+        assert preds["cls_preds"].shape == (1, 4, 4, 6 * 3)
+
+        anchor_cfgs = [
+            dict(class_name=c, anchor_sizes=[[3.9, 1.6, 1.56]],
+                 anchor_rotations=[0, 1.57], anchor_bottom_heights=[-1.78],
+                 matched_threshold=0.5, unmatched_threshold=0.35,
+                 feature_map_stride=8)
+            for c in cfg.class_names
+        ]
+        assigner = TargetAssigner(
+            anchor_cfgs, cfg.grid_size, cfg.pc_range,
+            class_names=cfg.class_names,
+        )
+        tx = optax.adam(1e-3)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = jax.jit(make_train_step(
+            model, assigner, tx,
+            {"cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+             "code_weights": [1.0] * 7},
+            cfg, use_occ_loss=False,
+        ))
+        state2, tb = step(state, batch)
+        assert np.isfinite(float(tb["loss"])) and float(tb["loss"]) > 0
+        assert np.isfinite(float(tb["loss_box_of_pts"]))
+        assert float(tb["loss_box_of_pts"]) > 0
+        # the aux loss actually reaches the importance head (it has no
+        # other gradient path when masks barely dilate)
+        delta = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+            state.params["backbone_3d"]["focal1"]["conv_imp"],
+            state2.params["backbone_3d"]["focal1"]["conv_imp"],
+        )
+        assert max(jax.tree_util.tree_leaves(delta)) > 0
+
+    def test_focal_config_builds_focal_arch(self):
+        from hgsfusion_tpu.config import load_config, model_config_from_yaml
+
+        cfg = load_config("/root/repo/configs/second_focal_vod.yaml")
+        mc = model_config_from_yaml(cfg)
+        assert mc.backbone_3d_arch == "voxel8x_focal"
+        assert mc.focal_topk is True and mc.focal_threshold == 0.5
+        base = load_config("/root/repo/configs/second_vod.yaml")
+        # the base config is otherwise inherited verbatim
+        assert cfg.MODEL.DENSE_HEAD.NAME == base.MODEL.DENSE_HEAD.NAME
+        assert model_config_from_yaml(base).backbone_3d_arch == "voxel8x"
