@@ -1,0 +1,147 @@
+"""Round-2 avenue: Pallas VMEM-resident gather + fused 4-tap combine.
+
+The f2v forward gathers ~3.17 M rows per group from the quad source maps
+(g4: 63 k rows x 512 B, g8: 16 k rows x 1536 B) and then does a 4-tap
+weighted combine + reduce einsum. XLA's measured gather floor is
+~5.9 ns/row at 1536 B rows (~260 GB/s) and the gather output round-trips
+HBM before the combine (g4 chain 27 ms, g8 chain 43 ms). Hypotheses:
+
+  (a) with the table resident in VMEM, a per-row dynamic-slice loop reads
+      rows at VMEM rate, beating the HBM gather floor;
+  (b) fusing the 4-tap weighted combine into the kernel removes the
+      3.17 M x row intermediate entirely (output is c/4 per row);
+  (c) Mosaic's vmem_limit_bytes param determines whether the real tables
+      (32 MB / 24 MB) fit whole or need channel-split passes.
+
+Compares against the XLA take+combine baseline on identical data
+(bench.py protocol: chained iterations, one scalar fetch).
+"""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 3_174_400      # queries per group (320*320*31)
+TILE = 2048
+N_PAD = ((N + TILE - 1) // TILE) * TILE
+ITERS = 8
+VMEM_LIMIT = 100 * 1024 * 1024
+
+# (name, table rows, quad-row channels): real flagship shapes (+pad to 16)
+CASES = [
+    ("g8", 16048, 768),     # (66*243=16038) x 4*192ch = 24 MB bf16
+    ("g4", 63056, 256),     # (130*485=63050) x 4*64ch = 32 MB bf16
+    ("g8/2", 16048, 384),   # g8 channel-split pass (12 MB)
+    ("g4/2", 63056, 128),   # g4 channel-split pass (16 MB)
+]
+
+
+def make_inputs(p, cq):
+    """Locally-clustered indices like the real voxel->image order."""
+    rng = np.random.RandomState(0)
+    win = min(2048, p)
+    base = rng.randint(0, p - win + 1, size=(N_PAD // TILE, 1))
+    jitter = rng.randint(0, win, size=(N_PAD // TILE, TILE))
+    idx = (base + jitter).reshape(-1).astype(np.int32)
+    table = rng.randn(p, cq).astype(jnp.bfloat16)
+    w4 = rng.rand(N_PAD, 4).astype(jnp.bfloat16)
+    return jnp.asarray(idx), jnp.asarray(table), jnp.asarray(w4)
+
+
+def xla_gather_combine(idx, table, w4, cq):
+    c = cq // 4
+    rows = jnp.take(table, idx, axis=0)
+    return (
+        rows[:, 0 * c : 1 * c] * w4[:, 0:1]
+        + rows[:, 1 * c : 2 * c] * w4[:, 1:2]
+        + rows[:, 2 * c : 3 * c] * w4[:, 2:3]
+        + rows[:, 3 * c : 4 * c] * w4[:, 3:4]
+    )
+
+
+def pallas_gather_combine(idx, table, w4, cq, unroll=4):
+    """Table VMEM-resident (block index constant -> fetched once); per-row
+    dynamic reads + in-register 4-tap combine; only c/4 per row leaves."""
+    c = cq // 4
+    p = table.shape[0]
+
+    def kernel(idx_ref, table_ref, w_ref, out_ref):
+        def body(i, carry):
+            for u in range(unroll):
+                j = i * unroll + u
+                r = idx_ref[j]
+                row = table_ref[r, :]
+                w = w_ref[pl.ds(j, 1), :]
+                out_ref[pl.ds(j, 1), :] = (
+                    row[0 * c : 1 * c] * w[0, 0]
+                    + row[1 * c : 2 * c] * w[0, 1]
+                    + row[2 * c : 3 * c] * w[0, 2]
+                    + row[3 * c : 4 * c] * w[0, 3]
+                )[None, :]
+            return carry
+
+        jax.lax.fori_loop(0, TILE // unroll, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N_PAD // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((p, cq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_PAD, c), table.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(idx, table, w4)
+
+
+def timed(fn, args, iters=ITERS):
+    def chained(*a):
+        acc = jnp.zeros((), jnp.float32)
+        idx = a[0]
+        for i in range(iters):
+            out = fn(idx, *a[1:])
+            acc = acc + out[0, 0].astype(jnp.float32)
+            idx = idx.at[0].set((idx[0] + 1) % 8)  # defeat CSE, O(1)
+        return acc
+
+    f = jax.jit(chained)
+    f(*args).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    float(f(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    for name, p, cq in CASES:
+        idx, table, w4 = make_inputs(p, cq)
+        t_x = timed(functools.partial(xla_gather_combine, cq=cq),
+                    (idx, table, w4))
+        print(f"{name} (P={p} CQ={cq}, {p * cq * 2 / 2**20:.0f} MB): "
+              f"XLA gather+combine {t_x * 1e3:8.2f} ms "
+              f"({t_x / N_PAD * 1e9:.2f} ns/row)", flush=True)
+        for unroll in (4, 8):
+            try:
+                t_p = timed(
+                    functools.partial(pallas_gather_combine, cq=cq,
+                                      unroll=unroll), (idx, table, w4))
+                print(f"{name}: pallas fused (unroll {unroll}) "
+                      f"{t_p * 1e3:8.2f} ms ({t_p / N_PAD * 1e9:.2f} ns/row)",
+                      flush=True)
+            except Exception as e:
+                msg = str(e).splitlines()[0][:200]
+                print(f"{name}: pallas unroll {unroll} FAILED: {msg}",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()
