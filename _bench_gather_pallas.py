@@ -104,6 +104,47 @@ def pallas_gather_combine(idx, table, w4, cq, unroll=4):
     )(idx, table, w4)
 
 
+def pallas_gather_combine_planes(idx, table4, w4, cq, unroll=4):
+    """Plane formulation: table as (4, P, c) — 4 tap planes with normal
+    (sublane, lane) tiling — so the combine needs NO lane-dim slicing
+    (the 2-D kernel slices rows at c-multiples, which may not lower well
+    when c isn't a multiple of 128)."""
+    c = cq // 4
+    p = table4.shape[1]
+
+    def kernel(idx_ref, table_ref, w_ref, out_ref):
+        def body(i, carry):
+            for u in range(unroll):
+                j = i * unroll + u
+                r = idx_ref[j]
+                rows = table_ref[:, r, :]  # (4, c)
+                w = w_ref[pl.ds(j, 1), :]
+                out_ref[pl.ds(j, 1), :] = (
+                    rows[0] * w[0, 0] + rows[1] * w[0, 1]
+                    + rows[2] * w[0, 2] + rows[3] * w[0, 3]
+                )[None, :]
+            return carry
+
+        jax.lax.fori_loop(0, TILE // unroll, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N_PAD // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, p, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_PAD, c), table4.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(idx, table4, w4)
+
+
 def timed(fn, args, iters=ITERS):
     def chained(*a):
         acc = jnp.zeros((), jnp.float32)
@@ -140,6 +181,20 @@ def main():
             except Exception as e:
                 msg = str(e).splitlines()[0][:200]
                 print(f"{name}: pallas unroll {unroll} FAILED: {msg}",
+                      flush=True)
+        c = cq // 4
+        table4 = jnp.transpose(table.reshape(p, 4, c), (1, 0, 2))
+        for unroll in (4, 8):
+            try:
+                t_p = timed(
+                    functools.partial(pallas_gather_combine_planes, cq=cq,
+                                      unroll=unroll), (idx, table4, w4))
+                print(f"{name}: pallas planes (unroll {unroll}) "
+                      f"{t_p * 1e3:8.2f} ms ({t_p / N_PAD * 1e9:.2f} ns/row)",
+                      flush=True)
+            except Exception as e:
+                msg = str(e).splitlines()[0][:200]
+                print(f"{name}: pallas planes unroll {unroll} FAILED: {msg}",
                       flush=True)
 
 

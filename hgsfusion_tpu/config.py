@@ -182,6 +182,7 @@ def model_config_from_yaml(cfg: ConfigDict):
         channel_reduce_out=image_vfe.FFN.CHANNEL_REDUCE.out_channels,
         f2v_out_channels=image_vfe.F2V.OUT_CHANNELS,
         f2v_quant=image_vfe.F2V.get("QUANT", "none"),
+        f2v_sampler_kernel=image_vfe.F2V.get("SAMPLER_KERNEL", "xla"),
         disc_mode=disc["mode"],
         disc_num_bins=disc["num_bins"],
         disc_depth_min=disc["depth_min"],

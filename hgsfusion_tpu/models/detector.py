@@ -46,6 +46,9 @@ class HGSFusionConfig:
     # f2v gather-payload quantization ("none" | "int8"); see
     # FrustumToVoxelMultiScale.quant
     f2v_quant: str = "none"
+    # f2v sampler kernel ("xla" | "pallas"); see
+    # FrustumToVoxelMultiScale.sampler_kernel
+    f2v_sampler_kernel: str = "xla"
     disc_mode: str = "LID"
     disc_num_bins: int = 80
     disc_depth_min: float = 1.0
@@ -265,6 +268,7 @@ class HGSFusionModel(nn.Module):
         voxel = f2v_cls(
             out_channels=cfg.f2v_out_channels, dtype=cfg.dtype,
             num_depth_bins=cfg.disc_num_bins, quant=cfg.f2v_quant,
+            sampler_kernel=cfg.f2v_sampler_kernel,
             name="f2v",
         )(feats, grid, train, depth_probs)  # (B, Y, X, Z, C)
 

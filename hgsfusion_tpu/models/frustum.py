@@ -211,6 +211,12 @@ class FrustumToVoxelMultiScale(nn.Module):
     # algebra and the only approximation is the 0.5-ulp rounding of the
     # source maps. Backward is straight-through (exact bf16 sampler VJP).
     quant: str = "none"
+    # Sampler kernel ("xla" | "pallas"): pallas runs the quad gather + tap
+    # combine (and its scatter backward) as fused Pallas TPU kernels with
+    # the source map VMEM-resident (ops/pallas_sample.py). Same numerics
+    # as the XLA path; coords get zero grad (calibration geometry).
+    # Mutually exclusive with quant="int8" (pallas path is bf16-payload).
+    sampler_kernel: str = "xla"
 
     def _sample_with_depth(self, f, probs, grid, cdt):
         """Exact trilinear sampling of the frustum volume probs*feat without
@@ -347,6 +353,12 @@ class FrustumToVoxelMultiScale(nn.Module):
                     f, uv_by_group[id(f)], cdt
                 )  # unscaled; fold the per-channel scales into the kernel
                 k_rows = k_rows * scale[:, None]
+            elif self.sampler_kernel == "pallas":
+                from ..ops.pallas_sample import grid_sample_2d_quad_pallas
+
+                sampled = grid_sample_2d_quad_pallas(
+                    f.astype(cdt), uv_by_group[id(f)]
+                )  # (B, Y, X, Z, cg)
             else:
                 sampled = grid_sample_2d_quad(
                     f.astype(cdt), uv_by_group[id(f)]

@@ -1,0 +1,251 @@
+"""Pallas TPU kernels for the f2v quad bilinear sampler.
+
+Drop-in replacement for :func:`ops.grid_sample.grid_sample_2d_quad`
+(reference semantics: torch grid_sample bilinear/zeros/align_corners on
+each scale map, pcdet f2v/sampler.py:8-37), re-formulated for TPU:
+
+- **Forward**: the quad source map (4 bilinear taps packed per row) is
+  held resident in VMEM while a per-row dynamic-slice loop gathers query
+  rows and applies the 4-tap weighted combine in-register. Only the
+  combined c-channel row is written back, removing the N x 4c gathered
+  intermediate that the XLA path round-trips through HBM.
+- **Backward**: the quad cotangent is rank-1 per row (outer(w4, ct)); a
+  scatter kernel builds it in-register from the (c)-row cotangent and the
+  4 tap weights and accumulates into a VMEM-resident table, replacing
+  XLA's HBM scatter-add (measured 31.9 ns/row) and the materialized
+  N x 4c update array. The coords receive zero cotangent: the sampling
+  grid is calibration geometry, never a learned quantity (reference
+  passes image_features only through grid_sample's grad path into the
+  backbone; the grid comes from lidar_to_cam/cam_to_img constants).
+- Tables larger than the per-kernel VMEM budget are processed in
+  channel-split passes (each pass slices the same taps' channel range, so
+  the math is exactly the per-channel decomposition of the combine).
+
+Numerics match grid_sample_2d_quad: same padded-map quad construction,
+same w4 weights (zeros-padding masks folded in), bf16 tap combine.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_sample import _quad_idx_weights
+
+TILE = 2048
+# Per-kernel VMEM budget for the resident table. The Mosaic default limit
+# is raised via vmem_limit_bytes; the flagship tables are 24 MB (g8) and
+# 32 MB (g4). Tuned on-chip (see BASELINE.md round-2 pallas section).
+TABLE_BUDGET_BYTES = 40 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _num_passes(p_pad: int, c: int, itemsize: int) -> int:
+    """Channel-split pass count: smallest split of c into multiples of 32
+    (=> 128-lane quad rows) whose per-pass table fits the budget."""
+    for passes in (1, 2, 4, 8):
+        ck = c // passes
+        if c % passes or ck % 32:
+            continue
+        if p_pad * 4 * ck * itemsize <= TABLE_BUDGET_BYTES:
+            return passes
+    raise ValueError(
+        f"no channel split of c={c} fits table budget "
+        f"{TABLE_BUDGET_BYTES} (rows={p_pad})")
+
+
+def _gather_combine(idx, table, w4, n_pad: int, c: int):
+    """out[j] = sum_tap w4[j, tap] * table[idx[j], tap*c:(tap+1)*c]."""
+    p_pad, cq = table.shape
+
+    def kernel(idx_ref, table_ref, w_ref, out_ref):
+        def body(i, carry):
+            r = idx_ref[i]
+            row = table_ref[r, :]
+            w = w_ref[pl.ds(i, 1), :]
+            out_ref[pl.ds(i, 1), :] = (
+                row[0 * c : 1 * c] * w[0, 0]
+                + row[1 * c : 2 * c] * w[0, 1]
+                + row[2 * c : 3 * c] * w[0, 2]
+                + row[3 * c : 4 * c] * w[0, 3]
+            )[None, :]
+            return carry
+
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((p_pad, cq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), table.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(idx, table, w4)
+
+
+def _scatter_outer(idx, ct, w4, p_pad: int, c: int):
+    """table[idx[j], tap*c:(tap+1)*c] += w4[j, tap] * ct[j] (VMEM acc)."""
+    n_pad = ct.shape[0]
+
+    def kernel(idx_ref, ct_ref, w_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(i, carry):
+            r = idx_ref[i]
+            g = ct_ref[pl.ds(i, 1), :]
+            w = w_ref[pl.ds(i, 1), :]
+            row = jnp.concatenate(
+                [g * w[0, 0], g * w[0, 1], g * w[0, 2], g * w[0, 3]],
+                axis=-1)
+            out_ref[pl.ds(r, 1), :] += row
+            return carry
+
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p_pad, 4 * c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, 4 * c), ct.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(idx, ct, w4)
+
+
+def _quad_pass(fp, k0, k1):
+    """Quad table for channels [k0:k1): 4 shifted views of the padded map,
+    concatenated per row (same construction as grid_sample_2d_quad)."""
+    b = fp.shape[0]
+    f = fp[..., k0:k1]
+    hp, wp = fp.shape[1] - 1, fp.shape[2] - 1
+    return jnp.concatenate(
+        [f[:, :-1, :-1], f[:, :-1, 1:], f[:, 1:, :-1], f[:, 1:, 1:]],
+        axis=-1,
+    ).reshape(b * hp * wp, 4 * (k1 - k0))
+
+
+def _indices(coords, b, h, w, m, dtype):
+    """Flat batched row indices + stacked tap weights, TILE-padded."""
+    hp, wp = h + 1, w + 1
+    flat, w4 = _quad_idx_weights(coords.reshape(b, -1, 2), h, w, dtype)
+    p0 = hp * wp
+    idx = (flat + jnp.arange(b, dtype=jnp.int32)[:, None] * p0).reshape(-1)
+    w4 = jnp.stack(w4, axis=-1).reshape(-1, 4)
+    n = b * m
+    n_pad = _round_up(n, TILE)
+    if n_pad != n:
+        idx = jnp.pad(idx, (0, n_pad - n))
+        w4 = jnp.pad(w4, ((0, n_pad - n), (0, 0)))
+    return idx, w4, n, n_pad
+
+
+def _forward(features, coords):
+    b, h, w, c = features.shape
+    out_shape = coords.shape[:-1] + (c,)
+    m = coords.reshape(b, -1, 2).shape[1]
+    idx, w4, n, n_pad = _indices(coords, b, h, w, m, features.dtype)
+
+    fp = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    p = b * (h + 1) * (w + 1)
+    p_pad = _round_up(p, 16)
+    passes = _num_passes(p_pad, c, features.dtype.itemsize)
+    ck = c // passes
+
+    outs = []
+    for k in range(passes):
+        table = _quad_pass(fp, k * ck, (k + 1) * ck)
+        if p_pad != p:
+            table = jnp.pad(table, ((0, p_pad - p), (0, 0)))
+        outs.append(_gather_combine(idx, table, w4, n_pad, ck))
+    out = outs[0] if passes == 1 else jnp.concatenate(outs, axis=-1)
+    return out[:n].reshape(out_shape)
+
+
+def _unshift(ct_quad, b, h, w, ck):
+    """Adjoint of _quad_pass: route the 4 tap cotangents back onto the
+    padded map and crop the pad ring."""
+    hp, wp = h + 1, w + 1
+    ct_quad = ct_quad.reshape(b, hp, wp, 4 * ck)
+    dfp = jnp.zeros((b, h + 2, w + 2, ck), ct_quad.dtype)
+    dfp = dfp.at[:, :-1, :-1].add(ct_quad[..., 0 * ck : 1 * ck])
+    dfp = dfp.at[:, :-1, 1:].add(ct_quad[..., 1 * ck : 2 * ck])
+    dfp = dfp.at[:, 1:, :-1].add(ct_quad[..., 2 * ck : 3 * ck])
+    dfp = dfp.at[:, 1:, 1:].add(ct_quad[..., 3 * ck : 4 * ck])
+    return dfp[:, 1:-1, 1:-1]
+
+
+@jax.custom_vjp
+def grid_sample_2d_quad_pallas(features, coords):
+    """Pallas-kernel grid_sample_2d_quad (see module docstring).
+
+    features: (B, H, W, C); coords: (B, ..., 2) normalized, align_corners.
+    Returns coords.shape[:-1] + (C,). d/d(coords) is defined as zero (the
+    grid is calibration geometry, not a learned input).
+    """
+    return _forward(features, coords)
+
+
+def _fwd(features, coords):
+    # zero-sized proxy: carries the (static) feature shape/dtype through the
+    # residual pytree at no cost (dtypes/ints aren't valid pytree leaves)
+    proxy = jnp.zeros(features.shape[:-1] + (0,), features.dtype)
+    return _forward(features, coords), (proxy, coords)
+
+
+def _bwd(res, ct):
+    proxy, coords = res
+    b, h, w = proxy.shape[:3]
+    dtype = proxy.dtype
+    c = ct.shape[-1]
+    m = coords.reshape(b, -1, 2).shape[1]
+    idx, w4, n, n_pad = _indices(coords, b, h, w, m, dtype)
+    ct = ct.astype(dtype).reshape(-1, c)
+    if n_pad != n:
+        ct = jnp.pad(ct, ((0, n_pad - n), (0, 0)))
+
+    p = b * (h + 1) * (w + 1)
+    p_pad = _round_up(p, 16)
+    passes = _num_passes(p_pad, c, jnp.dtype(dtype).itemsize)
+    ck = c // passes
+
+    parts = []
+    for k in range(passes):
+        ct_quad = _scatter_outer(idx, ct[:, k * ck : (k + 1) * ck], w4,
+                                 p_pad, ck)
+        parts.append(_unshift(ct_quad[:p], b, h, w, ck))
+    dfeat = parts[0] if passes == 1 else jnp.concatenate(parts, axis=-1)
+    return dfeat, jnp.zeros_like(coords)
+
+
+grid_sample_2d_quad_pallas.defvjp(_fwd, _bwd)
