@@ -98,4 +98,7 @@ def main(dataset: str = "vod"):
 if __name__ == "__main__":
     import sys
 
-    main("tj4d" if "--tj4d" in sys.argv[1:] else "vod")
+    # --tj4d (second headline config) or --<any> -> configs/hgsfusion_<any>.yaml
+    # (e.g. --vod_pallas for the Pallas f2v sampler variant)
+    arg = next((a.lstrip("-") for a in sys.argv[1:] if a.startswith("--")), None)
+    main(arg or "vod")
