@@ -1,0 +1,84 @@
+"""Ground-truth-only visualization over a whole split.
+
+Reference: tools/visual_tj4d.py:1-57 — iterate kitti_infos_trainval.pkl,
+load image/points/calib per frame, convert the camera-frame annos to lidar
+boxes, and render the gt overlay (plot_points_gt). Same loop here via the
+shared renderer helpers (utils/visual.py); works for any KITTI-format
+dataset (VoD 7-dim radar, TJ4D 8-dim radar).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .visual import (
+    CLASS_COLORS,
+    GT_COLOR,
+    REAL_POINT_COLOR,
+    _camera_annos_to_lidar,
+    draw_boxes_bev,
+    draw_boxes_image,
+    draw_points_bev,
+)
+
+
+def render_gt(data_root, save_path, class_names, infos_name,
+              image_ext=".jpg", radar_dims=8, bev_xlim=(0, 70),
+              bev_ylim=(-30, 30), frame_stride=1, max_frames=None):
+    """Render <id>_gt.png (image overlay) + <id>_gt_bev.png per frame.
+
+    Returns the number of frames rendered."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    from .calibration import Calibration, calib_to_matricies
+
+    data_root = Path(data_root)
+    save_path = Path(save_path)
+    save_path.mkdir(parents=True, exist_ok=True)
+    infos = np.load(data_root / infos_name, allow_pickle=True)
+
+    idxes = list(range(0, len(infos), frame_stride))
+    if max_frames:
+        idxes = idxes[:max_frames]
+    for idx in idxes:
+        info = infos[idx]
+        frame_id = info["image"]["image_idx"]
+        img = np.asarray(
+            plt.imread(data_root / "training/image_2"
+                       / f"{frame_id}{image_ext}"), np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        pts = np.fromfile(
+            data_root / "training/velodyne" / f"{frame_id}.bin",
+            np.float32).reshape(-1, radar_dims)
+        calib = Calibration(data_root / "training/calib" / f"{frame_id}.txt")
+        l2c, c2i = calib_to_matricies(calib)
+
+        ann = info["annos"]
+        dontcare = np.asarray(ann["name"]) != "DontCare"
+        ann = {k: np.asarray(v)[dontcare] for k, v in ann.items()
+               if isinstance(v, (list, np.ndarray))}
+        boxes, names, _ = _camera_annos_to_lidar(ann, calib, class_names)
+
+        fig, ax = plt.subplots(dpi=200)
+        colors = [CLASS_COLORS.get(n, GT_COLOR) for n in names]
+        draw_boxes_image(ax, boxes, l2c, c2i, colors)
+        ax.imshow(img)
+        ax.axis("off")
+        fig.savefig(save_path / f"{frame_id}_gt.png",
+                    bbox_inches="tight", pad_inches=0)
+        plt.close(fig)
+
+        fig, ax = plt.subplots(dpi=200)
+        ax.set_xlim(*bev_xlim)
+        ax.set_ylim(*bev_ylim)
+        draw_points_bev(ax, pts, REAL_POINT_COLOR)
+        draw_boxes_bev(ax, boxes)
+        ax.axis("off")
+        fig.savefig(save_path / f"{frame_id}_gt_bev.png")
+        plt.close(fig)
+    return len(idxes)

@@ -65,6 +65,21 @@ def test_vod_graps_renderer_end_to_end(tmp_path):
     assert all((out / p).stat().st_size > 1000 for p in pngs)
 
 
+def test_gt_sweep_renderer(tmp_path):
+    """tools/visual_tj4d.py equivalent: gt-only sweep over an infos file
+    (reference tools/visual_tj4d.py plot_points_gt loop)."""
+    root, _ = _tree_with_results(tmp_path)
+    from hgsfusion_tpu.utils.visual_gt import render_gt
+
+    n = render_gt(root, tmp_path / "gt", ("Car", "Pedestrian", "Cyclist"),
+                  infos_name="kitti_infos_val.pkl", image_ext=".jpg",
+                  radar_dims=7)
+    assert n == 2
+    pngs = sorted(p.name for p in (tmp_path / "gt").glob("*.png"))
+    assert len(pngs) == 4  # 2 frames x {gt, gt_bev}
+    assert "00000_gt.png" in pngs and "00001_gt_bev.png" in pngs
+
+
 def test_vod_baseline_renderer_in_process(tmp_path):
     root, result_pkl = _tree_with_results(tmp_path)
     from hgsfusion_tpu.utils.visual import render_results
