@@ -134,12 +134,18 @@ def model_config_from_yaml(cfg: ConfigDict):
 
     model = cfg.MODEL
     data = cfg.DATA_CONFIG
-    fusion_vfe = model.FusionVFE
-    image_vfe = fusion_vfe.ImageVFE
-    radar = fusion_vfe.RadarBackbone
-    occ = fusion_vfe.RadarOccupancy
-    fuse = model.FUSION_AFTER_BEV
-    head = model.DENSE_HEAD
+    # every block is optional: head-less second-stage families (MPPNet) and
+    # lidar-only zoo configs may omit them — absent keys fall back to the
+    # HGSFusionConfig dataclass defaults
+    _e = ConfigDict({})
+    fusion_vfe = model.get("FusionVFE", _e)
+    image_vfe = fusion_vfe.get("ImageVFE", _e)
+    radar = fusion_vfe.get("RadarBackbone", _e)
+    occ = fusion_vfe.get("RadarOccupancy", _e)
+    fuse = model.get("FUSION_AFTER_BEV", _e)
+    head = model.get("DENSE_HEAD", _e)
+    ffn = image_vfe.get("FFN", _e)
+    f2v = image_vfe.get("F2V", _e)
 
     pc_range = tuple(data.POINT_CLOUD_RANGE)
     voxel_size = tuple(
@@ -149,7 +155,9 @@ def model_config_from_yaml(cfg: ConfigDict):
             if p["NAME"] == "calculate_grid_size"
         )
     )
-    disc = image_vfe.FFN.DISCRETIZE
+    disc = ffn.get("DISCRETIZE", ConfigDict(
+        {"mode": "LID", "num_bins": 80, "depth_min": 1.0,
+         "depth_max": 51.2}))
     if "ANCHOR_GENERATOR_CONFIG" in head:
         n_anchor = sum(
             len(c["anchor_rotations"]) * len(c["anchor_sizes"]) * len(c["anchor_bottom_heights"])
@@ -178,22 +186,26 @@ def model_config_from_yaml(cfg: ConfigDict):
         class_names=tuple(cfg.CLASS_NAMES),
         pc_range=pc_range,
         voxel_size=voxel_size,
-        image_backbone=image_vfe.FFN.DDN.BACKBONE_NAME,
-        channel_reduce_out=image_vfe.FFN.CHANNEL_REDUCE.out_channels,
-        f2v_out_channels=image_vfe.F2V.OUT_CHANNELS,
-        f2v_quant=image_vfe.F2V.get("QUANT", "none"),
-        f2v_sampler_kernel=image_vfe.F2V.get("SAMPLER_KERNEL", "xla"),
+        image_backbone=ffn.get("DDN", _e).get("BACKBONE_NAME", "ResNet101"),
+        channel_reduce_out=ffn.get("CHANNEL_REDUCE", _e).get(
+            "out_channels", 64),
+        f2v_out_channels=f2v.get("OUT_CHANNELS", 128),
+        f2v_quant=f2v.get("QUANT", "none"),
+        f2v_sampler_kernel=f2v.get("SAMPLER_KERNEL", "xla"),
         disc_mode=disc["mode"],
         disc_num_bins=disc["num_bins"],
         disc_depth_min=disc["depth_min"],
         disc_depth_max=disc["depth_max"],
-        bev_aug=image_vfe.F2V.get("BEV_AUG", False),
+        bev_aug=f2v.get("BEV_AUG", False),
         image_size=tuple(data.get("IMAGE_SIZE", (516, 1936))),
         num_point_features=num_pt_feats,
-        reader_num_input=radar.READER.NUM_INPUT_FEATURES,
-        backbone_out_indices=tuple(radar.BACKBONE.get("OUT_INDICES", (0, 1, 2))),
-        neck_out_channels=tuple(radar.NECK.OUT_CHANNELS),
-        radar_input_channels=occ.RADAR_INPUT_CHANNELS,
+        reader_num_input=radar.get("READER", _e).get(
+            "NUM_INPUT_FEATURES", 29),
+        backbone_out_indices=tuple(
+            radar.get("BACKBONE", _e).get("OUT_INDICES", (0, 1, 2))),
+        neck_out_channels=tuple(
+            radar.get("NECK", _e).get("OUT_CHANNELS", (128, 128))),
+        radar_input_channels=occ.get("RADAR_INPUT_CHANNELS", 128),
         aspp_dilation=occ.get("ASPP_SHAPE", 6),
         use_aspp=occ.get("USE_ASPP", False),
         aspp_dilations=(tuple(occ["ASPP_DIAL"])
@@ -201,8 +213,8 @@ def model_config_from_yaml(cfg: ConfigDict):
         use_dcn=(tuple(occ["USE_DCN"]) if occ.get("USE_DCN") else None),
         occ_use_mask=occ.get("USE_MASK", False),
         occ_fuse_mode=occ.get("FUSE_MODE", "MUL"),
-        fusion_image_out=fuse.IMAGE_OUT_CHANNELS,
-        fusion_radar_out=fuse.RADAR_OUT_CHANNELS,
+        fusion_image_out=fuse.get("IMAGE_OUT_CHANNELS", 128),
+        fusion_radar_out=fuse.get("RADAR_OUT_CHANNELS", 128),
         num_anchors_per_location=n_anchor,
         num_dir_bins=head.get("NUM_DIR_BINS", 2),
         dir_offset=head.get("DIR_OFFSET", 0.78539),
