@@ -23,6 +23,13 @@ each scale map, pcdet f2v/sampler.py:8-37), re-formulated for TPU:
 
 Numerics match grid_sample_2d_quad: same padded-map quad construction,
 same w4 weights (zeros-padding masks folded in), bf16 tap combine.
+
+Scope: single-chip serving/training. Under a multi-device mesh the op
+still executes correctly, but GSPMD replicates it (pallas_call has no
+partitioning rule), all-gathering the batch — keep SAMPLER_KERNEL: xla
+for multi-chip data-parallel runs (the XLA gather partitions cleanly);
+a shard_map wrapper over the batch axis is the upgrade path if pallas
+multi-chip becomes worth it.
 """
 from __future__ import annotations
 
