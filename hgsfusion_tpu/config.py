@@ -134,18 +134,26 @@ def model_config_from_yaml(cfg: ConfigDict):
 
     model = cfg.MODEL
     data = cfg.DATA_CONFIG
-    # every block is optional: head-less second-stage families (MPPNet) and
-    # lidar-only zoo configs may omit them — absent keys fall back to the
-    # HGSFusionConfig dataclass defaults
+    # Head-less second-stage families (MPPNet: proposals come in through
+    # the batch) may omit the branch blocks — absent keys fall back to the
+    # HGSFusionConfig dataclass defaults. Every OTHER family keeps the
+    # fail-fast direct access so a typo'd block name (DENSE_HEADS, ...)
+    # raises at load time with the missing key, not as an obscure
+    # zero-anchor shape error deep in the model build.
     _e = ConfigDict({})
-    fusion_vfe = model.get("FusionVFE", _e)
-    image_vfe = fusion_vfe.get("ImageVFE", _e)
-    radar = fusion_vfe.get("RadarBackbone", _e)
-    occ = fusion_vfe.get("RadarOccupancy", _e)
-    fuse = model.get("FUSION_AFTER_BEV", _e)
-    head = model.get("DENSE_HEAD", _e)
-    ffn = image_vfe.get("FFN", _e)
-    f2v = image_vfe.get("F2V", _e)
+    lenient = model.NAME in ("MPPNet", "MPPNetE2E")
+
+    def blk(parent, key):
+        return parent.get(key, _e) if lenient else parent[key]
+
+    fusion_vfe = blk(model, "FusionVFE")
+    image_vfe = blk(fusion_vfe, "ImageVFE")
+    radar = blk(fusion_vfe, "RadarBackbone")
+    occ = blk(fusion_vfe, "RadarOccupancy")
+    fuse = blk(model, "FUSION_AFTER_BEV")
+    head = blk(model, "DENSE_HEAD")
+    ffn = blk(image_vfe, "FFN")
+    f2v = blk(image_vfe, "F2V")
 
     pc_range = tuple(data.POINT_CLOUD_RANGE)
     voxel_size = tuple(

@@ -263,6 +263,21 @@ class FrustumToVoxelMultiScale(nn.Module):
         per-scale (B, Hi, Wi, D) softmaxed depth distributions (USE_DEPTH)."""
         from ..ops.grid_sample import grid_sample_2d, grid_sample_2d_quad
 
+        if self.sampler_kernel == "pallas":
+            # fail loudly instead of silently falling back: the int8 payload
+            # and the USE_DEPTH factorized-trilinear path run XLA samplers
+            # only, and a user benchmarking "the pallas kernel" must not
+            # measure the wrong one
+            if self.quant == "int8":
+                raise ValueError(
+                    "F2V.SAMPLER_KERNEL: pallas is mutually exclusive with "
+                    "QUANT: int8 (the pallas path is bf16-payload)")
+            if depth_probs is not None or self.fuse_mode == "ADD":
+                raise NotImplementedError(
+                    "F2V.SAMPLER_KERNEL: pallas covers the CONCAT "
+                    "grouped-quad path only (not USE_DEPTH / FUSE_MODE "
+                    "ADD); unset SAMPLER_KERNEL for those")
+
         uv = grid[..., 0:2]
         if self.fuse_mode == "ADD":
             if depth_probs is not None:

@@ -59,8 +59,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _num_passes(p_pad: int, c: int, itemsize: int) -> int:
-    """Channel-split pass count: smallest split of c into multiples of 32
-    (=> 128-lane quad rows) whose per-pass table fits the budget."""
+    """Channel-split pass count: smallest split of c (already padded to a
+    multiple of 32 => 128-lane quad rows) whose per-pass table fits the
+    budget."""
+    assert c % 32 == 0, c
     for passes in (1, 2, 4, 8):
         ck = c // passes
         if c % passes or ck % 32:
@@ -68,8 +70,9 @@ def _num_passes(p_pad: int, c: int, itemsize: int) -> int:
         if p_pad * 4 * ck * itemsize <= TABLE_BUDGET_BYTES:
             return passes
     raise ValueError(
-        f"no channel split of c={c} fits table budget "
-        f"{TABLE_BUDGET_BYTES} (rows={p_pad})")
+        f"no channel split of c={c} fits the VMEM table budget "
+        f"TABLE_BUDGET_BYTES={TABLE_BUDGET_BYTES} at rows={p_pad}; "
+        f"lower the budget granularity or use SAMPLER_KERNEL: xla")
 
 
 def _gather_combine(idx, table, w4, n_pad: int, c: int):
@@ -183,11 +186,16 @@ def _forward(features, coords):
     m = coords.reshape(b, -1, 2).shape[1]
     idx, w4, n, n_pad = _indices(coords, b, h, w, m, features.dtype)
 
-    fp = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # lane tiling wants 128-wide quad rows => pad channels to 32-multiples
+    # (zero channels, sliced off the output); XLA-supported widths like 48
+    # thus work unchanged
+    cp = _round_up(c, 32)
+    fp = jnp.pad(features,
+                 ((0, 0), (1, 1), (1, 1), (0, cp - c)))
     p = b * (h + 1) * (w + 1)
     p_pad = _round_up(p, 16)
-    passes = _num_passes(p_pad, c, features.dtype.itemsize)
-    ck = c // passes
+    passes = _num_passes(p_pad, cp, features.dtype.itemsize)
+    ck = cp // passes
 
     outs = []
     for k in range(passes):
@@ -196,7 +204,7 @@ def _forward(features, coords):
             table = jnp.pad(table, ((0, p_pad - p), (0, 0)))
         outs.append(_gather_combine(idx, table, w4, n_pad, ck))
     out = outs[0] if passes == 1 else jnp.concatenate(outs, axis=-1)
-    return out[:n].reshape(out_shape)
+    return out[:n, :c].reshape(out_shape)
 
 
 def _unshift(ct_quad, b, h, w, ck):
@@ -237,14 +245,14 @@ def _bwd(res, ct):
     c = ct.shape[-1]
     m = coords.reshape(b, -1, 2).shape[1]
     idx, w4, n, n_pad = _indices(coords, b, h, w, m, dtype)
+    cp = _round_up(c, 32)
     ct = ct.astype(dtype).reshape(-1, c)
-    if n_pad != n:
-        ct = jnp.pad(ct, ((0, n_pad - n), (0, 0)))
+    ct = jnp.pad(ct, ((0, n_pad - n), (0, cp - c)))
 
     p = b * (h + 1) * (w + 1)
     p_pad = _round_up(p, 16)
-    passes = _num_passes(p_pad, c, jnp.dtype(dtype).itemsize)
-    ck = c // passes
+    passes = _num_passes(p_pad, cp, jnp.dtype(dtype).itemsize)
+    ck = cp // passes
 
     parts = []
     for k in range(passes):
@@ -252,7 +260,7 @@ def _bwd(res, ct):
                                  p_pad, ck)
         parts.append(_unshift(ct_quad[:p], b, h, w, ck))
     dfeat = parts[0] if passes == 1 else jnp.concatenate(parts, axis=-1)
-    return dfeat, jnp.zeros_like(coords)
+    return dfeat[..., :c], jnp.zeros_like(coords)
 
 
 grid_sample_2d_quad_pallas.defvjp(_fwd, _bwd)

@@ -109,6 +109,37 @@ def _camera_annos_to_lidar(annos, calib, class_names):
     return boxes, names[keep], scores
 
 
+def load_kitti_frame(data_root, frame_id, image_ext, radar_dims,
+                     image_crop_rows=None):
+    """Shared per-frame loading for the renderers: normalized image,
+    radar points, calibration (+ lidar->cam / cam->img matrices)."""
+    from matplotlib import pyplot as plt
+
+    from .calibration import Calibration, calib_to_matricies
+
+    data_root = Path(data_root)
+    img = np.asarray(
+        plt.imread(data_root / "training/image_2"
+                   / f"{frame_id}{image_ext}"), np.float32)
+    if img.dtype == np.float32 and img.max() > 1.5:
+        img = img / 255.0
+    if image_crop_rows:
+        img = img[:image_crop_rows]
+    pts = np.fromfile(
+        data_root / "training/velodyne" / f"{frame_id}.bin",
+        np.float32).reshape(-1, radar_dims)
+    calib = Calibration(data_root / "training/calib" / f"{frame_id}.txt")
+    l2c, c2i = calib_to_matricies(calib)
+    return img, pts, calib, l2c, c2i
+
+
+def clean_gt_annos(annos):
+    """Drop DontCare rows from a KITTI-style annos dict (array values)."""
+    keep = np.asarray(annos["name"]) != "DontCare"
+    return {k: np.asarray(v)[keep] for k, v in annos.items()
+            if isinstance(v, (list, np.ndarray))}
+
+
 def render_results(data_root, result_pkl, save_path, class_names,
                    image_ext=".jpg", radar_dims=7, virtual_prefix=None,
                    bev_xlim=(0, 50), bev_ylim=(-25, 25),
@@ -123,8 +154,6 @@ def render_results(data_root, result_pkl, save_path, class_names,
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
 
-    from .calibration import Calibration, calib_to_matricies
-
     data_root = Path(data_root)
     save_path = Path(save_path)
     save_path.mkdir(parents=True, exist_ok=True)
@@ -138,29 +167,15 @@ def render_results(data_root, result_pkl, save_path, class_names,
     for idx in idxes:
         gt, dt = infos[idx], det_result[idx]
         frame_id = gt["image"]["image_idx"]
-        img = np.asarray(
-            plt.imread(data_root / "training/image_2"
-                       / f"{frame_id}{image_ext}"), np.float32)
-        if img.dtype == np.float32 and img.max() > 1.5:
-            img = img / 255.0
-        if image_crop_rows:
-            img = img[:image_crop_rows]
-        pts = np.fromfile(
-            data_root / "training/velodyne" / f"{frame_id}.bin",
-            np.float32).reshape(-1, radar_dims)
-        calib = Calibration(
-            data_root / "training/calib" / f"{frame_id}.txt")
-        l2c, c2i = calib_to_matricies(calib)
+        img, pts, calib, l2c, c2i = load_kitti_frame(
+            data_root, frame_id, image_ext, radar_dims, image_crop_rows)
         vp = None
         if virtual_prefix:
             d = np.load(data_root / "training" / virtual_prefix
                         / f"{frame_id}.pkl.npy", allow_pickle=True).item()
             vp = d["virtual_points"]
 
-        ann = {k: v for k, v in gt["annos"].items()}
-        dontcare = np.asarray(ann["name"]) != "DontCare"
-        ann = {k: np.asarray(v)[dontcare] for k, v in ann.items()
-               if isinstance(v, (list, np.ndarray))}
+        ann = clean_gt_annos(gt["annos"])
         gt_boxes, gt_names, _ = _camera_annos_to_lidar(
             ann, calib, class_names)
 

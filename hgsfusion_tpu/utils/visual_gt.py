@@ -17,9 +17,11 @@ from .visual import (
     GT_COLOR,
     REAL_POINT_COLOR,
     _camera_annos_to_lidar,
+    clean_gt_annos,
     draw_boxes_bev,
     draw_boxes_image,
     draw_points_bev,
+    load_kitti_frame,
 )
 
 
@@ -34,8 +36,6 @@ def render_gt(data_root, save_path, class_names, infos_name,
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
 
-    from .calibration import Calibration, calib_to_matricies
-
     data_root = Path(data_root)
     save_path = Path(save_path)
     save_path.mkdir(parents=True, exist_ok=True)
@@ -47,21 +47,9 @@ def render_gt(data_root, save_path, class_names, infos_name,
     for idx in idxes:
         info = infos[idx]
         frame_id = info["image"]["image_idx"]
-        img = np.asarray(
-            plt.imread(data_root / "training/image_2"
-                       / f"{frame_id}{image_ext}"), np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        pts = np.fromfile(
-            data_root / "training/velodyne" / f"{frame_id}.bin",
-            np.float32).reshape(-1, radar_dims)
-        calib = Calibration(data_root / "training/calib" / f"{frame_id}.txt")
-        l2c, c2i = calib_to_matricies(calib)
-
-        ann = info["annos"]
-        dontcare = np.asarray(ann["name"]) != "DontCare"
-        ann = {k: np.asarray(v)[dontcare] for k, v in ann.items()
-               if isinstance(v, (list, np.ndarray))}
+        img, pts, calib, l2c, c2i = load_kitti_frame(
+            data_root, frame_id, image_ext, radar_dims)
+        ann = clean_gt_annos(info["annos"])
         boxes, names, _ = _camera_annos_to_lidar(ann, calib, class_names)
 
         fig, ax = plt.subplots(dpi=200)

@@ -62,6 +62,43 @@ def test_channel_split_passes(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_non_multiple_of_32_channels():
+    """Widths the XLA sampler supports (e.g. 48) work via zero-channel
+    padding — forward and backward."""
+    rng = np.random.RandomState(8)
+    feats = jnp.asarray(rng.randn(1, 7, 9, 48).astype(np.float32))
+    coords = _coords(rng, (1, 8, 5, 2))
+    ref = grid_sample_2d_quad(feats, coords)
+    got = grid_sample_2d_quad_pallas(feats, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    g_ref = jax.grad(lambda f: jnp.sum(
+        grid_sample_2d_quad(f, coords) ** 2))(feats)
+    g_pal = jax.grad(lambda f: jnp.sum(
+        grid_sample_2d_quad_pallas(f, coords) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_rejects_unsupported_modes():
+    """SAMPLER_KERNEL: pallas must fail loudly with QUANT: int8 or the
+    USE_DEPTH/ADD paths instead of silently running the XLA kernel."""
+    from hgsfusion_tpu.models.frustum import FrustumToVoxelMultiScale
+
+    rng = np.random.RandomState(9)
+    feats = [jnp.asarray(rng.randn(1, 5, 7, 32).astype(np.float32))]
+    grid = jnp.asarray(
+        rng.uniform(-1, 1, (1, 4, 4, 3, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="int8"):
+        FrustumToVoxelMultiScale(
+            out_channels=16, quant="int8", sampler_kernel="pallas"
+        ).init(jax.random.PRNGKey(0), feats, grid, False)
+    with pytest.raises(NotImplementedError, match="CONCAT"):
+        FrustumToVoxelMultiScale(
+            out_channels=16, fuse_mode="ADD", sampler_kernel="pallas"
+        ).init(jax.random.PRNGKey(0), feats, grid, False)
+
+
 @pytest.mark.parametrize("c", [64, 192])
 def test_backward_matches_xla_quad(c):
     rng = np.random.RandomState(3)
