@@ -2293,6 +2293,49 @@ class TestWholeGraphParity:
         np.testing.assert_allclose(
             np.asarray(box), ref_box, atol=5e-3, err_msg="batch_box_preds")
 
+    def test_whole_graph_with_pallas_sampler(self, wg_torch_out, ours):
+        """Same converted weights + frame through F2V.SAMPLER_KERNEL:
+        pallas — ties the Pallas kernels to the reference semantics
+        directly, not just to our XLA path."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.detector import HGSFusionModel
+        from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
+
+        state, (taps, l2c, c2i, pts_list), ref = wg_torch_out
+        cfg, xla_preds, _ = ours
+        model = HGSFusionModel(cfg=dataclasses.replace(
+            cfg, f2v_sampler_kernel="pallas"))
+
+        b = len(pts_list)
+        nmax = max(len(p) for p in pts_list)
+        pts = np.zeros((b, nmax, 17), np.float32)
+        valid = np.zeros((b, nmax), bool)
+        for i, p in enumerate(pts_list):
+            pts[i, :len(p)] = p
+            valid[i, :len(p)] = True
+        batch = {
+            "images": jnp.zeros((b, *_WG_IMAGE_HW, 3), jnp.float32),
+            "ddn_features": [
+                jnp.asarray(t.transpose(0, 2, 3, 1)) for t in taps
+            ],
+            "points": jnp.asarray(pts),
+            "points_valid": jnp.asarray(valid),
+            "trans_lidar_to_cam": jnp.asarray(l2c),
+            "trans_cam_to_img": jnp.asarray(c2i),
+            "lidar_aug_matrix": jnp.tile(jnp.eye(4), (b, 1, 1)),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        variables, _ = convert_hgsfusion_state(state, variables)
+        preds = model.apply(variables, batch, False)
+        for k in ("cls_preds", "box_preds", "dir_cls_preds"):
+            np.testing.assert_allclose(
+                np.asarray(preds[k]), np.asarray(xla_preds[k]),
+                rtol=1e-4, atol=1e-4, err_msg=k)
+
 
 # ---------------------------------------------------------------------------
 # AnchorHeadMulti (grouped multihead) parity
