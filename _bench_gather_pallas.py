@@ -145,6 +145,61 @@ def pallas_gather_combine_planes(idx, table4, w4, cq, unroll=4):
     )(idx, table4, w4)
 
 
+def xla_gather_combine_matmul(idx, table, w4, kmat, cq):
+    """The full per-group chain as XLA runs it: gather + tap combine +
+    reduce einsum (kernel rows cg -> 128)."""
+    return xla_gather_combine(idx, table, w4, cq) @ kmat
+
+
+def pallas_gather_combine_matmul(idx, table, w4, kmat, cq, unroll=8):
+    """Stage-2 fusion: per-row gather+combine into a VMEM scratch tile,
+    then one MXU matmul per tile — only idx/w4 in, 128-ch f32->bf16 rows
+    out; the N x cg combined intermediate never exists in HBM."""
+    c = cq // 4
+    p = table.shape[0]
+    ko = kmat.shape[1]
+
+    def kernel(idx_ref, table_ref, w_ref, kmat_ref, out_ref, scratch):
+        def body(i, carry):
+            for u in range(unroll):
+                j = i * unroll + u
+                r = idx_ref[j]
+                row = table_ref[r, :]
+                w = w_ref[pl.ds(j, 1), :]
+                scratch[pl.ds(j, 1), :] = (
+                    row[0 * c : 1 * c] * w[0, 0]
+                    + row[1 * c : 2 * c] * w[0, 1]
+                    + row[2 * c : 3 * c] * w[0, 2]
+                    + row[3 * c : 4 * c] * w[0, 3]
+                )[None, :]
+            return carry
+
+        jax.lax.fori_loop(0, TILE // unroll, body, 0)
+        out_ref[:] = jnp.dot(
+            scratch[:], kmat_ref[:],
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N_PAD // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((p, cq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ko), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, ko), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_PAD, ko), table.dtype),
+        scratch_shapes=[pltpu.VMEM((TILE, c), table.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(idx, table, w4, kmat)
+
+
 def timed(fn, args, iters=ITERS):
     def chained(*a):
         acc = jnp.zeros((), jnp.float32)
@@ -183,6 +238,21 @@ def main():
                 print(f"{name}: pallas unroll {unroll} FAILED: {msg}",
                       flush=True)
         c = cq // 4
+        kmat = jnp.asarray(
+            np.random.RandomState(2).randn(c, 128).astype(jnp.bfloat16))
+        t_xm = timed(functools.partial(xla_gather_combine_matmul, cq=cq),
+                     (idx, table, w4, kmat))
+        print(f"{name}: XLA chain+matmul   {t_xm * 1e3:8.2f} ms "
+              f"({t_xm / N_PAD * 1e9:.2f} ns/row)", flush=True)
+        try:
+            t_pm = timed(
+                functools.partial(pallas_gather_combine_matmul, cq=cq),
+                (idx, table, w4, kmat))
+            print(f"{name}: pallas fused+matmul {t_pm * 1e3:8.2f} ms "
+                  f"({t_pm / N_PAD * 1e9:.2f} ns/row)", flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200]
+            print(f"{name}: pallas fused+matmul FAILED: {msg}", flush=True)
         table4 = jnp.transpose(table.reshape(p, 4, c), (1, 0, 2))
         for unroll in (4, 8):
             try:
