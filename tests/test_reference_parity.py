@@ -2014,12 +2014,18 @@ _WG_ANCHOR_CFG = [
 ]
 
 
-def _wg_torch_chain():
+def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
+                    class_names=("Car", "Pedestrian", "Cyclist")):
     """Instantiate the reference flagship chain (hgsfusion_vod.yaml MODEL
     topology at tiny shapes): FusionVFE(ImageVFE + PillarNet + RadarOcc2DV2)
     -> FusionAfterBEVSEDirect -> AnchorHeadSingle, composed exactly as
     detector3d_template.build_networks does (module names included, so the
-    root state_dict looks like a real checkpoint)."""
+    root state_dict looks like a real checkpoint).
+
+    num_pt/reader_in/anchor_cfg/class_names parametrize the TJ4D variant
+    (18-column points, 31-wide split reader, 4 classes with the reference's
+    Car/Truck/Ped/Cyc anchor order vs Car/Ped/Cyc/Truck CLASS_NAMES)."""
+    anchor_cfg = anchor_cfg or _WG_ANCHOR_CFG
     from ref_loader import install_reference_packages
 
     load = install_reference_packages()
@@ -2080,7 +2086,7 @@ def _wg_torch_chain():
     radar_cfg = CD({
         "NAME": "PillarNet",
         "READER": {"USE_VIRTUAL_POINT": True, "PILLAR_SIZE": _WG_VOXEL[0],
-                   "NUM_FILTERS": [32], "NUM_INPUT_FEATURES": 29,
+                   "NUM_FILTERS": [32], "NUM_INPUT_FEATURES": reader_in,
                    "PC_RANGE": list(_WG_PC_RANGE)},
         "BACKBONE": {"IN_PLANES": 32, "DS_FACTOR": 4,
                      "OUT_INDICES": [0, 1, 2]},
@@ -2099,7 +2105,7 @@ def _wg_torch_chain():
     })
     grid_size = np.array([16, 16, 4])
     image_vfe = image_vfe_mod.ImageVFE(
-        model_cfg=img_cfg, num_point_features=17,
+        model_cfg=img_cfg, num_point_features=num_pt,
         point_cloud_range=np.array(_WG_PC_RANGE),
         voxel_size=np.array(_WG_VOXEL), grid_size=grid_size,
         depth_downsample_factor=4, use_pooling=False)
@@ -2116,7 +2122,7 @@ def _wg_torch_chain():
         "NAME": "AnchorHeadSingle", "CLASS_AGNOSTIC": False,
         "USE_DIRECTION_CLASSIFIER": True, "DIR_OFFSET": 0.78539,
         "DIR_LIMIT_OFFSET": 0.0, "NUM_DIR_BINS": 2,
-        "ANCHOR_GENERATOR_CONFIG": [dict(c) for c in _WG_ANCHOR_CFG],
+        "ANCHOR_GENERATOR_CONFIG": [dict(c) for c in anchor_cfg],
         "TARGET_ASSIGNER_CONFIG": {
             "NAME": "AxisAlignedTargetAssigner", "POS_FRACTION": -1.0,
             "SAMPLE_SIZE": 512, "NORM_BY_NUM_EXAMPLES": False,
@@ -2126,8 +2132,8 @@ def _wg_torch_chain():
             "code_weights": [1.0] * 7}},
     })
     head = ahs_mod.AnchorHeadSingle(
-        model_cfg=head_cfg, input_channels=256, num_class=3,
-        class_names=["Car", "Pedestrian", "Cyclist"], grid_size=grid_size,
+        model_cfg=head_cfg, input_channels=256, num_class=len(class_names),
+        class_names=list(class_names), grid_size=grid_size,
         point_cloud_range=np.array(_WG_PC_RANGE),
         predict_boxes_when_training=False)
 
@@ -2138,7 +2144,7 @@ def _wg_torch_chain():
     return root
 
 
-def _wg_batch(rng, b=2):
+def _wg_batch(rng, b=2, num_pt=17):
     """Synthetic frame pair: injected DDN taps, calibs, mixed real/virtual
     radar points (different counts per sample, some out of range)."""
     h, w = _WG_IMAGE_HW
@@ -2155,25 +2161,28 @@ def _wg_batch(rng, b=2):
     counts = [40, 25][:b] + [25] * max(0, b - 2)
     pts_list = []
     for n in counts:
-        p = np.zeros((n, 17), np.float32)
+        p = np.zeros((n, num_pt), np.float32)
         p[:, 0] = rng.uniform(0.2, 6.8, n)   # a few beyond x_max=6.4
         p[:, 1] = rng.uniform(-3.4, 3.4, n)
         p[:, 2] = rng.uniform(-1.2, 0.7, n)
-        p[:, 3:15] = rng.randn(n, 12).astype(np.float32)
-        p[:, 15] = (rng.rand(n) > 0.4).astype(np.float32)  # real/virtual
-        p[:, 16] = 1.0
+        p[:, 3 : num_pt - 2] = rng.randn(n, num_pt - 5).astype(np.float32)
+        # idf pair lives in the last two columns (pillar_encoder.py:65)
+        p[:, num_pt - 2] = (rng.rand(n) > 0.4).astype(np.float32)
+        p[:, num_pt - 1] = 1.0
         pts_list.append(p)
     return taps, lidar_to_cam, cam_to_img, pts_list
 
 
-@pytest.fixture(scope="module")
-def wg_torch_out():
-    """Run the reference chain once; return (state_dict, inputs, outputs)."""
-    rng = np.random.RandomState(3)
-    root = _wg_torch_chain()
+def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
+            class_names=("Car", "Pedestrian", "Cyclist"), seed=3):
+    """Build + run the reference chain once; return
+    (state_dict, inputs, outputs)."""
+    rng = np.random.RandomState(seed)
+    root = _wg_torch_chain(num_pt=num_pt, reader_in=reader_in,
+                           anchor_cfg=anchor_cfg, class_names=class_names)
     _randomize_bns(root)
     root.eval()
-    taps, l2c, c2i, pts_list = _wg_batch(rng)
+    taps, l2c, c2i, pts_list = _wg_batch(rng, num_pt=num_pt)
     b = len(pts_list)
     _InjectDDN.feats = {
         f"layer{i + 1}": torch.from_numpy(t) for i, t in enumerate(taps)
@@ -2204,6 +2213,12 @@ def wg_torch_out():
         "batch_box_preds": bd["batch_box_preds"].numpy(),
     }
     return state, (taps, l2c, c2i, pts_list), outs
+
+
+@pytest.fixture(scope="module")
+def wg_torch_out():
+    """Run the reference chain once; return (state_dict, inputs, outputs)."""
+    return _wg_run()
 
 
 class TestWholeGraphParity:
@@ -2335,6 +2350,106 @@ class TestWholeGraphParity:
             np.testing.assert_allclose(
                 np.asarray(preds[k]), np.asarray(xla_preds[k]),
                 rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+_WG_TJ4D_ANCHOR_CFG = [
+    # the reference's TJ4D anchor order (Car, Truck, Ped, Cyc) deliberately
+    # differs from CLASS_NAMES order (Car, Ped, Cyc, Truck) —
+    # hgsfusion_tj4d.yaml:102-137 — exercising the name-keyed assigner
+    {"class_name": "Car", "anchor_sizes": [[3.9, 1.6, 1.56]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.78],
+     "align_center": False, "feature_map_stride": 1,
+     "matched_threshold": 0.6, "unmatched_threshold": 0.45},
+    {"class_name": "Truck", "anchor_sizes": [[7.0, 2.5, 2.8]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.78],
+     "align_center": False, "feature_map_stride": 1,
+     "matched_threshold": 0.55, "unmatched_threshold": 0.4},
+    {"class_name": "Pedestrian", "anchor_sizes": [[0.8, 0.6, 1.73]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.6],
+     "align_center": False, "feature_map_stride": 1,
+     "matched_threshold": 0.5, "unmatched_threshold": 0.35},
+    {"class_name": "Cyclist", "anchor_sizes": [[1.76, 0.6, 1.73]],
+     "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.6],
+     "align_center": False, "feature_map_stride": 1,
+     "matched_threshold": 0.5, "unmatched_threshold": 0.35},
+]
+_WG_TJ4D_CLASSES = ("Car", "Pedestrian", "Cyclist", "Truck")
+
+
+class TestWholeGraphParityTJ4D:
+    """Whole-graph parity for the SECOND headline config's shape family:
+    18-column points, 31-wide split-encoded reader, 4 classes with the
+    reference's Car/Truck/Ped/Cyc anchor order (hgsfusion_tj4d.yaml)."""
+
+    @pytest.fixture(scope="class")
+    def tj4d_out(self):
+        return _wg_run(num_pt=18, reader_in=31,
+                       anchor_cfg=_WG_TJ4D_ANCHOR_CFG,
+                       class_names=_WG_TJ4D_CLASSES, seed=7)
+
+    def test_whole_graph_matches(self, tj4d_out):
+        import jax
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.anchor_head import generate_predicted_boxes
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+        from hgsfusion_tpu.models.detector import (
+            HGSFusionConfig, HGSFusionModel,
+        )
+        from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
+
+        state, (taps, l2c, c2i, pts_list), ref = tj4d_out
+        cfg = HGSFusionConfig(
+            class_names=_WG_TJ4D_CLASSES,
+            pc_range=tuple(_WG_PC_RANGE), voxel_size=tuple(_WG_VOXEL),
+            image_size=_WG_IMAGE_HW, channel_reduce_out=8,
+            f2v_out_channels=128, disc_num_bins=16, disc_depth_min=1.0,
+            disc_depth_max=6.4, use_depth=False, remat=False,
+            num_point_features=18, reader_num_input=31,
+            num_anchors_per_location=8)
+        model = HGSFusionModel(cfg=cfg)
+
+        b = len(pts_list)
+        nmax = max(len(p) for p in pts_list)
+        pts = np.zeros((b, nmax, 18), np.float32)
+        valid = np.zeros((b, nmax), bool)
+        for i, p in enumerate(pts_list):
+            pts[i, :len(p)] = p
+            valid[i, :len(p)] = True
+        batch = {
+            "images": jnp.zeros((b, *_WG_IMAGE_HW, 3), jnp.float32),
+            "ddn_features": [
+                jnp.asarray(t.transpose(0, 2, 3, 1)) for t in taps
+            ],
+            "points": jnp.asarray(pts),
+            "points_valid": jnp.asarray(valid),
+            "trans_lidar_to_cam": jnp.asarray(l2c),
+            "trans_cam_to_img": jnp.asarray(c2i),
+            "lidar_aug_matrix": jnp.tile(jnp.eye(4), (b, 1, 1)),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        variables, report = convert_hgsfusion_state(state, variables)
+        real_missing = [
+            m for m in report["missing"] if "ddn_backbone" not in m]
+        assert real_missing == [], real_missing
+        assert report["unmatched"] == [], report["unmatched"]
+        preds = model.apply(variables, batch, False)
+
+        assert np.std(ref["batch_cls_preds"]) > 1e-3
+        assigner = TargetAssigner(
+            [dict(c) for c in _WG_TJ4D_ANCHOR_CFG], cfg.grid_size,
+            cfg.pc_range, class_names=list(_WG_TJ4D_CLASSES))
+        cls, box = generate_predicted_boxes(
+            jnp.asarray(preds["cls_preds"]), jnp.asarray(preds["box_preds"]),
+            jnp.asarray(preds["dir_cls_preds"]), assigner.flat_anchors,
+            assigner.box_coder, len(_WG_TJ4D_CLASSES))
+        scale_cls = np.abs(ref["batch_cls_preds"]).max()
+        np.testing.assert_allclose(
+            np.asarray(cls), ref["batch_cls_preds"],
+            atol=2e-3 * max(scale_cls, 1.0), err_msg="batch_cls_preds")
+        np.testing.assert_allclose(
+            np.asarray(box), ref["batch_box_preds"], atol=5e-3,
+            err_msg="batch_box_preds")
 
 
 # ---------------------------------------------------------------------------
