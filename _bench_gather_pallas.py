@@ -200,6 +200,74 @@ def pallas_gather_combine_matmul(idx, table, w4, kmat, cq, unroll=8):
     )(idx, table, w4, kmat)
 
 
+WIN = 2048  # windowed variant: rows per streamed table window
+
+
+def make_inputs_windowed(p, cq):
+    """Indices confined to BLOCK-ALIGNED windows (one per tile) so the
+    scalar-prefetch index_map can stream just that window per tile. Models
+    the real grid's locality; alignment slack handled in production by an
+    XLA correction pass for overflow rows."""
+    rng = np.random.RandomState(0)
+    nblk = p // WIN
+    blk = rng.randint(0, nblk, size=(N_PAD // TILE,)).astype(np.int32)
+    jitter = rng.randint(0, WIN, size=(N_PAD // TILE, TILE))
+    idx = (blk[:, None] * WIN + jitter).reshape(-1).astype(np.int32)
+    table = rng.randn(p, cq).astype(jnp.bfloat16)
+    w4 = rng.rand(N_PAD, 4).astype(jnp.bfloat16)
+    return jnp.asarray(blk), jnp.asarray(idx), jnp.asarray(table), \
+        jnp.asarray(w4)
+
+
+def pallas_gather_combine_windowed(blk, idx, table, w4, cq, unroll=8):
+    """Table stays in HBM; each tile's window block is fetched by a
+    scalar-prefetch-driven index_map (streaming DMA at full HBM rate,
+    pipelined by pallas) and rows are read from the window in VMEM."""
+    c = cq // 4
+    p = table.shape[0]
+
+    def kernel(blk_ref, idx_ref, table_ref, w_ref, out_ref):
+        base = blk_ref[pl.program_id(0)] * WIN
+
+        def body(i, carry):
+            for u in range(unroll):
+                j = i * unroll + u
+                r = idx_ref[j] - base
+                row = table_ref[r, :]
+                w = w_ref[pl.ds(j, 1), :]
+                out_ref[pl.ds(j, 1), :] = (
+                    row[0 * c : 1 * c] * w[0, 0]
+                    + row[1 * c : 2 * c] * w[0, 1]
+                    + row[2 * c : 3 * c] * w[0, 2]
+                    + row[3 * c : 4 * c] * w[0, 3]
+                )[None, :]
+            return carry
+
+        jax.lax.fori_loop(0, TILE // unroll, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N_PAD // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i, blk: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((WIN, cq), lambda i, blk: (blk[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i, blk: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c), lambda i, blk: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N_PAD, c), table.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(blk, idx, table, w4)
+
+
 def timed(fn, args, iters=ITERS):
     def chained(*a):
         acc = jnp.zeros((), jnp.float32)
@@ -207,7 +275,7 @@ def timed(fn, args, iters=ITERS):
         for i in range(iters):
             out = fn(idx, *a[1:])
             acc = acc + out[0, 0].astype(jnp.float32)
-            idx = idx.at[0].set((idx[0] + 1) % 8)  # defeat CSE, O(1)
+            idx = idx.at[0].set((idx[0] + 1) % 4)  # defeat CSE, O(1)
         return acc
 
     f = jax.jit(chained)
@@ -253,6 +321,16 @@ def main():
         except Exception as e:
             msg = str(e).splitlines()[0][:200]
             print(f"{name}: pallas fused+matmul FAILED: {msg}", flush=True)
+        blkw, idxw, tablew, w4w = make_inputs_windowed(p, cq)
+        try:
+            t_w = timed(
+                lambda blk, *rest: pallas_gather_combine_windowed(
+                    blk, *rest, cq=cq), (blkw, idxw, tablew, w4w))
+            print(f"{name}: pallas windowed    {t_w * 1e3:8.2f} ms "
+                  f"({t_w / N_PAD * 1e9:.2f} ns/row)", flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200]
+            print(f"{name}: pallas windowed FAILED: {msg}", flush=True)
         table4 = jnp.transpose(table.reshape(p, 4, c), (1, 0, 2))
         for unroll in (4, 8):
             try:
