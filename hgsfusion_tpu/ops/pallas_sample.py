@@ -48,6 +48,12 @@ TILE = 2048
 # 32 MB (g4). Tuned on-chip (see BASELINE.md round-2 pallas section).
 TABLE_BUDGET_BYTES = 40 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
+# Table layout: "rows" packs the 4 taps per row ((P, 4c): one dynamic read
+# per query, lane slices at c-multiples); "planes" keeps 4 separate tap
+# planes ((4, P, c): no lane slicing, one dynamic middle-dim read). Both
+# are numerically identical; the on-chip microbench picks the one Mosaic
+# lowers faster (_bench_gather_pallas.py).
+LAYOUT = "rows"
 
 
 def _interpret() -> bool:
@@ -112,6 +118,79 @@ def _gather_combine(idx, table, w4, n_pad: int, c: int):
     )(idx, table, w4)
 
 
+def _gather_combine_planes(idx, table4, w4, n_pad: int, c: int):
+    """LAYOUT='planes' twin of _gather_combine: table4 (4, P, c)."""
+    p_pad = table4.shape[1]
+
+    def kernel(idx_ref, table_ref, w_ref, out_ref):
+        def body(i, carry):
+            r = idx_ref[i]
+            rows = table_ref[:, r, :]  # (4, c)
+            w = w_ref[pl.ds(i, 1), :]
+            out_ref[pl.ds(i, 1), :] = (
+                rows[0] * w[0, 0] + rows[1] * w[0, 1]
+                + rows[2] * w[0, 2] + rows[3] * w[0, 3]
+            )[None, :]
+            return carry
+
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, p_pad, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), table4.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(idx, table4, w4)
+
+
+def _scatter_outer_planes(idx, ct, w4, p_pad: int, c: int):
+    """LAYOUT='planes' twin of _scatter_outer: accumulator (4, P, c)."""
+    n_pad = ct.shape[0]
+
+    def kernel(idx_ref, ct_ref, w_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(i, carry):
+            r = idx_ref[i]
+            g = ct_ref[pl.ds(i, 1), :]
+            w = w_ref[pl.ds(i, 1), :]
+            out_ref[:, r, :] += g * w[0, :, None]
+            return carry
+
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, p_pad, c), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, p_pad, c), ct.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(idx, ct, w4)
+
+
 def _scatter_outer(idx, ct, w4, p_pad: int, c: int):
     """table[idx[j], tap*c:(tap+1)*c] += w4[j, tap] * ct[j] (VMEM acc)."""
     n_pad = ct.shape[0]
@@ -165,6 +244,18 @@ def _quad_pass(fp, k0, k1):
     ).reshape(b * hp * wp, 4 * (k1 - k0))
 
 
+def _quad_pass_planes(fp, k0, k1):
+    """LAYOUT='planes' table: the same 4 shifted views stacked as planes
+    (4, B*hp*wp, ck)."""
+    b = fp.shape[0]
+    f = fp[..., k0:k1]
+    hp, wp = fp.shape[1] - 1, fp.shape[2] - 1
+    return jnp.stack(
+        [f[:, :-1, :-1], f[:, :-1, 1:], f[:, 1:, :-1], f[:, 1:, 1:]],
+        axis=0,
+    ).reshape(4, b * hp * wp, k1 - k0)
+
+
 def _indices(coords, b, h, w, m, dtype):
     """Flat batched row indices + stacked tap weights, TILE-padded."""
     hp, wp = h + 1, w + 1
@@ -199,10 +290,16 @@ def _forward(features, coords):
 
     outs = []
     for k in range(passes):
-        table = _quad_pass(fp, k * ck, (k + 1) * ck)
-        if p_pad != p:
-            table = jnp.pad(table, ((0, p_pad - p), (0, 0)))
-        outs.append(_gather_combine(idx, table, w4, n_pad, ck))
+        if LAYOUT == "planes":
+            table = _quad_pass_planes(fp, k * ck, (k + 1) * ck)
+            if p_pad != p:
+                table = jnp.pad(table, ((0, 0), (0, p_pad - p), (0, 0)))
+            outs.append(_gather_combine_planes(idx, table, w4, n_pad, ck))
+        else:
+            table = _quad_pass(fp, k * ck, (k + 1) * ck)
+            if p_pad != p:
+                table = jnp.pad(table, ((0, p_pad - p), (0, 0)))
+            outs.append(_gather_combine(idx, table, w4, n_pad, ck))
     out = outs[0] if passes == 1 else jnp.concatenate(outs, axis=-1)
     return out[:n, :c].reshape(out_shape)
 
@@ -256,8 +353,15 @@ def _bwd(res, ct):
 
     parts = []
     for k in range(passes):
-        ct_quad = _scatter_outer(idx, ct[:, k * ck : (k + 1) * ck], w4,
-                                 p_pad, ck)
+        ct_k = ct[:, k * ck : (k + 1) * ck]
+        if LAYOUT == "planes":
+            ct_planes = _scatter_outer_planes(idx, ct_k, w4, p_pad, ck)
+            # planes (4, P, ck) -> rows (P, 4ck) is exactly the per-row
+            # tap-block ordering _unshift expects
+            ct_quad = jnp.transpose(ct_planes, (1, 0, 2)).reshape(
+                p_pad, 4 * ck)
+        else:
+            ct_quad = _scatter_outer(idx, ct_k, w4, p_pad, ck)
         parts.append(_unshift(ct_quad[:p], b, h, w, ck))
     dfeat = parts[0] if passes == 1 else jnp.concatenate(parts, axis=-1)
     return dfeat[..., :c], jnp.zeros_like(coords)

@@ -20,10 +20,12 @@ def _coords(rng, shape):
     return jnp.asarray(rng.uniform(-1.3, 1.3, shape).astype(np.float32))
 
 
-@pytest.fixture(autouse=True)
-def small_tile(monkeypatch):
-    """Shrink the kernel tile so tiny test shapes span several grid steps."""
+@pytest.fixture(autouse=True, params=["rows", "planes"])
+def small_tile(monkeypatch, request):
+    """Shrink the kernel tile so tiny test shapes span several grid steps;
+    run every test under both table layouts (ops/pallas_sample.LAYOUT)."""
     monkeypatch.setattr(pallas_sample, "TILE", 64)
+    monkeypatch.setattr(pallas_sample, "LAYOUT", request.param)
 
 
 @pytest.mark.parametrize("b,h,w,c", [(1, 9, 13, 64), (2, 7, 5, 192)])
