@@ -268,14 +268,22 @@ def pallas_gather_combine_windowed(blk, idx, table, w4, cq, unroll=8):
     )(blk, idx, table, w4)
 
 
-def timed(fn, args, iters=ITERS):
+def timed(fn, args, iters=ITERS, perturb_arg=0):
+    """Chain iters calls, perturbing args[perturb_arg] each time to defeat
+    CSE (O(1) edit). The default perturbs the index vector's first entry
+    mod 4 (stays in-bounds for every table). Callers whose first arg
+    carries an addressing INVARIANT (e.g. the windowed kernel's per-tile
+    window ids, which idx offsets are derived from) must instead point
+    perturb_arg at a value-only input such as the combine weights."""
     def chained(*a):
         acc = jnp.zeros((), jnp.float32)
-        idx = a[0]
+        a = list(a)
         for i in range(iters):
-            out = fn(idx, *a[1:])
+            out = fn(*a)
             acc = acc + out[0, 0].astype(jnp.float32)
-            idx = idx.at[0].set((idx[0] + 1) % 4)  # defeat CSE, O(1)
+            x = a[perturb_arg]
+            z = (0,) * x.ndim
+            a[perturb_arg] = x.at[z].set((x[z] + 1) % 4)
         return acc
 
     f = jax.jit(chained)
@@ -323,9 +331,12 @@ def main():
             print(f"{name}: pallas fused+matmul FAILED: {msg}", flush=True)
         blkw, idxw, tablew, w4w = make_inputs_windowed(p, cq)
         try:
+            # perturb w4 (arg 3), NOT blk/idx: the kernel requires
+            # idx[i] - blk[tile]*WIN to stay inside [0, WIN)
             t_w = timed(
                 lambda blk, *rest: pallas_gather_combine_windowed(
-                    blk, *rest, cq=cq), (blkw, idxw, tablew, w4w))
+                    blk, *rest, cq=cq), (blkw, idxw, tablew, w4w),
+                perturb_arg=3)
             print(f"{name}: pallas windowed    {t_w * 1e3:8.2f} ms "
                   f"({t_w / N_PAD * 1e9:.2f} ns/row)", flush=True)
         except Exception as e:

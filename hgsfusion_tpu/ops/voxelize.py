@@ -20,12 +20,15 @@ def points_to_pillar_ids(xyz_rel, valid, pillar_size: float, nx: int, ny: int):
     """Point -> flat BEV cell id, (B, N) int32; invalid/out-of-grid -> ny*nx.
 
     xyz_rel are range-relative coordinates (x - x_min, y - y_min, ...), as in
-    dynamic_pillar_encoder.absl_to_relative:46-53. Cell index is trunc
-    division (pillar_ops_gpu.cu uses int casts on non-negative relatives).
-    Flat id = iy * nx + ix, i.e. BEV rows are y (grid layout (B, ny, nx, C)).
+    dynamic_pillar_encoder.absl_to_relative:46-53. Cell index is C-style
+    TRUNCATION toward zero, not floor: pillar_ops_gpu.cu:33-34 does
+    `int(cx)`, so a point up to one pillar-size BELOW the range min
+    truncates to index 0, passes the bounds check, and is binned into the
+    first row/column — replicated here (float->int32 convert rounds toward
+    zero). Flat id = iy * nx + ix, i.e. BEV rows are y (layout (B, ny, nx, C)).
     """
-    ix = jnp.floor(xyz_rel[..., 0] / pillar_size).astype(jnp.int32)
-    iy = jnp.floor(xyz_rel[..., 1] / pillar_size).astype(jnp.int32)
+    ix = (xyz_rel[..., 0] / pillar_size).astype(jnp.int32)
+    iy = (xyz_rel[..., 1] / pillar_size).astype(jnp.int32)
     in_grid = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & valid
     flat = iy * nx + ix
     return jnp.where(in_grid, flat, nx * ny), in_grid

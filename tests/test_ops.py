@@ -265,10 +265,11 @@ class TestVoxelize:
         pillar = 1.0
         nx, ny = 4, 3
         xyz = np.array(
-            [[[0.5, 0.5, 0.0], [0.6, 0.4, 0.0], [3.5, 2.5, 0.0], [9.0, 0.5, 0.0]]],
+            [[[0.5, 0.5, 0.0], [0.6, 0.4, 0.0], [3.5, 2.5, 0.0], [9.0, 0.5, 0.0],
+              [-0.5, 0.2, 0.0], [0.2, -0.9, 0.0], [-1.5, 0.5, 0.0]]],
             dtype=np.float32,
         )
-        valid = np.array([[True, True, True, True]])
+        valid = np.array([[True] * 7])
         ids, in_grid = voxelize.points_to_pillar_ids(
             jnp.array(xyz), jnp.array(valid), pillar, nx, ny
         )
@@ -276,7 +277,13 @@ class TestVoxelize:
         assert ids[0, 0] == 0 and ids[0, 1] == 0
         assert ids[0, 2] == 2 * 4 + 3
         assert ids[0, 3] == nx * ny  # out of grid -> dump
-        feats = np.array([[[1.0, -2.0], [3.0, 5.0], [2.0, 2.0], [9.0, 9.0]]], dtype=np.float32)
+        # reference quirk (pillar_ops_gpu.cu:33-36 `int(cx)` truncation):
+        # relatives in (-1, 0) truncate to 0 and are KEPT in row/col 0
+        assert ids[0, 4] == 0 and ids[0, 5] == 0
+        assert ids[0, 6] == nx * ny  # a full pillar below min still dumps
+        feats = np.array(
+            [[[1.0, -2.0], [3.0, 5.0], [2.0, 2.0], [9.0, 9.0],
+              [-1.0, -1.0], [-1.0, -1.0], [9.0, 9.0]]], dtype=np.float32)
         out = np.asarray(voxelize.scatter_max_dense(jnp.array(feats), ids, nx * ny))
         np.testing.assert_allclose(out[0, 0], [3.0, 5.0])
         np.testing.assert_allclose(out[0, 11], [2.0, 2.0])

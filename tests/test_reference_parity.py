@@ -2015,7 +2015,8 @@ _WG_ANCHOR_CFG = [
 
 
 def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
-                    class_names=("Car", "Pedestrian", "Cyclist")):
+                    class_names=("Car", "Pedestrian", "Cyclist"),
+                    reader_dataset="vod"):
     """Instantiate the reference flagship chain (hgsfusion_vod.yaml MODEL
     topology at tiny shapes): FusionVFE(ImageVFE + PillarNet + RadarOcc2DV2)
     -> FusionAfterBEVSEDirect -> AnchorHeadSingle, composed exactly as
@@ -2085,9 +2086,13 @@ def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
     })
     radar_cfg = CD({
         "NAME": "PillarNet",
+        # DATASET selects the split-slot layout (dynamic_pillar_encoder.py:
+        # 71-76): 'vod' = 12-wide slots 3:15/15:27, 'tj4d' = 13-wide
+        # 3:16/16:29 — hgsfusion_tj4d.yaml:106 sets it explicitly.
         "READER": {"USE_VIRTUAL_POINT": True, "PILLAR_SIZE": _WG_VOXEL[0],
                    "NUM_FILTERS": [32], "NUM_INPUT_FEATURES": reader_in,
-                   "PC_RANGE": list(_WG_PC_RANGE)},
+                   "PC_RANGE": list(_WG_PC_RANGE),
+                   "DATASET": reader_dataset},
         "BACKBONE": {"IN_PLANES": 32, "DS_FACTOR": 4,
                      "OUT_INDICES": [0, 1, 2]},
         "NECK": {"IN_CHANNELS": [160, 192], "OUT_CHANNELS": [128, 128],
@@ -2174,12 +2179,14 @@ def _wg_batch(rng, b=2, num_pt=17):
 
 
 def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
-            class_names=("Car", "Pedestrian", "Cyclist"), seed=3):
+            class_names=("Car", "Pedestrian", "Cyclist"), seed=3,
+            reader_dataset="vod"):
     """Build + run the reference chain once; return
     (state_dict, inputs, outputs)."""
     rng = np.random.RandomState(seed)
     root = _wg_torch_chain(num_pt=num_pt, reader_in=reader_in,
-                           anchor_cfg=anchor_cfg, class_names=class_names)
+                           anchor_cfg=anchor_cfg, class_names=class_names,
+                           reader_dataset=reader_dataset)
     _randomize_bns(root)
     root.eval()
     taps, l2c, c2i, pts_list = _wg_batch(rng, num_pt=num_pt)
@@ -2206,13 +2213,78 @@ def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
         bd = root.dense_head(bd)
     state = {k: v.numpy() for k, v in root.state_dict().items()}
     outs = {
+        # radar branch output: backbone+neck BEV (pillarnet.py:64)
         "pillar_bev": bd["pillar_features_scattered"].numpy(),
+        # use_mask defaults False and REPLACE_IMAGE_VOEXL_FEATS True, so
+        # spatial_features holds the occupancy-GATED image BEV
+        # (radar_occupancy_2d_v2.py:306-317)
         "gated_bev": bd["spatial_features"].numpy(),
         "fused": bd["spatial_features_2d"].numpy(),
         "batch_cls_preds": bd["batch_cls_preds"].numpy(),
         "batch_box_preds": bd["batch_box_preds"].numpy(),
     }
     return state, (taps, l2c, c2i, pts_list), outs
+
+
+def _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt):
+    """Pad the ragged point list and assemble this framework's batch dict
+    (the JAX-side twin of _wg_batch's torch inputs)."""
+    import jax.numpy as jnp
+
+    b = len(pts_list)
+    nmax = max(len(p) for p in pts_list)
+    pts = np.zeros((b, nmax, num_pt), np.float32)
+    valid = np.zeros((b, nmax), bool)
+    for i, p in enumerate(pts_list):
+        pts[i, :len(p)] = p
+        valid[i, :len(p)] = True
+    return {
+        "images": jnp.zeros((b, *_WG_IMAGE_HW, 3), jnp.float32),
+        "ddn_features": [
+            jnp.asarray(t.transpose(0, 2, 3, 1)) for t in taps
+        ],
+        "points": jnp.asarray(pts),
+        "points_valid": jnp.asarray(valid),
+        "trans_lidar_to_cam": jnp.asarray(l2c),
+        "trans_cam_to_img": jnp.asarray(c2i),
+        "lidar_aug_matrix": jnp.tile(jnp.eye(4), (b, 1, 1)),
+    }
+
+
+# intermediates captured for the whole-graph tests: full radar branch,
+# occupancy-gated image BEV, SE-fused BEV — the reference chain's
+# pillar_features_scattered / spatial_features / spatial_features_2d
+_WG_TAP_MODULES = ("radar_backbone", "radar_occupancy", "fusion_after_bev")
+
+
+def _wg_apply_with_intermediates(model, variables, batch):
+    """apply() capturing the radar/gating/fusion intermediates; returns
+    (preds, {name: first-output array, NHWC})."""
+    preds, state = model.apply(
+        variables, batch, False,
+        capture_intermediates=lambda mdl, _:
+            getattr(mdl, "name", None) in _WG_TAP_MODULES,
+    )
+    inter = {}
+    for name in _WG_TAP_MODULES:
+        out = state["intermediates"][name]["__call__"][0]
+        inter[name] = np.asarray(out[0] if isinstance(out, tuple) else out)
+    return preds, inter
+
+
+def _wg_assert_intermediates(inter, ref):
+    """Direct activation parity at three internal cut points (NCHW ref ->
+    NHWC); makes the tests sensitive to the radar reader path — the final
+    head preds alone are dominated by the camera branch at these tiny
+    scales (a 5x reader perturbation moves cls_preds by only ~3e-3)."""
+    for name, key in (("radar_backbone", "pillar_bev"),
+                      ("radar_occupancy", "gated_bev"),
+                      ("fusion_after_bev", "fused")):
+        want = ref[key].transpose(0, 2, 3, 1)
+        scale = max(np.abs(want).max(), 1.0)
+        assert np.abs(want).max() > 1e-3, f"{key} vacuous"
+        np.testing.assert_allclose(
+            inter[name], want, atol=1e-4 * scale, err_msg=key)
 
 
 @pytest.fixture(scope="module")
@@ -2244,31 +2316,14 @@ class TestWholeGraphParity:
             disc_depth_max=6.4, use_depth=False, remat=False)
         model = HGSFusionModel(cfg=cfg)
 
-        b = len(pts_list)
-        nmax = max(len(p) for p in pts_list)
-        pts = np.zeros((b, nmax, 17), np.float32)
-        valid = np.zeros((b, nmax), bool)
-        for i, p in enumerate(pts_list):
-            pts[i, :len(p)] = p
-            valid[i, :len(p)] = True
-        batch = {
-            "images": jnp.zeros((b, *_WG_IMAGE_HW, 3), jnp.float32),
-            "ddn_features": [
-                jnp.asarray(t.transpose(0, 2, 3, 1)) for t in taps
-            ],
-            "points": jnp.asarray(pts),
-            "points_valid": jnp.asarray(valid),
-            "trans_lidar_to_cam": jnp.asarray(l2c),
-            "trans_cam_to_img": jnp.asarray(c2i),
-            "lidar_aug_matrix": jnp.tile(jnp.eye(4), (b, 1, 1)),
-        }
+        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=17)
         variables = model.init(jax.random.PRNGKey(0), batch, False)
         variables, report = convert_hgsfusion_state(state, variables)
-        preds = model.apply(variables, batch, False)
-        return cfg, preds, report
+        preds, inter = _wg_apply_with_intermediates(model, variables, batch)
+        return cfg, preds, report, inter
 
     def test_all_reference_weights_map(self, ours):
-        _, _, report = ours
+        report = ours[2]
         # the torch side has no DDN backbone either (features injected), so
         # its tree is the only permitted missing entry
         real_missing = [
@@ -2278,12 +2333,15 @@ class TestWholeGraphParity:
 
     def test_whole_graph_activations_match(self, wg_torch_out, ours):
         _, _, ref = wg_torch_out
-        _, preds, _ = ours
+        _, preds, _, inter = ours
         # non-vacuity: the camera branch must actually land samples in the
         # grid and the head must see real signal, else this test would only
         # compare biases
         assert np.abs(ref["gated_bev"]).max() > 1e-3
         assert np.std(ref["batch_cls_preds"]) > 1e-3
+        # direct internal cut points (incl. the radar reader path, which the
+        # head preds alone cannot resolve at these scales)
+        _wg_assert_intermediates(inter, ref)
         ref_cls = ref["batch_cls_preds"]
         ref_box = ref["batch_box_preds"]
 
@@ -2310,39 +2368,22 @@ class TestWholeGraphParity:
 
     def test_whole_graph_with_pallas_sampler(self, wg_torch_out, ours):
         """Same converted weights + frame through F2V.SAMPLER_KERNEL:
-        pallas — ties the Pallas kernels to the reference semantics
-        directly, not just to our XLA path."""
+        pallas. Asserts pallas == our XLA path on the full graph; parity
+        to the reference is transitive via
+        test_whole_graph_activations_match (XLA vs torch)."""
         import dataclasses
 
         import jax
-        import jax.numpy as jnp
 
         from hgsfusion_tpu.models.detector import HGSFusionModel
         from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
 
         state, (taps, l2c, c2i, pts_list), ref = wg_torch_out
-        cfg, xla_preds, _ = ours
+        cfg, xla_preds = ours[0], ours[1]
         model = HGSFusionModel(cfg=dataclasses.replace(
             cfg, f2v_sampler_kernel="pallas"))
 
-        b = len(pts_list)
-        nmax = max(len(p) for p in pts_list)
-        pts = np.zeros((b, nmax, 17), np.float32)
-        valid = np.zeros((b, nmax), bool)
-        for i, p in enumerate(pts_list):
-            pts[i, :len(p)] = p
-            valid[i, :len(p)] = True
-        batch = {
-            "images": jnp.zeros((b, *_WG_IMAGE_HW, 3), jnp.float32),
-            "ddn_features": [
-                jnp.asarray(t.transpose(0, 2, 3, 1)) for t in taps
-            ],
-            "points": jnp.asarray(pts),
-            "points_valid": jnp.asarray(valid),
-            "trans_lidar_to_cam": jnp.asarray(l2c),
-            "trans_cam_to_img": jnp.asarray(c2i),
-            "lidar_aug_matrix": jnp.tile(jnp.eye(4), (b, 1, 1)),
-        }
+        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=17)
         variables = model.init(jax.random.PRNGKey(0), batch, False)
         variables, _ = convert_hgsfusion_state(state, variables)
         preds = model.apply(variables, batch, False)
@@ -2385,7 +2426,8 @@ class TestWholeGraphParityTJ4D:
     def tj4d_out(self):
         return _wg_run(num_pt=18, reader_in=31,
                        anchor_cfg=_WG_TJ4D_ANCHOR_CFG,
-                       class_names=_WG_TJ4D_CLASSES, seed=7)
+                       class_names=_WG_TJ4D_CLASSES, seed=7,
+                       reader_dataset="tj4d")
 
     def test_whole_graph_matches(self, tj4d_out):
         import jax
@@ -2409,33 +2451,20 @@ class TestWholeGraphParityTJ4D:
             num_anchors_per_location=8)
         model = HGSFusionModel(cfg=cfg)
 
-        b = len(pts_list)
-        nmax = max(len(p) for p in pts_list)
-        pts = np.zeros((b, nmax, 18), np.float32)
-        valid = np.zeros((b, nmax), bool)
-        for i, p in enumerate(pts_list):
-            pts[i, :len(p)] = p
-            valid[i, :len(p)] = True
-        batch = {
-            "images": jnp.zeros((b, *_WG_IMAGE_HW, 3), jnp.float32),
-            "ddn_features": [
-                jnp.asarray(t.transpose(0, 2, 3, 1)) for t in taps
-            ],
-            "points": jnp.asarray(pts),
-            "points_valid": jnp.asarray(valid),
-            "trans_lidar_to_cam": jnp.asarray(l2c),
-            "trans_cam_to_img": jnp.asarray(c2i),
-            "lidar_aug_matrix": jnp.tile(jnp.eye(4), (b, 1, 1)),
-        }
+        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=18)
         variables = model.init(jax.random.PRNGKey(0), batch, False)
         variables, report = convert_hgsfusion_state(state, variables)
         real_missing = [
             m for m in report["missing"] if "ddn_backbone" not in m]
         assert real_missing == [], real_missing
         assert report["unmatched"] == [], report["unmatched"]
-        preds = model.apply(variables, batch, False)
+        preds, inter = _wg_apply_with_intermediates(model, variables, batch)
 
         assert np.std(ref["batch_cls_preds"]) > 1e-3
+        # direct internal cut points — the head preds alone cannot resolve
+        # the 31-wide split-reader path (a 5x reader perturbation moves
+        # cls_preds by only ~3e-3 at these tiny scales)
+        _wg_assert_intermediates(inter, ref)
         assigner = TargetAssigner(
             [dict(c) for c in _WG_TJ4D_ANCHOR_CFG], cfg.grid_size,
             cfg.pc_range, class_names=list(_WG_TJ4D_CLASSES))
