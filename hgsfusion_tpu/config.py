@@ -236,9 +236,11 @@ def model_config_from_yaml(cfg: ConfigDict):
         mh_num_middle_conv=sep_reg.get("NUM_MIDDLE_CONV", 1),
         mh_num_middle_filter=sep_reg.get("NUM_MIDDLE_FILTER", 64),
         mh_separate_multihead=head.get("SEPARATE_MULTIHEAD", True),
-        # reference semantics: the dir head exists iff the key is PRESENT
-        # (anchor_head_multi.py:87), regardless of its value
-        mh_use_dir=head.get("USE_DIRECTION_CLASSIFIER", None) is not None
+        # reference semantics: the dir CONV exists iff the key is present
+        # (anchor_head_multi.py:86), but dir preds are only EMITTED — and
+        # the dir loss / sin-difference / heading snap only apply — when
+        # the VALUE is truthy (:214, :341); emission is what matters here
+        mh_use_dir=bool(head.get("USE_DIRECTION_CLASSIFIER", False))
         if rpn_head_cfgs else False,
         box_coder_size=coder_cfg.get("code_size", 7),
         box_coder_sincos=coder_cfg.get("encode_angle_by_sincos", False),

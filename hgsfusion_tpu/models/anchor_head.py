@@ -236,8 +236,11 @@ class SingleRPNHead(nn.Module):
                 self.num_middle_filter, (3, 3), use_bias=False,
                 dtype=self.dtype, name=f"{prefix}_mid{k}_conv",
             )(x)
+            # plain BatchNorm2d in the reference (anchor_head_multi.py:35,
+            # 56): torch momentum 0.1 -> flax 0.9; only the shared_conv BN
+            # is eps=1e-3/momentum=0.01 (:165)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-5,
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=jnp.float32, name=f"{prefix}_mid{k}_bn",
             )(x)
             x = nn.relu(x)
@@ -422,7 +425,13 @@ def anchor_head_multi_loss(preds, targets, assigner, loss_weights,
             cp, oh, cls_weights[:, s0:s1])) / b
 
         rt = reg_targets[:, s0:s1]
-        bp_sin, rt_sin = add_sin_difference(bp, rt)
+        # sin-difference only when a dir head exists (anchor_head_multi.py:
+        # 341-346); with the sincos coder and no dir head, column 6 is a
+        # cos-angle residual, not an angle — transforming it would be wrong
+        if dir_preds is not None:
+            bp_sin, rt_sin = add_sin_difference(bp, rt)
+        else:
+            bp_sin, rt_sin = bp, rt
         loc_loss = loc_loss + jnp.sum(weighted_smooth_l1(
             bp_sin, rt_sin, reg_weights[:, s0:s1],
             code_weights=loss_weights.get("code_weights"))) / b

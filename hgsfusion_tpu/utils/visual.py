@@ -52,9 +52,9 @@ def draw_boxes_image(ax, boxes_lidar, lidar2cam, cam2img, colors,
              (2, 3, 7, 6), (0, 3, 7, 4))
     for box, color in zip(np.asarray(boxes_lidar), colors):
         corners = boxes_to_corners_3d(box[None, :7])[0]
-        if (lidar_to_img(corners, lidar2cam, cam2img)[:, 2] <= 0.1).any():
-            continue  # behind the camera
         pts = lidar_to_img(corners, lidar2cam, cam2img)
+        if (pts[:, 2] <= 0.1).any():
+            continue  # behind the camera
         for f in faces:
             ax.fill(pts[list(f), 0], pts[list(f), 1], color=color,
                     alpha=alpha)
@@ -93,11 +93,12 @@ def _camera_annos_to_lidar(annos, calib, class_names):
     from .box_utils import boxes3d_kitti_camera_to_lidar
 
     names = np.asarray(annos["name"])
+    # class filter only: gt annos carry score = -1.0 (kitti_base.py), so a
+    # score cut here would drop every gt box; dt score thresholding is the
+    # caller's job (reference scripts apply it before the conversion)
     keep = np.isin(names, list(class_names))
-    if "score" in annos:
-        keep &= np.asarray(annos["score"]) > 0.0
     if not keep.any():
-        return np.zeros((0, 7), np.float32), names[:0], np.zeros(0)
+        return np.zeros((0, 7), np.float32), names[:0], np.zeros(0), keep
     loc = np.asarray(annos["location"])[keep]
     dims = np.asarray(annos["dimensions"])[keep]
     rots = np.asarray(annos["rotation_y"])[keep]
@@ -106,7 +107,7 @@ def _camera_annos_to_lidar(annos, calib, class_names):
     boxes = np.asarray(boxes3d_kitti_camera_to_lidar(cam, calib))
     scores = (np.asarray(annos["score"])[keep] if "score" in annos
               else np.ones(len(boxes)))
-    return boxes, names[keep], scores
+    return boxes, names[keep], scores, keep
 
 
 def load_kitti_frame(data_root, frame_id, image_ext, radar_dims,
@@ -176,20 +177,25 @@ def render_results(data_root, result_pkl, save_path, class_names,
             vp = d["virtual_points"]
 
         ann = clean_gt_annos(gt["annos"])
-        gt_boxes, gt_names, _ = _camera_annos_to_lidar(
+        gt_boxes, gt_names, _, gt_keep = _camera_annos_to_lidar(
             ann, calib, class_names)
+        # the BEV gt figures only draw boxes that contain points
+        # (visual_result_vod_graps.py:255 `num_points_in_gt[mask] > 0`)
+        if "num_points_in_gt" in ann:
+            occupied = np.asarray(ann["num_points_in_gt"])[gt_keep] > 0
+        else:
+            occupied = np.ones(len(gt_boxes), bool)
 
         dt_ann = {k: v for k, v in dt.items() if k != "frame_id"}
         keep = np.asarray(dt_ann.get("score", [])) > score_thresh
         dt_ann = {k: np.asarray(v)[keep] for k, v in dt_ann.items()
                   if isinstance(v, (list, np.ndarray))
                   and len(np.asarray(v)) == len(keep)}
-        dt_boxes, dt_names, dt_scores = _camera_annos_to_lidar(
+        dt_boxes, dt_names, dt_scores, _ = _camera_annos_to_lidar(
             dt_ann, calib, class_names)
 
-        def image_fig(boxes, names, suffix):
+        def image_fig(boxes, colors, suffix):
             fig, ax = plt.subplots(dpi=200)
-            colors = [CLASS_COLORS.get(n, GT_COLOR) for n in names]
             draw_boxes_image(ax, boxes, l2c, c2i, colors)
             ax.imshow(img)
             ax.axis("off")
@@ -197,20 +203,28 @@ def render_results(data_root, result_pkl, save_path, class_names,
                         bbox_inches="tight", pad_inches=0)
             plt.close(fig)
 
-        def bev_fig(boxes, suffix):
+        def bev_fig(boxes, suffix, gt_underlay=None):
             fig, ax = plt.subplots(dpi=200)
             ax.set_xlim(*bev_xlim)
             ax.set_ylim(*bev_ylim)
             draw_points_bev(ax, pts, REAL_POINT_COLOR)
             if vp is not None and len(vp):
                 draw_points_bev(ax, vp, VIRTUAL_POINT_COLOR, stroke=0.5)
+            if gt_underlay is not None:
+                # filled translucent gt under the dt outlines
+                # (visual_result_vod_graps.py:318-320)
+                draw_boxes_bev(ax, gt_underlay, color=GT_COLOR,
+                               facecolor=(*GT_COLOR, 0.3))
             draw_boxes_bev(ax, boxes)
             ax.axis("off")
             fig.savefig(save_path / f"{frame_id}_{suffix}.png")
             plt.close(fig)
 
-        image_fig(gt_boxes, gt_names, "3d_gt")
-        bev_fig(gt_boxes, "bev_gt")
-        image_fig(dt_boxes, dt_names, "3d_dt")
-        bev_fig(dt_boxes, "bev_dt")
+        # gt boxes are uniform purple (per-class colors are commented out in
+        # the reference, :206-214); dt boxes are colored per class (:272-280)
+        image_fig(gt_boxes, [GT_COLOR] * len(gt_boxes), "3d_gt")
+        bev_fig(gt_boxes[occupied], "bev_gt")
+        image_fig(dt_boxes,
+                  [CLASS_COLORS.get(n, GT_COLOR) for n in dt_names], "3d_dt")
+        bev_fig(dt_boxes, "bev_dt", gt_underlay=gt_boxes[occupied])
     return len(idxes)

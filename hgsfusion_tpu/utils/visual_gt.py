@@ -13,7 +13,6 @@ from pathlib import Path
 import numpy as np
 
 from .visual import (
-    CLASS_COLORS,
     GT_COLOR,
     REAL_POINT_COLOR,
     _camera_annos_to_lidar,
@@ -50,10 +49,12 @@ def render_gt(data_root, save_path, class_names, infos_name,
         img, pts, calib, l2c, c2i = load_kitti_frame(
             data_root, frame_id, image_ext, radar_dims)
         ann = clean_gt_annos(info["annos"])
-        boxes, names, _ = _camera_annos_to_lidar(ann, calib, class_names)
+        boxes, names, _, _ = _camera_annos_to_lidar(ann, calib, class_names)
 
         fig, ax = plt.subplots(dpi=200)
-        colors = [CLASS_COLORS.get(n, GT_COLOR) for n in names]
+        # gt boxes draw in the uniform gt color (plot_gt_3d passes no
+        # per-class colors in the reference sweep, tj4d_utils.py:142)
+        colors = [GT_COLOR] * len(boxes)
         draw_boxes_image(ax, boxes, l2c, c2i, colors)
         ax.imshow(img)
         ax.axis("off")

@@ -124,3 +124,57 @@ class TestMultiHeadFamily:
         labels = np.asarray(out["labels"]).reshape(2, 10, post_max)
         np.testing.assert_array_equal(
             labels[0, :, 0], np.arange(1, 11))
+
+    def test_no_sin_difference_without_dir_head(self, small_cfg, rng,
+                                                monkeypatch):
+        """The reference applies add_sin_difference only when a dir head
+        exists (anchor_head_multi.py:341-346). The shipped nuScenes config
+        has no USE_DIRECTION_CLASSIFIER, and its sincos box coder makes
+        column 6 a cos-angle residual — sin/cos-transforming it would
+        silently optimize a wrong objective."""
+        import optax
+
+        import hgsfusion_tpu.models.anchor_head as AH
+        from hgsfusion_tpu.train.trainer import (
+            TrainState, make_anchor_assigner, make_multihead_train_step,
+        )
+
+        cfg, mc = small_cfg
+        assert mc.mh_use_dir is False  # absent key -> no dir path
+        assert mc.box_coder_sincos
+
+        def boom(*a, **k):
+            raise AssertionError("sin-difference applied without dir head")
+
+        monkeypatch.setattr(AH, "add_sin_difference", boom)
+        model = build_network(cfg, mc)
+        batch = _batch(rng)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        assigner = make_anchor_assigner(cfg, mc)
+        tx = optax.sgd(1e-3)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        lw = dict(cfg.MODEL.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS)
+        step = jax.jit(
+            make_multihead_train_step(model, assigner, tx, lw, mc))
+        _, tb = step(state, batch)  # traces the loss: boom must NOT fire
+        assert np.isfinite(float(tb["loss"]))
+
+    def test_use_dir_gates_on_value_not_presence(self, small_cfg):
+        """USE_DIRECTION_CLASSIFIER: False must disable dir-pred emission
+        (the reference gates emission on the VALUE, anchor_head_multi.py:
+        214, even though the conv exists on key presence, :86)."""
+        import copy
+
+        from hgsfusion_tpu.config import model_config_from_yaml
+
+        cfg, mc = small_cfg
+        cfg2 = copy.deepcopy(cfg)
+        cfg2.MODEL.DENSE_HEAD.USE_DIRECTION_CLASSIFIER = False
+        assert model_config_from_yaml(cfg2).mh_use_dir is False
+        cfg2.MODEL.DENSE_HEAD.USE_DIRECTION_CLASSIFIER = True
+        assert model_config_from_yaml(cfg2).mh_use_dir is True

@@ -89,3 +89,41 @@ def test_vod_baseline_renderer_in_process(tmp_path):
                        radar_dims=7, virtual_prefix=None, frame_stride=1)
     assert n == 2
     assert len(list((tmp_path / "vis2").glob("*.png"))) == 8
+
+
+def test_gt_boxes_survive_score_minus_one_and_dt_fig_overlays_gt(
+        tmp_path, monkeypatch):
+    """Regressions caught by review: (a) gt annos always carry score = -1.0
+    (kitti_base.py:32) and must NOT be score-filtered out of the gt
+    figures; (b) the bev_dt figure overlays the filled gt boxes under the
+    dt outlines (visual_result_vod_graps.py:318-320)."""
+    root, result_pkl = _tree_with_results(tmp_path)
+    import hgsfusion_tpu.utils.visual as V
+    from hgsfusion_tpu.utils.calibration import Calibration
+
+    infos = np.load(root / "kitti_infos_val.pkl", allow_pickle=True)
+    ann = V.clean_gt_annos(infos[0]["annos"])
+    assert (np.asarray(ann["score"]) == -1.0).all()  # gt convention
+    calib = Calibration(
+        root / "training/calib" / f"{infos[0]['image']['image_idx']}.txt")
+    n_cls = int(np.isin(
+        ann["name"], ["Car", "Pedestrian", "Cyclist"]).sum())
+    assert n_cls > 0
+    boxes, names, _, keep = V._camera_annos_to_lidar(
+        ann, calib, ("Car", "Pedestrian", "Cyclist"))
+    assert len(boxes) == n_cls  # not dropped by their -1 scores
+
+    calls = []
+    orig = V.draw_boxes_bev
+
+    def rec(ax, boxes, color=V.GT_COLOR, facecolor=None):
+        calls.append((len(np.asarray(boxes)), facecolor is not None))
+        return orig(ax, boxes, color=color, facecolor=facecolor)
+
+    monkeypatch.setattr(V, "draw_boxes_bev", rec)
+    V.render_results(root, result_pkl, tmp_path / "v",
+                     ("Car", "Pedestrian", "Cyclist"), image_ext=".jpg",
+                     radar_dims=7, frame_stride=1)
+    # per frame: bev_gt (outline), bev_dt underlay (filled), bev_dt (dt)
+    assert any(filled for _, filled in calls), calls
+    assert len(calls) == 3 * 2, calls
