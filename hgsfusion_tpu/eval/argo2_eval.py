@@ -34,33 +34,43 @@ def _wrap_yaw_err(a, b):
 
 def _accumulate(gt_by_uuid, dt_by_uuid, threshold):
     """One affinity-threshold sweep for one category. Boxes: (N, 7).
-    Returns (scores, tp_flags, errors-at-2m or None)."""
+    Returns (scores, tp_flags, errors-at-2m or None).
+
+    av2 assignment semantics (av2/evaluation/detection/utils.py assign):
+    each detection's candidate is its single ARGMAX-affinity (nearest) gt;
+    per gt, only the first (highest-scored) such detection is assigned
+    (np.unique(idx_gts, return_index=True)); a detection whose nearest gt
+    is claimed is an FP at every threshold — it does NOT fall back to the
+    next-nearest unclaimed gt (greedy fallback inflates AP when
+    detections cluster near one gt with another gt in range)."""
     scores, tps = [], []
     errs = {"ATE": [], "ASE": [], "AOE": []}
     is_tp_thresh = threshold == TP_THRESHOLD_M
     for uuid, dts in dt_by_uuid.items():
         gts = gt_by_uuid.get(uuid, np.zeros((0, 7)))
-        taken = np.zeros(len(gts), bool)
         order = np.argsort(-dts[:, 7])
-        for j in order:
-            best, best_i = threshold, -1
-            for i in range(len(gts)):
-                if taken[i]:
-                    continue
-                d = np.linalg.norm(gts[i, :3] - dts[j, :3])
-                if d < best:
-                    best, best_i = d, i
+        if len(gts) == 0:
+            scores.extend(dts[order, 7])
+            tps.extend([0.0] * len(order))
+            continue
+        d = np.linalg.norm(
+            dts[order, None, :3] - gts[None, :, :3], axis=-1)  # (D, G)
+        idx_gt = d.argmin(axis=1)
+        dist = d[np.arange(len(order)), idx_gt]
+        assigned = np.zeros(len(order), bool)
+        _, first_det = np.unique(idx_gt, return_index=True)
+        assigned[first_det] = True
+        for jj, j in enumerate(order):
             scores.append(dts[j, 7])
-            if best_i >= 0:
-                taken[best_i] = True
+            if assigned[jj] and dist[jj] < threshold:
                 tps.append(1.0)
                 if is_tp_thresh:
-                    errs["ATE"].append(best)
+                    gi = idx_gt[jj]
+                    errs["ATE"].append(float(dist[jj]))
                     errs["ASE"].append(
-                        1.0 - _aligned_iou_3d(gts[best_i, 3:6],
-                                              dts[j, 3:6]))
+                        1.0 - _aligned_iou_3d(gts[gi, 3:6], dts[j, 3:6]))
                     errs["AOE"].append(
-                        _wrap_yaw_err(gts[best_i, 6], dts[j, 6]))
+                        _wrap_yaw_err(gts[gi, 6], dts[j, 6]))
             else:
                 tps.append(0.0)
     return np.asarray(scores), np.asarray(tps), (

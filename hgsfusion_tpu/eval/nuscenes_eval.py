@@ -100,7 +100,15 @@ def accumulate(gt_by_token, pred_by_token, class_name, dist_th):
         for p in ps
         if p["detection_name"] == class_name
     ]
-    preds.sort(key=lambda tp: -tp[1]["detection_score"])
+    # devkit ordering (algo.py): ascending (score, enumeration index) then
+    # reversed — among EQUAL scores the later-enumerated prediction comes
+    # first; a plain stable descending sort would reverse tied matches
+    preds = [
+        p for _, _, p in
+        sorted(((p[1]["detection_score"], i, p)
+                for i, p in enumerate(preds)),
+               key=lambda t: (t[0], t[1]))
+    ][::-1]
 
     taken = set()  # (token, gt_idx)
     tp, fp, conf = [], [], []

@@ -113,7 +113,10 @@ def _ap_from_matches(scores, tp, weights, num_gt):
     cum_tp = np.cumsum(tp)
     cum_w = np.cumsum(w)
     cum_fp = np.cumsum(1.0 - tp)
-    recall = cum_tp / num_gt
+    # BOTH axes use the weighted TP sum (Waymo detection_metrics.cc:
+    # precision_ha = sum_ha/(tp+fp) AND recall_ha = sum_ha/(tp+fn)); for
+    # AP the weights are tp itself, so this reduces to tp/num_gt there
+    recall = cum_w / num_gt
     precision = cum_w / np.maximum(cum_tp + cum_fp, 1e-9)
     # max-interpolation (monotone non-increasing precision)
     precision = np.maximum.accumulate(precision[::-1])[::-1]

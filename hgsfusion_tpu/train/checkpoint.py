@@ -25,6 +25,13 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state, wait: bool = False):
+        # idempotent on step: orbax raises StepAlreadyExistsError on a
+        # duplicate, and the end-of-training flush routinely lands on the
+        # step the epoch-boundary save just wrote (tools/train.py)
+        if step in self.manager.all_steps():
+            if wait:
+                self.manager.wait_until_finished()
+            return
         self.manager.save(step, args=ocp.args.StandardSave(state))
         if wait:
             self.manager.wait_until_finished()

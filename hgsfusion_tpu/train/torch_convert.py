@@ -220,6 +220,21 @@ def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
         except KeyError as e:
             missing.append(str(e))
 
+    def overlay(dst, src, path):
+        """Recursively copy src into dst, shape-checking every leaf (the
+        module contract: mismatches are reported, never silently skipped)."""
+        for k, v in src.items():
+            if isinstance(v, dict):
+                overlay(dst[k], v, path + (k,))
+            else:
+                put_at = dst
+                assert np.shape(put_at[k]) == np.shape(v), (
+                    f"{'/'.join(path + (k,))}: "
+                    f"{np.shape(put_at[k])} vs {np.shape(v)}"
+                )
+                put_at[k] = np.asarray(v, np.float32)
+                copied.append("/".join(path + (k,)))
+
     # --- image branch
     try:
         n_blocks = tuple(
@@ -232,11 +247,8 @@ def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
             state, prefix="fusion_vfe.image_vfe.ffn.ddn.model.backbone.",
             stage_sizes=n_blocks,
         )
-        for k, v in dl_params.items():
-            p["ddn_backbone"][k] = v
-            copied.append(f"ddn_backbone/{k}")
-        for k, v in dl_stats.items():
-            s["ddn_backbone"][k] = v
+        overlay(p["ddn_backbone"], dl_params, ("ddn_backbone",))
+        overlay(s["ddn_backbone"], dl_stats, ("ddn_backbone#stats",))
     except KeyError as e:
         missing.append(f"ddn_backbone: {e}")
     for i in range(4):
@@ -248,7 +260,10 @@ def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
     if t + ".0.weight" in state:
         w = np.asarray(state[t + ".0.weight"])[:, :, 0, 0, 0]  # (O, I)
         try_(put, p, ("f2v", "reduce_kernel"), w.T)
-        try_(put, p, ("f2v", "reduce_bias"), state[t + ".0.bias"])
+        if t + ".0.bias" in state:  # Conv3d(..., bias=False) variants
+            try_(put, p, ("f2v", "reduce_bias"), state[t + ".0.bias"])
+        else:
+            missing.append(f"'{t}.0.bias'")
         try_(bn, ("f2v", "bn"), t + ".1")
 
     # --- radar branch: reader MLP

@@ -184,20 +184,60 @@ def make_center_train_step(model, tx, loss_weights: Dict, cfg) -> Callable:
 
 def make_center_eval_step(model, cfg, post_cfg: Dict) -> Callable:
     """Inference step for CenterPoint-family detectors: forward + fixed-K
-    heatmap decode (+ range/score mask); no anchor NMS needed — the heatmap
-    peaks are already sparse (decode_bbox_from_heatmap:173-241)."""
+    heatmap decode (+ range/score mask) + the final rotated NMS.
+
+    A trained heatmap has gaussian-shaped responses, so cells adjacent to
+    each peak also clear SCORE_THRESH and global top-K emits near-duplicate
+    boxes; the reference therefore runs class_agnostic_nms with
+    POST_PROCESSING.NMS_CONFIG after the decode (center_head.py:336-352).
+    Configs without an NMS_CONFIG (unit tests) keep the raw decode."""
     from ..models.center_head import decode_center_boxes
+    from ..ops.nms import class_agnostic_nms
+
+    nms_cfg = post_cfg.get("NMS_CONFIG")
+    nms_type = (nms_cfg or {}).get("NMS_TYPE", "nms_gpu")
+    if nms_cfg is not None and nms_type in ("circle_nms",
+                                            "class_specific_nms"):
+        # the reference raises for circle_nms here too (center_head.py:350);
+        # no shipped config uses class_specific_nms
+        raise NotImplementedError(
+            f"CenterPoint eval NMS_TYPE {nms_type} is not implemented")
 
     def eval_step(params, batch_stats, batch):
         preds = model.apply(
             {"params": params, "batch_stats": batch_stats},
             model_inputs(batch), False,
         )
-        return decode_center_boxes(
+        out = decode_center_boxes(
             preds, cfg.center_max_k, cfg.center_feature_map_stride,
             cfg.pc_range, cfg.voxel_size, cfg.center_post_limit,
             score_thresh=post_cfg.get("SCORE_THRESH", 0.1),
         )
+        if nms_cfg is None:
+            return out
+        pre = int(nms_cfg.get("NMS_PRE_MAXSIZE", out["scores"].shape[1]))
+        post = int(nms_cfg.get("NMS_POST_MAXSIZE", out["scores"].shape[1]))
+        thresh = float(nms_cfg["NMS_THRESH"])
+
+        def one(bx, sc, lb, vd, vl):
+            # score_thresh already applied by the decode (the reference
+            # passes score_thresh=None into the NMS, center_head.py:340)
+            idx, ok = class_agnostic_nms(
+                sc, bx[:, :7], score_thresh=-1.0, nms_thresh=thresh,
+                pre_max_size=pre, post_max_size=post, valid=vd)
+            return (bx[idx], jnp.where(ok, sc[idx], 0.0), lb[idx], ok,
+                    vl[idx])
+
+        vels = out.get("vels")
+        if vels is None:
+            vels = jnp.zeros(out["boxes"].shape[:2] + (2,))
+        boxes, scores, labels, valid, vels = jax.vmap(one)(
+            out["boxes"], out["scores"], out["labels"], out["valid"], vels)
+        res = {"boxes": boxes, "scores": scores, "labels": labels,
+               "valid": valid}
+        if "vels" in out:
+            res["vels"] = vels
+        return res
 
     return eval_step
 
@@ -360,12 +400,20 @@ def make_pvrcnn_eval_step(model, assigner, cfg, post_cfg: Dict) -> Callable:
 
 def make_secondiou_eval_step(model, assigner: TargetAssigner, cfg,
                              post_cfg: Dict) -> Callable:
-    """SECOND-IoU inference (second_net_iou.post_processing): the boxes ARE
-    the NMS'd proposals; the NMS/confidence score is the rectified IoU
-    prediction (SCORE_TYPE cfg.iou_score_type), final score-thresh mask."""
+    """SECOND-IoU inference (second_net_iou.post_processing:148-152): the
+    rectified IoU prediction (SCORE_TYPE cfg.iou_score_type) is the NMS
+    score, and a FINAL class_agnostic_nms with POST_PROCESSING.NMS_CONFIG
+    runs over the proposals — the stage-1 proposal NMS is loose (0.8 IoU)
+    and ranked by raw cls scores, so without this pass overlapping
+    duplicates survive and the rectified-score ordering (the model's core
+    contribution) never applies. Configs without an NMS_CONFIG (unit
+    tests) keep the score-mask-only behavior."""
     from ..models.roi_heads import rectified_scores
+    from ..ops.nms import class_agnostic_nms
 
     anchors = assigner.flat_anchors
+    nms_cfg = post_cfg.get("NMS_CONFIG")
+    score_thresh = float(post_cfg.get("SCORE_THRESH", 0.1))
 
     def eval_step(params, batch_stats, batch):
         inputs = {**model_inputs(batch), "anchors": anchors}
@@ -376,11 +424,28 @@ def make_secondiou_eval_step(model, assigner: TargetAssigner, cfg,
         scores = rectified_scores(
             preds["roi_scores"], iou, score_type=cfg.iou_score_type
         ) * preds["roi_valid"]
-        ok = (scores > post_cfg.get("SCORE_THRESH", 0.1)) & preds["roi_valid"]
-        return {
-            "boxes": preds["rois"], "scores": scores,
-            "labels": preds["roi_labels"], "valid": ok,
-        }
+        if nms_cfg is None:
+            ok = (scores > score_thresh) & preds["roi_valid"]
+            return {
+                "boxes": preds["rois"], "scores": scores,
+                "labels": preds["roi_labels"], "valid": ok,
+            }
+        r = scores.shape[1]
+        pre = int(nms_cfg.get("NMS_PRE_MAXSIZE", r))
+        post = int(nms_cfg.get("NMS_POST_MAXSIZE", r))
+        thresh = float(nms_cfg["NMS_THRESH"])
+
+        def one(bx, sc, lb, vd):
+            idx, ok = class_agnostic_nms(
+                sc, bx[:, :7], score_thresh=score_thresh,
+                nms_thresh=thresh, pre_max_size=pre, post_max_size=post,
+                valid=vd)
+            return bx[idx], jnp.where(ok, sc[idx], 0.0), lb[idx], ok
+
+        boxes, scores, labels, valid = jax.vmap(one)(
+            preds["rois"], scores, preds["roi_labels"], preds["roi_valid"])
+        return {"boxes": boxes, "scores": scores, "labels": labels,
+                "valid": valid}
 
     return eval_step
 

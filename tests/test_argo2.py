@@ -114,6 +114,23 @@ class TestArgo2EvalCore:
         expected_cds = 0.5 * np.mean([1 - 0.5, 1 - 0.0, 1 - 0.5])
         assert d["REGULAR_VEHICLE/CDS"] == pytest.approx(expected_cds)
 
+
+    def test_no_greedy_fallback_to_second_gt(self):
+        """av2 assigns each detection to its ARGMAX (nearest) gt only; a
+        detection whose nearest gt is already claimed by a higher-scored
+        detection is an FP — it must not fall back to the next-nearest
+        unclaimed gt (av2 utils.assign, np.unique(idx_gts))."""
+        gts = np.array([[0.0, 0, 0, 4.6, 1.9, 1.6, 0.0],
+                        [1.9, 0, 0, 4.6, 1.9, 1.6, 0.0]])
+        dts = np.array([[0.1, 0, 0, 4.6, 1.9, 1.6, 0.0, 0.9],
+                        [0.3, 0, 0, 4.6, 1.9, 1.6, 0.0, 0.8]])
+        gt = {"REGULAR_VEHICLE": {("log", 1): gts}}
+        dt = {"REGULAR_VEHICLE": {("log", 1): dts}}
+        _, d = argo2_detection_eval(gt, dt, ["REGULAR_VEHICLE"])
+        # both dets' nearest gt is gts[0]; det2 is FP at EVERY tier, so
+        # each tier has 1 TP / 1 FP / 2 gts: interpolated AP = 0.5
+        assert d["REGULAR_VEHICLE/AP"] == pytest.approx(0.5, abs=0.01)
+
     def test_range_filter(self):
         near = np.array([[10, 0, 0.5, 4.6, 1.9, 1.6, 0.0]])
         far = np.array([[500, 0, 0.5, 4.6, 1.9, 1.6, 0.0]])

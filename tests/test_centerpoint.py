@@ -324,3 +324,57 @@ class TestVelocityHead:
         spatial = peak[1] * 32 + peak[2]
         np.testing.assert_allclose(
             np.asarray(out["vels"][0, 0]), flat_vel[spatial], atol=1e-6)
+
+
+class TestCenterEvalNMS:
+    def test_near_duplicate_peaks_are_suppressed(self):
+        """A trained heatmap has gaussian responses: the cell next to a
+        peak also clears SCORE_THRESH, so without the reference's final
+        class_agnostic_nms (center_head.py:336-348) every object yields
+        near-duplicate boxes that score as FPs in eval."""
+        import dataclasses
+
+        from hgsfusion_tpu.models.detector import HGSFusionConfig
+        from hgsfusion_tpu.train.trainer import make_center_eval_step
+
+        cfg = HGSFusionConfig(
+            pc_range=(0.0, -8.0, -3.0, 16.0, 8.0, 2.0),
+            voxel_size=(0.5, 0.5, 0.5),
+            center_max_k=16,
+        )
+        h = w = 16
+        logit = np.full((1, h, w, 3), -10.0, np.float32)
+        logit[0, 5, 5, 0] = 6.0   # peak
+        logit[0, 5, 6, 0] = 5.0   # gaussian shoulder, same object
+        logit[0, 10, 12, 1] = 6.0  # second object, other class
+        preds = {
+            "hm": jnp.asarray(logit),
+            "center": jnp.zeros((1, h, w, 2)),
+            "center_z": jnp.zeros((1, h, w, 1)),
+            "dim": jnp.log(jnp.ones((1, h, w, 3)) * 2.0),
+            "rot": jnp.concatenate(
+                [jnp.ones((1, h, w, 1)), jnp.zeros((1, h, w, 1))], -1),
+        }
+
+        class _Stub:
+            def apply(self, variables, inputs, train):
+                return preds
+
+        post = {"SCORE_THRESH": 0.1,
+                "NMS_CONFIG": {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.2,
+                               "NMS_PRE_MAXSIZE": 16,
+                               "NMS_POST_MAXSIZE": 8}}
+        ev = make_center_eval_step(_Stub(), cfg, post)
+        out = ev({}, {}, {"points": jnp.zeros((1, 4, 5)),
+                          "points_valid": jnp.ones((1, 4), bool)})
+        assert out["boxes"].shape == (1, 8, 7)  # NMS_POST_MAXSIZE
+        # the shoulder peak (1 cell away, identical 2x2 m box) must be
+        # suppressed: exactly 2 valid detections remain
+        assert int(np.sum(np.asarray(out["valid"]))) == 2
+        kept = np.asarray(out["boxes"][0])[np.asarray(out["valid"][0])]
+        assert not np.allclose(kept[0][:2], kept[1][:2])
+        # no-NMS post_cfg keeps the raw decode (3 cells over threshold)
+        ev_raw = make_center_eval_step(_Stub(), cfg, {"SCORE_THRESH": 0.1})
+        out_raw = ev_raw({}, {}, {"points": jnp.zeros((1, 4, 5)),
+                                  "points_valid": jnp.ones((1, 4), bool)})
+        assert int(np.sum(np.asarray(out_raw["valid"]))) == 3

@@ -129,3 +129,21 @@ class TestCheckpoint:
         mgr = CheckpointManager(tmp_path / "none")
         restored, step = mgr.restore({"a": jnp.zeros(2)})
         assert restored is None and step is None
+
+
+def test_checkpoint_save_same_step_twice(tmp_path):
+    """The end-of-training flush routinely lands on the step the
+    epoch-boundary save just wrote; orbax raises StepAlreadyExistsError
+    unless the manager makes the save idempotent."""
+    import numpy as np
+
+    from hgsfusion_tpu.train.checkpoint import CheckpointManager
+
+    m = CheckpointManager(tmp_path / "ck")
+    state = {"a": np.zeros(3), "b": np.ones((2, 2))}
+    m.save(5, state, wait=True)
+    m.save(5, state, wait=True)  # must be a no-op, not a crash
+    assert m.latest_step() == 5
+    restored, step = m.restore(state)
+    assert step == 5
+    np.testing.assert_array_equal(restored["b"], state["b"])

@@ -160,6 +160,26 @@ class TestWaymoEval:
         assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/APH"] == pytest.approx(
             0.5, abs=0.01)
 
+
+    def test_aph_heading_weights_recall_axis(self):
+        # Waymo heading-weights BOTH axes (detection_metrics.cc:
+        # precision_ha = sum_ha/(tp+fp), recall_ha = sum_ha/(tp+fn)); a
+        # single TP with ha=0.8 caps recall at 0.8, so APH is
+        # 0.8 * 81/101 (grid points up to recall 0.8), NOT 0.8 at full
+        # recall (the unweighted-recall bug this guards against).
+        import numpy as np
+        th = 0.2 * np.pi  # heading error -> ha = 1 - 0.2 = 0.8
+        # square pedestrian box: a 36-degree rotation keeps BEV IoU ~0.73,
+        # above the 0.5 pedestrian threshold, so the match survives
+        gt = [self._frame([[10, 0, 0, 0.9, 0.9, 1.7, 0.0]], ["Pedestrian"])]
+        det = [self._frame([[10, 0, 0, 0.9, 0.9, 1.7, th]], ["Pedestrian"],
+                           score=[0.9])]
+        _, ap = waymo_evaluation(det, gt, ["Pedestrian"])
+        assert ap["OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_1/AP"] == \
+            pytest.approx(1.0)
+        assert ap["OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_1/APH"] == \
+            pytest.approx(0.8 * 81 / 101, abs=1e-6)
+
     def test_level1_ignores_hard_gts(self):
         boxes = [[10, 0, 0, 4.6, 1.9, 1.6, 0.0],
                  [30, 0, 0, 4.6, 1.9, 1.6, 0.0]]
