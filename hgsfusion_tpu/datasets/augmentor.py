@@ -114,24 +114,35 @@ class DataAugmentor:
             )
         return self._db_sampler(data_dict)
 
+    @staticmethod
+    def _flip_boxes(boxes, axis):
+        """In-place box flip (augmentor_utils.random_flip_along_{x,y})."""
+        if axis == "x":  # reflect across the x axis: negate y
+            boxes[:, 1] = -boxes[:, 1]
+            boxes[:, 6] = -boxes[:, 6]
+            if boxes.shape[1] > 7:  # velocity vy (augmentor_utils:23)
+                boxes[:, 8] = -boxes[:, 8]
+        else:  # reflect across the y axis: negate x
+            boxes[:, 0] = -boxes[:, 0]
+            boxes[:, 6] = -(boxes[:, 6] + np.pi)
+            if boxes.shape[1] > 7:  # velocity vx (augmentor_utils:44)
+                boxes[:, 7] = -boxes[:, 7]
+
     def random_world_flip(self, data_dict, config):
         for axis in config["ALONG_AXIS_LIST"]:
             assert axis in ("x", "y")
             enable = bool(np.random.choice([False, True]))
             if enable:
                 gt, pts = data_dict["gt_boxes"], data_dict["points"]
-                if axis == "x":  # reflect across the x axis: negate y
-                    gt[:, 1] = -gt[:, 1]
-                    gt[:, 6] = -gt[:, 6]
-                    pts[:, 1] = -pts[:, 1]
-                    if gt.shape[1] > 7:  # velocity vy (augmentor_utils:23)
-                        gt[:, 8] = -gt[:, 8]
-                else:  # reflect across the y axis: negate x
-                    gt[:, 0] = -gt[:, 0]
-                    gt[:, 6] = -(gt[:, 6] + np.pi)
-                    pts[:, 0] = -pts[:, 0]
-                    if gt.shape[1] > 7:  # velocity vx (augmentor_utils:44)
-                        gt[:, 7] = -gt[:, 7]
+                self._flip_boxes(gt, axis)
+                pts[:, 1 if axis == "x" else 0] = \
+                    -pts[:, 1 if axis == "x" else 0]
+                if data_dict.get("roi_boxes") is not None:
+                    # first-stage proposals flip too (data_augmentor.py:66)
+                    rb = data_dict["roi_boxes"]
+                    flat = rb.reshape(-1, rb.shape[-1])
+                    self._flip_boxes(flat, axis)
+                    data_dict["roi_boxes"] = flat.reshape(rb.shape)
             data_dict[f"flip_{axis}"] = enable
         return data_dict
 
@@ -152,6 +163,19 @@ class DataAugmentor:
                 [gt[:, 7:9], np.zeros((len(gt), 1), gt.dtype)], axis=1)
             gt[:, 7:9] = rotate_points_along_z(
                 vel3[None], np.array([noise_rot]))[0][:, 0:2]
+        if data_dict.get("roi_boxes") is not None:
+            # proposals rotate with the world (data_augmentor.py:86-90)
+            rb = data_dict["roi_boxes"]
+            flat = rb.reshape(-1, rb.shape[-1])
+            flat[:, 0:3] = rotate_points_along_z(
+                flat[None, :, 0:3], np.array([noise_rot]))[0]
+            flat[:, 6] += noise_rot
+            if flat.shape[1] > 7:
+                v3 = np.concatenate(
+                    [flat[:, 7:9], np.zeros((len(flat), 1), flat.dtype)], 1)
+                flat[:, 7:9] = rotate_points_along_z(
+                    v3[None], np.array([noise_rot]))[0][:, 0:2]
+            data_dict["roi_boxes"] = flat.reshape(rb.shape)
         data_dict["noise_rot"] = noise_rot
         return data_dict
 
@@ -165,6 +189,10 @@ class DataAugmentor:
         gt[:, :6] *= scale
         if gt.shape[1] > 7:  # velocity scales too (augmentor_utils:88-89)
             gt[:, 7:] *= scale
+        if data_dict.get("roi_boxes") is not None:
+            # global_scaling_with_roi_boxes:107 — xyz+dims and velocities,
+            # NOT the heading column
+            data_dict["roi_boxes"][..., [0, 1, 2, 3, 4, 5, 7, 8]] *= scale
         data_dict["noise_scale"] = scale
         return data_dict
 

@@ -120,6 +120,16 @@ class DataBaseSampler:
 
         sampled_boxes, sampled_names, sampled_points = [], [], []
         existing = gt_boxes[:, :7].copy()
+
+        def _bev_iou(a, b):
+            # ROTATED BEV IoU, like the reference's boxes_bev_iou_cpu
+            # (database_sampler.py:472-473) — axis-aligned IoU over-rejects
+            # diagonally adjacent rotated boxes
+            from ..eval.rotated_iou_np import rotate_iou_eval
+
+            return rotate_iou_eval(a[:, [0, 1, 3, 4, 6]],
+                                   b[:, [0, 1, 3, 4, 6]])
+
         for name, target in self.sample_groups.items():
             pool = self.db_infos.get(name, [])
             if not pool:
@@ -136,9 +146,7 @@ class DataBaseSampler:
                 box = np.asarray(entry["box3d_lidar"], np.float32)
                 # reject BEV collisions with existing and already-sampled boxes
                 if len(existing):
-                    iou = box_utils.boxes3d_nearest_bev_iou(
-                        box[None, :7], existing
-                    )
+                    iou = _bev_iou(box[None, :7], existing)
                     if float(np.max(iou)) > 0.0:
                         continue
                 pts = np.fromfile(
@@ -146,14 +154,22 @@ class DataBaseSampler:
                 ).reshape(-1, self.num_point_features)
                 pts = pts.copy()
                 pts[:, :3] += box[:3]
-                sampled_boxes.append(box[:7])
+                sampled_boxes.append(box)
                 sampled_names.append(name)
                 sampled_points.append(pts)
                 existing = np.concatenate([existing, box[None, :7]])
 
         if not sampled_boxes:
             return data_dict
-        sampled_boxes = np.stack(sampled_boxes)
+        # pad/trim sampled boxes to the frame's gt width (the reference
+        # keeps existed_boxes at full 7+C width, :489 — truncating gt to 7
+        # would silently drop velocity columns for the whole frame)
+        width = gt_boxes.shape[1] if len(gt_boxes) else max(
+            len(b) for b in sampled_boxes)
+        uni = np.zeros((len(sampled_boxes), width), np.float32)
+        for i, b in enumerate(sampled_boxes):
+            uni[i, :min(len(b), width)] = b[:min(len(b), width)]
+        sampled_boxes = uni
 
         if (self.sampler_cfg.get("USE_ROAD_PLANE", False)
                 and data_dict.get("road_plane") is not None
@@ -173,10 +189,19 @@ class DataBaseSampler:
             for i in range(len(sampled_points)):
                 sampled_points[i][:, 2] -= mv_height[i]
 
-        # remove original points inside the sampled boxes, then merge
+        # remove original points inside the ENLARGED sampled boxes
+        # (add_sampled_boxes_to_scene:429-432 enlarge_box3d by
+        # REMOVE_EXTRA_WIDTH — without the margin, leftover scene points hug
+        # the pasted objects as ghost double-surfaces), then merge with the
+        # object crops FIRST, matching the reference's concat order (:434)
         from ..ops.points_in_boxes import points_in_boxes
 
-        inside = np.asarray(points_in_boxes(points[:, :3], sampled_boxes))
+        extra = np.asarray(
+            self.sampler_cfg.get("REMOVE_EXTRA_WIDTH", [0.0, 0.0, 0.0]),
+            np.float32)
+        large = sampled_boxes[:, :7].copy()
+        large[:, 3:6] += extra[None, :]
+        inside = np.asarray(points_in_boxes(points[:, :3], large))
         keep = ~inside.any(axis=0)
         pts_new = np.concatenate(sampled_points)
         if pts_new.shape[1] < points.shape[1]:
@@ -186,12 +211,11 @@ class DataBaseSampler:
             pts_new = np.concatenate([pts_new, pad], axis=1)
         elif pts_new.shape[1] > points.shape[1]:
             pts_new = pts_new[:, : points.shape[1]]
-        data_dict["points"] = np.concatenate([points[keep], pts_new])
+        data_dict["points"] = np.concatenate([pts_new, points[keep]])
+        # full-width concat (the reference keeps velocity columns, :489)
         data_dict["gt_boxes"] = np.concatenate(
             [gt_boxes, np.asarray(sampled_boxes, np.float32)]
-        ) if gt_boxes.shape[1] == 7 else np.concatenate(
-            [gt_boxes[:, :7], sampled_boxes]
-        )
+        ) if len(gt_boxes) else np.asarray(sampled_boxes, np.float32)
         data_dict["gt_names"] = np.concatenate(
             [gt_names, np.asarray(sampled_names)]
         )

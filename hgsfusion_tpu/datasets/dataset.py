@@ -83,6 +83,13 @@ class DatasetTemplate:
             if data is not None:
                 return self.pad_to_static(data)
             index = np.random.randint(num_infos)
+        # random redraws can miss sparse valid frames (the reference
+        # redraws unboundedly, dataset.py:212-214); a deterministic scan
+        # guarantees success iff ANY valid frame exists
+        for i in range(num_infos):
+            data = get_one(i)
+            if data is not None:
+                return self.pad_to_static(data)
         raise RuntimeError("no frame with gt boxes in the dataset")
 
     def merged_len(self, num_infos):
@@ -132,10 +139,19 @@ class DatasetTemplate:
         """Record the composed flip/rot/scale as a 4x4 (dataset.py:134-156),
         used to undo BEV augmentation in the frustum grid (BEV_AUG)."""
         m = np.eye(4, dtype=np.float32)
-        if data_dict.get("flip_x", False):
-            m[:3, :3] = np.diag([1.0, -1.0, 1.0]).astype(np.float32) @ m[:3, :3]
-        if data_dict.get("flip_y", False):
-            m[:3, :3] = np.diag([-1.0, 1.0, 1.0]).astype(np.float32) @ m[:3, :3]
+        # flips are recorded ONLY when 'flip_y' is present (dataset.py:138):
+        # under the flagship recipe (world flip along x only +
+        # random_image_flip_fusion) the x-flip is deliberately NOT in the
+        # matrix — the image flip already restores camera-lidar
+        # correspondence, and undoing the flip again in the frustum would
+        # sample mirrored image columns on every flipped frame
+        if "flip_y" in data_dict:
+            if data_dict.get("flip_x", False):
+                m[:3, :3] = (np.diag([1.0, -1.0, 1.0]).astype(np.float32)
+                             @ m[:3, :3])
+            if data_dict.get("flip_y", False):
+                m[:3, :3] = (np.diag([-1.0, 1.0, 1.0]).astype(np.float32)
+                             @ m[:3, :3])
         if "noise_rot" in data_dict:
             # angle2matrix: active rotation taking original points to
             # augmented points (x toward y)
@@ -151,6 +167,11 @@ class DatasetTemplate:
             m[:3, :3] = rot @ m[:3, :3]
         if "noise_scale" in data_dict:
             m[:3, :3] *= data_dict["noise_scale"]
+        if "noise_translate" in data_dict:
+            # dataset.py:152-154: the translation column must ride along or
+            # the BEV-aug undo samples camera features offset by the noise
+            m[:3, 3] = np.asarray(
+                data_dict["noise_translate"], np.float32).reshape(3)
         data_dict["lidar_aug_matrix"] = m
         return data_dict
 
@@ -205,10 +226,25 @@ class DatasetTemplate:
 
     # ------------------------------------------------------------------
     def pad_to_static(self, data_dict):
-        """Pad a prepared sample to the static shapes the TPU graph expects."""
+        """Pad a prepared sample to the static shapes the TPU graph expects.
+
+        Truncation past MAX_POINTS / MAX_GT_BOXES is LOUD (warn once per
+        dataset): the reference collate pads to the batch max and never
+        drops data, so a config whose static caps are undersized (e.g. the
+        16384 default against ~170k-point Waymo clouds) would otherwise
+        silently lose most of the cloud — and at eval time, with
+        shuffle_points off, the kept head-of-array prefix follows sensor
+        scan order, spatially biasing detections."""
         out = dict(data_dict)
         pts = data_dict["points"].astype(np.float32)
         n = min(len(pts), self.max_points)
+        if len(pts) > self.max_points and not getattr(
+                self, "_warned_point_truncation", False):
+            self._warned_point_truncation = True
+            (self.logger.warning if self.logger else print)(
+                f"pad_to_static: frame has {len(pts)} points but "
+                f"DATA_CONFIG.MAX_POINTS={self.max_points}; truncating "
+                f"(raise MAX_POINTS to keep the full cloud)")
         points = np.zeros((self.max_points, pts.shape[1]), np.float32)
         points[:n] = pts[:n]
         valid = np.zeros((self.max_points,), bool)
@@ -219,6 +255,13 @@ class DatasetTemplate:
         if data_dict.get("gt_boxes", None) is not None:
             gt = data_dict["gt_boxes"]
             m = min(len(gt), self.max_gt_boxes)
+            if len(gt) > self.max_gt_boxes and not getattr(
+                    self, "_warned_gt_truncation", False):
+                self._warned_gt_truncation = True
+                (self.logger.warning if self.logger else print)(
+                    f"pad_to_static: frame has {len(gt)} gt boxes but "
+                    f"DATA_CONFIG.MAX_GT_BOXES={self.max_gt_boxes}; "
+                    f"truncating")
             boxes = np.zeros((self.max_gt_boxes, gt.shape[1]), np.float32)
             boxes[:m] = gt[:m]
             out["gt_boxes"] = boxes
@@ -269,19 +312,26 @@ class DatasetTemplate:
 
     @staticmethod
     def collate_batch(batch_list):
-        """Stack static-shape samples into a batch dict of numpy arrays."""
-        stack_keys = [
-            "points", "points_valid", "gt_boxes", "gt_boxes2d", "images",
-            "trans_lidar_to_cam", "trans_cam_to_img", "lidar_aug_matrix",
-            "image_shape", "roi_boxes", "roi_scores", "roi_labels", "poses",
-            "points_multi", "points_multi_valid", "depth_maps",
-        ]
+        """Stack static-shape samples into a batch dict of numpy arrays.
+
+        Like the reference collate's default branch (dataset.py:319), any
+        key whose per-sample values are same-shape numeric arrays stacks to
+        (B, ...) — a whitelist would silently leave new array keys (e.g.
+        the multicam camera_imgs / img_aug_matrix family) as Python lists
+        that device_put cannot shard. Known host-side metadata stays a
+        list."""
+        meta_keys = {"frame_id", "calib", "metadata", "image_path",
+                     "gt_names", "use_lead_xyz"}
         out = {}
         for key in batch_list[0]:
             vals = [s[key] for s in batch_list]
-            if key in stack_keys:
-                out[key] = np.stack(vals, axis=0)
-            else:
-                out[key] = vals  # metadata (frame_id, calib objects, ...)
+            stackable = key not in meta_keys and all(
+                isinstance(v, np.ndarray)
+                and v.dtype != object
+                and v.dtype.kind in "biufc"
+                and v.shape == vals[0].shape
+                for v in vals
+            )
+            out[key] = np.stack(vals, axis=0) if stackable else vals
         out["batch_size"] = len(batch_list)
         return out

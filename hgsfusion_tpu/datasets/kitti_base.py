@@ -75,7 +75,9 @@ class KittiFormatDataset(DatasetTemplate):
             else []
         )
         self.use_virtual_points = dataset_cfg.get("USE_VIRTUAL_POINTS", False)
-        self.virtual_prefix = dataset_cfg.get("VIRTUAL_POINT_PREFIX", "")
+        # reference default is 'mask' (vod_dataset.py:55): hybrid virtual
+        # points live in training/mask/<idx>.pkl.npy unless overridden
+        self.virtual_prefix = dataset_cfg.get("VIRTUAL_POINT_PREFIX", "mask")
         self.infos = []
         self.load_infos()
 
@@ -354,16 +356,17 @@ class KittiFormatDataset(DatasetTemplate):
         return input_dict
 
     def __len__(self):
-        return len(self.infos)
+        # honors --merge_all_iters_to_one_epoch (vod_dataset.py:428-432):
+        # total_steps is computed from len(dataset), so without merged_len
+        # training would silently run 1/total_epochs of the intended steps
+        return self.merged_len(len(self.infos))
 
     def __getitem__(self, index):
-        input_dict = self.compose_input_dict(index)
-        data_dict = self.prepare_data(input_dict)
-        while data_dict is None:  # empty-gt resample (dataset.py:212-214)
-            data_dict = self.prepare_data(
-                self.compose_input_dict(np.random.randint(len(self)))
-            )
-        return self.pad_to_static(data_dict)
+        return self.getitem_with_resample(
+            index,
+            lambda i: self.prepare_data(self.compose_input_dict(i)),
+            len(self.infos),
+        )
 
     # -- prediction output ---------------------------------------------------
     def generate_prediction_dicts(self, batch_dict, pred_dicts, class_names,

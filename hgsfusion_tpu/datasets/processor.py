@@ -12,7 +12,14 @@ from ..utils import box_utils
 
 
 class PointFeatureEncoder:
-    """Selects used_feature_list columns from src_feature_list order."""
+    """xyz-first feature selection (absolute_coordinates_encoding).
+
+    The reference (point_feature_encoder.py:43-57) ALWAYS emits x,y,z as
+    the first three columns and then appends the non-xyz used features in
+    used_feature_list order — regardless of where (or whether) xyz appears
+    in used_feature_list. Selecting used columns verbatim would let a
+    config like ['intensity','x','y','z'] put non-coordinates in the first
+    three columns, which every downstream consumer reads as coordinates."""
 
     def __init__(self, config, point_cloud_range=None):
         self.config = config
@@ -22,10 +29,12 @@ class PointFeatureEncoder:
 
     @property
     def num_point_features(self) -> int:
-        return len(self.used)
+        return 3 + sum(1 for f in self.used if f not in ("x", "y", "z"))
 
     def forward(self, data_dict):
-        cols = [self.src.index(f) for f in self.used]
+        cols = [0, 1, 2] + [
+            self.src.index(f) for f in self.used if f not in ("x", "y", "z")
+        ]
         data_dict["points"] = data_dict["points"][:, cols]
         data_dict["use_lead_xyz"] = True
         return data_dict

@@ -731,3 +731,113 @@ class TestPipelineEdgeCases:
             assert out["points"].shape == (1024, 17)
             assert out["gt_boxes"].shape == (16, 8)
             assert np.all(np.isfinite(out["points"]))
+
+
+class TestAugMatrixSemantics:
+    """set_lidar_aug_matrix must match dataset.py:133-156 exactly: flips are
+    recorded ONLY when 'flip_y' is present (the flagship x-only world flip
+    pairs with random_image_flip_fusion, so undoing it in the frustum would
+    mirror the sampled image columns), and noise_translate rides in the
+    translation column."""
+
+    def test_x_only_flip_is_not_recorded(self):
+        from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+
+        d = {"flip_x": True}
+        DatasetTemplate.set_lidar_aug_matrix(d)
+        np.testing.assert_array_equal(d["lidar_aug_matrix"], np.eye(4))
+
+    def test_xy_flip_and_translate_recorded(self):
+        from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+
+        d = {"flip_x": True, "flip_y": False,
+             "noise_translate": np.array([1.0, -2.0, 0.5])}
+        DatasetTemplate.set_lidar_aug_matrix(d)
+        m = d["lidar_aug_matrix"]
+        np.testing.assert_allclose(m[:3, :3], np.diag([1.0, -1.0, 1.0]))
+        np.testing.assert_allclose(m[:3, 3], [1.0, -2.0, 0.5])
+
+
+def test_collate_stacks_unknown_array_keys():
+    """Reference collate default-stacks any same-shape array key; leaving
+    e.g. the multicam camera_imgs family as Python lists breaks
+    device_put/sharding downstream."""
+    from hgsfusion_tpu.datasets.dataset import DatasetTemplate
+
+    s = {"points": np.zeros((4, 5), np.float32),
+         "camera_imgs": np.zeros((2, 8, 8, 3), np.float32),
+         "lidar2camera": np.eye(4, dtype=np.float32),
+         "frame_id": "000001"}
+    out = DatasetTemplate.collate_batch([dict(s), dict(s)])
+    assert out["camera_imgs"].shape == (2, 2, 8, 8, 3)
+    assert out["lidar2camera"].shape == (2, 4, 4)
+    assert isinstance(out["frame_id"], list)
+
+
+def test_point_feature_encoder_emits_xyz_first():
+    """absolute_coordinates_encoding always emits x,y,z first and appends
+    only the non-xyz used features (point_feature_encoder.py:43-57)."""
+    from hgsfusion_tpu.datasets.processor import PointFeatureEncoder
+
+    enc = PointFeatureEncoder({
+        "src_feature_list": ["x", "y", "z", "intensity", "ring"],
+        "used_feature_list": ["intensity", "x", "y", "z"],
+    })
+    assert enc.num_point_features == 4
+    pts = np.array([[1.0, 2.0, 3.0, 9.0, 7.0]], np.float32)
+    out = enc.forward({"points": pts})["points"]
+    np.testing.assert_array_equal(out, [[1.0, 2.0, 3.0, 9.0]])
+
+
+def test_merge_all_iters_scales_len(synthetic_root):
+    ds = _make_dataset(synthetic_root, training=True)
+    n = len(ds)
+    ds._merge_all_iters_to_one_epoch = True  # tools/train.py:95-99
+    ds.total_epochs = 10
+    assert len(ds) == n * 10
+    item = ds[n * 10 - 1]  # wraps modulo the info count
+    assert item["points"].shape[0] == ds.max_points
+
+
+def test_world_augs_transform_roi_boxes():
+    """World flip/rotation/scaling must move first-stage proposal boxes
+    with the scene (data_augmentor.py:66-71, 86-90, 101-110)."""
+    from hgsfusion_tpu.datasets.augmentor import DataAugmentor
+
+    aug = DataAugmentor.__new__(DataAugmentor)
+    rb = np.zeros((1, 2, 9), np.float32)
+    rb[0, 0] = [1.0, 2.0, 0.0, 4.0, 2.0, 1.5, 0.3, 1.0, 0.5]
+    d = {"points": np.zeros((4, 5), np.float32),
+         "gt_boxes": np.zeros((1, 7), np.float32),
+         "roi_boxes": rb.copy()}
+
+    np.random.seed(0)
+    while True:  # redraw until the flip actually fires
+        d2 = {**d, "roi_boxes": rb.copy(),
+              "gt_boxes": d["gt_boxes"].copy(),
+              "points": d["points"].copy()}
+        aug.random_world_flip(d2, {"ALONG_AXIS_LIST": ["x"]})
+        if d2["flip_x"]:
+            break
+    np.testing.assert_allclose(
+        d2["roi_boxes"][0, 0], [1.0, -2.0, 0.0, 4.0, 2.0, 1.5, -0.3,
+                                1.0, -0.5])
+
+    d3 = {**d, "roi_boxes": rb.copy(), "gt_boxes": d["gt_boxes"].copy(),
+          "points": d["points"].copy()}
+    aug.random_world_scaling(d3, {"WORLD_SCALE_RANGE": [2.0, 2.0 + 1e-2]})
+    s = d3["noise_scale"]
+    np.testing.assert_allclose(
+        d3["roi_boxes"][0, 0],
+        [s, 2 * s, 0.0, 4 * s, 2 * s, 1.5 * s, 0.3, s, 0.5 * s],
+        rtol=1e-6)
+
+    d4 = {**d, "roi_boxes": rb.copy(), "gt_boxes": d["gt_boxes"].copy(),
+          "points": d["points"].copy()}
+    aug.random_world_rotation(d4, {"WORLD_ROT_ANGLE": [0.5, 0.5 + 1e-6]})
+    a = d4["noise_rot"]
+    c, sn = np.cos(a), np.sin(a)
+    np.testing.assert_allclose(
+        d4["roi_boxes"][0, 0, :2], [c * 1 - sn * 2, sn * 1 + c * 2],
+        rtol=1e-5)
+    np.testing.assert_allclose(d4["roi_boxes"][0, 0, 6], 0.3 + a, rtol=1e-5)
