@@ -101,14 +101,22 @@ def gather_point_voxel_features(voxels, points, valid, pc_range, voxel_size,
     return out * in_grid[..., None].astype(out.dtype)
 
 
-def part_targets(xyz, valid, gt_boxes):
+def part_targets(xyz, valid, gt_boxes, extra_width=(0.2, 0.2, 0.2)):
     """Intra-object part labels: canonical coords normalized to [0, 1]
-    (Part-A2 paper eq. 1; get_part_reg targets). Returns cls (B, N),
+    (Part-A2 paper eq. 1; get_part_reg targets). Returns cls (B, N) with
+    -1 = ignored (enlarged-box shell AND padded slots — the reference's
+    assign_stack_targets set_ignore_flag + real-point stacking; counting
+    padded slots as background would add thousands of phantom negatives),
     part (B, N, 3), fg (B, N)."""
     def one(pts, gts):
         gv = gts[:, -1] > 0
         inb = points_in_boxes(pts, gts[:, :7]) & gv[:, None]
+        big = jnp.concatenate(
+            [gts[:, :3], gts[:, 3:6] + jnp.asarray(extra_width, gts.dtype),
+             gts[:, 6:7]], axis=1)
+        in_big = points_in_boxes(pts, big) & gv[:, None]
         fg = jnp.any(inb, axis=0)
+        ignored = jnp.any(in_big, axis=0) & ~fg
         first = jnp.argmax(inb, axis=0)
         g = gts[first]
         rel = pts - g[:, :3]
@@ -120,11 +128,13 @@ def part_targets(xyz, valid, gt_boxes):
         part = jnp.clip(
             local / jnp.maximum(g[:, 3:6], 1e-3) + 0.5, 0.0, 1.0
         )
-        cls = jnp.where(fg, g[:, -1].astype(jnp.int32), 0)
+        cls = jnp.where(
+            fg, g[:, -1].astype(jnp.int32), jnp.where(ignored, -1, 0))
         return cls, part, fg
 
     cls, part, fg = jax.vmap(one)(xyz, gt_boxes)
-    return {"cls": cls * valid, "part": part, "fg": fg & valid}
+    cls = jnp.where(valid, cls, -1)  # padded slots are ignored, not bg
+    return {"cls": cls, "part": part, "fg": fg & valid}
 
 
 def part_head_loss(cls_logits, part_pred, targets: Dict):
@@ -136,16 +146,16 @@ def part_head_loss(cls_logits, part_pred, targets: Dict):
     one_hot = jax.nn.one_hot(cls_t - 1, cls_logits.shape[-1])
     one_hot = one_hot * (cls_t > 0)[..., None]
     n_fg = jnp.maximum(jnp.sum(targets["fg"].astype(jnp.float32)), 1.0)
-    loss_cls = jnp.sum(
-        sigmoid_focal_loss(cls_logits, one_hot, jnp.ones_like(
-            cls_t, jnp.float32
-        ))
-    ) / n_fg
+    # cls weights: fg and REAL background only; ignored/padded (-1) carry
+    # zero weight (get_cls_layer_loss:135-139)
+    care = (cls_t >= 0).astype(jnp.float32)
+    loss_cls = jnp.sum(sigmoid_focal_loss(cls_logits, one_hot, care)) / n_fg
     p = jnp.clip(jax.nn.sigmoid(part_pred), 1e-6, 1 - 1e-6)
     t = targets["part"]
     bce = -(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
     fgw = targets["fg"].astype(jnp.float32)
-    loss_part = jnp.sum(bce * fgw[..., None]) / n_fg
+    # the reference divides by (3 * pos_normalizer), get_part_layer_loss:163
+    loss_part = jnp.sum(bce * fgw[..., None]) / (3.0 * n_fg)
     return (loss_cls + loss_part,
             {"part_cls": loss_cls, "part_reg": loss_part})
 

@@ -92,6 +92,7 @@ class PointNet2MSG(nn.Module):
             sa = SALayer(
                 radii=self.radii[i], nsamples=self.nsamples[i],
                 mlps=self.sa_mlps[i], dtype=self.dtype, name=f"sa{i}",
+                zero_empty=False,  # pointnet2_batch semantics
             )(new_xyz, l_xyz[i], l_feats[i], l_valid[i], train)
             l_xyz.append(new_xyz)
             l_feats.append(sa)
@@ -143,8 +144,11 @@ def point_targets(xyz, valid, gt_boxes, extra_width=(0.2, 0.2, 0.2)):
     def one(pts, gts):
         gv = gts[:, -1] > 0
         inb = points_in_boxes(pts, gts[:, :7]) & gv[:, None]  # (M, N)
+        # enlarge_box3d adds extra_width ONCE to the dims (box_utils.py:
+        # 199), i.e. each face extends by extra/2 — doubling it made the
+        # ignore band twice as wide and dropped hard negatives
         big = jnp.concatenate(
-            [gts[:, :3], gts[:, 3:6] + 2.0 * jnp.asarray(extra_width),
+            [gts[:, :3], gts[:, 3:6] + jnp.asarray(extra_width),
              gts[:, 6:7]], axis=1
         )
         in_big = points_in_boxes(pts, big) & gv[:, None]
@@ -182,10 +186,12 @@ def point_head_loss(cls_logits, box_encodings, xyz, targets: Dict,
         targets["gt_of_point"][..., :7], xyz,
         jnp.maximum(targets["gt_of_point"][..., -1].astype(jnp.int32), 1),
     )
-    diff = jnp.abs(box_encodings - enc_t)
-    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    # WeightedSmoothL1Loss default beta = 1/9 (loss_utils.py:85)
+    from .anchor_head import weighted_smooth_l1
+
     fgw = targets["fg"].astype(jnp.float32)
-    loss_box = jnp.sum(sl1 * fgw[..., None]) / n_fg
+    sl1 = weighted_smooth_l1(box_encodings, enc_t, fgw)
+    loss_box = jnp.sum(sl1) / n_fg
     return (loss_cls * cls_weight + loss_box * box_weight,
             {"point_cls": loss_cls, "point_box": loss_box})
 
@@ -262,6 +268,7 @@ class PointRCNNHead(nn.Module):
             flat_feats = SALayer(
                 radii=(radius,), nsamples=(nsample,), mlps=(sa_mlps[i],),
                 dtype=self.dtype, name=f"sa{i}",
+                zero_empty=False,  # pointnet2_batch semantics
             )(new_xyz, flat_xyz, flat_feats, flat_valid, train)
             flat_xyz, flat_valid = new_xyz, new_valid
         # global group-all level: MLP + masked max (npoint -1 in the ref)

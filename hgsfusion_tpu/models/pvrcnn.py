@@ -23,6 +23,7 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.nms import NEG_INF, greedy_nms_lazy
@@ -61,11 +62,16 @@ class _GroupMLP(nn.Module):
 
 
 class SALayer(nn.Module):
-    """Multi-radius set abstraction: per-radius group + MLP, concat."""
+    """Multi-radius set abstraction: per-radius group + MLP, concat.
+
+    zero_empty follows the query_and_group semantics switch: True for the
+    VSA (pointnet2_stack), False for the PointNet2MSG backbone
+    (pointnet2_batch groups point 0 on empty balls)."""
 
     radii: Tuple[float, ...]
     nsamples: Tuple[int, ...]
     mlps: Tuple[Tuple[int, ...], ...]
+    zero_empty: bool = True
     dtype: object = None
 
     @nn.compact
@@ -73,10 +79,13 @@ class SALayer(nn.Module):
         outs = []
         for i, (r, s, m) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
             grouped, _, any_nb = jax.vmap(
-                lambda nx, x, f, v: query_and_group(nx, x, f, v, r, s)
+                lambda nx, x, f, v: query_and_group(
+                    nx, x, f, v, r, s, zero_empty=self.zero_empty)
             )(new_xyz, xyz, features, valid)
-            gv = jnp.broadcast_to(
-                any_nb[..., None], grouped.shape[:-1]
+            gv = (
+                jnp.broadcast_to(any_nb[..., None], grouped.shape[:-1])
+                if self.zero_empty
+                else jnp.ones(grouped.shape[:-1], bool)
             )  # (B, K, S)
             outs.append(
                 _GroupMLP(m, dtype=self.dtype, name=f"mlp_r{i}")(
@@ -104,24 +113,28 @@ def _stage_point_set(stage, pc_range, voxel_size):
 
 def interpolate_bev(bev, xy, pc_range, voxel_size, stride):
     """Bilinear BEV feature at metric (x, y) (voxel_set_abstraction
-    interpolate_from_bev_features). bev (B, H, W, C), xy (B, K, 2)."""
+    interpolate_from_bev_features). bev (B, H, W, C), xy (B, K, 2).
+
+    NO half-texel shift and border-CLAMPED taps: the reference's
+    bilinear_interpolate_torch floors the raw (x - range_min)/voxel/stride
+    coordinate and clamps indices to the border (voxel_set_abstraction.py:
+    21-30) — a keypoint at a cell's metric center maps to coord k+0.5 and
+    blends cells k and k+1 at 50/50 there."""
     b, h, w, c = bev.shape
     fx = (xy[..., 0] - pc_range[0]) / (voxel_size[0] * stride)
     fy = (xy[..., 1] - pc_range[1]) / (voxel_size[1] * stride)
-    x0 = jnp.floor(fx - 0.5)
-    y0 = jnp.floor(fy - 0.5)
-    tx = (fx - 0.5 - x0)[..., None]
-    ty = (fy - 0.5 - y0)[..., None]
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
 
     def tap(xi, yi):
-        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         flat = yc * w + xc
-        g = jnp.take_along_axis(
+        return jnp.take_along_axis(
             bev.reshape(b, h * w, c), flat[..., None], axis=1
         )
-        return g * inb[..., None].astype(g.dtype)
 
     return (
         tap(x0, y0) * (1 - tx) * (1 - ty)
@@ -376,10 +389,19 @@ def canonical_reg_targets(rois, gt_boxes, coder: ResidualCoder):
     ly = rel[:, 0] * s + rel[:, 1] * c
     # clamp both sides: padded gts/rois carry zero dims, and log(0) would
     # poison the loss through the masked-out lanes (NaN * 0 = NaN in grad)
+    # canonical heading (roi_head_template.py:124-131): wrap into [0, 2pi),
+    # flip opposite-facing gts by pi, then map into [-pi/2, pi/2] — without
+    # this, the common opposite-orientation match produces a ~pi residual
+    # that pushes the refinement to rotate the box 180 degrees
+    heading = (gt_boxes[:, 6] - rois[:, 6]) % (2 * np.pi)
+    opposite = (heading > np.pi * 0.5) & (heading < np.pi * 1.5)
+    heading = jnp.where(opposite, (heading + np.pi) % (2 * np.pi), heading)
+    heading = jnp.where(heading > np.pi, heading - 2 * np.pi, heading)
+    heading = jnp.clip(heading, -np.pi / 2, np.pi / 2)
     gt_ct = jnp.concatenate(
         [lx[:, None], ly[:, None], rel[:, 2:3],
          jnp.maximum(gt_boxes[:, 3:6], 1e-3),
-         (gt_boxes[:, 6:7] - rois[:, 6:7])], axis=1
+         heading[:, None]], axis=1
     )
     anchors = jnp.concatenate(
         [jnp.zeros_like(rois[:, :3]), jnp.maximum(rois[:, 3:6], 1e-3),
@@ -494,24 +516,44 @@ def rcnn_losses(rcnn_cls, rcnn_reg, targets: Dict, rois, coder: ResidualCoder,
         rois, targets["gt_of_roi"][..., :7]
     )
     rv = targets["reg_valid"].astype(jnp.float32)
-    diff = jnp.abs(rcnn_reg - reg_t)
-    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
-    sl1 = sl1 * jnp.asarray(code_weights)
-    loss_reg = jnp.sum(sl1 * rv[..., None]) / jnp.maximum(jnp.sum(rv), 1.0)
+    # WeightedSmoothL1Loss default beta = 1/9 (loss_utils.py:85, used by
+    # roi_head_template.py:26): the kink at 1.0 would shrink gradients
+    # ~3-10x in the refinement range that matters
+    from .anchor_head import weighted_smooth_l1
+
+    sl1 = weighted_smooth_l1(rcnn_reg, reg_t, rv,
+                             code_weights=code_weights)
+    loss_reg = jnp.sum(sl1) / jnp.maximum(jnp.sum(rv), 1.0)
     return (loss_cls * cls_weight + loss_reg * reg_weight,
             {"rcnn_cls": loss_cls, "rcnn_reg": loss_reg})
 
 
-def point_fg_loss(point_logits, keypoints, gt_boxes):
-    """Keypoint foreground BCE (point_head_simple targets via boxes)."""
+def point_fg_loss(point_logits, keypoints, gt_boxes,
+                  extra_width=(0.2, 0.2, 0.2)):
+    """Keypoint foreground segmentation loss (PointHeadSimple).
+
+    Sigmoid FOCAL loss normalized by the POSITIVE count, with points in
+    the GT_EXTRA_WIDTH-enlarged shell ignored (point_head_template
+    get_cls_layer_loss + assign_stack_targets set_ignore_flag=True) —
+    plain mean-BCE would make this term ~(num_points/num_fg)x smaller
+    than the reference and penalize boundary points as background."""
     from ..ops.points_in_boxes import points_in_boxes
 
-    def one(kp, gt):
-        inb = points_in_boxes(kp, gt[:, :7])  # (M, K)
-        inb = inb & (gt[:, -1] > 0)[:, None]
-        return jnp.any(inb, axis=0)  # (K,)
+    from .anchor_head import sigmoid_focal_loss
 
-    fg = jax.vmap(one)(keypoints, gt_boxes).astype(jnp.float32)
-    p = jnp.clip(jax.nn.sigmoid(point_logits[..., 0]), 1e-6, 1 - 1e-6)
-    bce = -(fg * jnp.log(p) + (1 - fg) * jnp.log(1 - p))
-    return jnp.mean(bce)
+    def one(kp, gt):
+        valid = gt[:, -1] > 0
+        inb = points_in_boxes(kp, gt[:, :7]) & valid[:, None]  # (M, K)
+        big = gt[:, :7].at[:, 3:6].add(jnp.asarray(extra_width, gt.dtype))
+        in_big = points_in_boxes(kp, big) & valid[:, None]
+        fg = jnp.any(inb, axis=0)  # (K,)
+        ignore = jnp.any(in_big, axis=0) & ~fg
+        return fg, ignore
+
+    fg, ignore = jax.vmap(one)(keypoints, gt_boxes)
+    fg = fg.astype(jnp.float32)
+    weights = 1.0 - ignore.astype(jnp.float32)
+    pos_norm = jnp.maximum(jnp.sum(fg), 1.0)
+    loss = sigmoid_focal_loss(
+        point_logits[..., :1], fg[..., None], weights / pos_norm)
+    return jnp.sum(loss)

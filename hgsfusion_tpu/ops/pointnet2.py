@@ -73,11 +73,18 @@ def group_points(features, idx):
 
 
 def query_and_group(new_xyz, xyz, features, valid, radius: float,
-                    nsample: int, use_xyz: bool = True):
-    """QueryAndGroup (pointnet2_utils): relative xyz (+features) per group.
+                    nsample: int, use_xyz: bool = True,
+                    zero_empty: bool = True):
+    """QueryAndGroup: relative xyz (+features) per group, (M, nsample,
+    3 [+C]) centered on new_xyz.
 
-    Returns (M, nsample, 3 [+C]) with coordinates centered on new_xyz.
-    Empty groups (no neighbor) are zeroed.
+    zero_empty selects between pcdet's two variants: the STACK modules
+    zero groups with no in-radius neighbor (pointnet2_stack
+    empty_ball_mask) — use for VSA; the BATCH modules do NOT — their CUDA
+    ball_query leaves the zero-initialized index buffer, so an empty ball
+    groups point 0's relative coords/features (pointnet2_batch) — use for
+    the PointNet2MSG SA backbone, where zeroing would silence isolated
+    long-range points the reference still featurizes.
     """
     idx, any_nb = ball_query(new_xyz, xyz, valid, radius, nsample)
     grouped_xyz = xyz[idx] - new_xyz[:, None, :]
@@ -85,7 +92,9 @@ def query_and_group(new_xyz, xyz, features, valid, radius: float,
     if features is not None:
         grouped = features[idx]
         out = jnp.concatenate([grouped_xyz, grouped], axis=-1) if use_xyz else grouped
-    return out * any_nb[:, None, None].astype(out.dtype), idx, any_nb
+    if zero_empty:
+        out = out * any_nb[:, None, None].astype(out.dtype)
+    return out, idx, any_nb
 
 
 def three_nn(unknown, known, known_valid):
@@ -99,8 +108,10 @@ def three_nn(unknown, known, known_valid):
 
 def three_interpolate(features, idx, dists):
     """Inverse-distance weighted 3-NN feature interpolation
-    (three_interpolate_kernel + the 1/(d+1e-8) weighting in the SA/FP
-    modules). features (N, C), idx/dists (M, 3) -> (M, C)."""
-    w = 1.0 / (dists * dists + 1e-8)
+    (three_interpolate_kernel + the 1/(d+1e-8) weighting in the FP
+    modules, pointnet2_modules.py:153-156 — d is the SQRT distance that
+    three_nn returns, NOT the squared distance).
+    features (N, C), idx/dists (M, 3) -> (M, C)."""
+    w = 1.0 / (dists + 1e-8)
     w = w / jnp.sum(w, axis=1, keepdims=True)
     return jnp.sum(features[idx] * w[..., None], axis=1)

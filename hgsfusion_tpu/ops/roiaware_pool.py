@@ -67,7 +67,12 @@ def roiaware_pool3d(rois, points, features, valid, out_size: int = 6,
 
 
 def roipoint_pool3d(rois, points, features, valid, num_sampled: int = 512):
-    """First `num_sampled` in-box points per RoI, index order, zero-padded.
+    """First `num_sampled` in-box points per RoI, index order; RoIs with
+    0 < cnt < num_sampled are filled by CYCLIC duplication of the in-box
+    points (roipoint_pool3d_kernel.cu:92-96 `pts_idx[k] = pts_idx[k %
+    cnt]`) — zero-padding instead would change ball-query neighborhoods
+    and grouped statistics for sparse RoIs, the radar norm. Fully empty
+    RoIs stay zero (the kernel leaves them unwritten).
 
     pcdet/ops/roipoint_pool3d: returns (R, num_sampled, 3 + C) stacked
     [xyz | features] plus (R,) empty flags (1 when the RoI has no points)
@@ -78,12 +83,18 @@ def roipoint_pool3d(rois, points, features, valid, num_sampled: int = 512):
         half = box[3:6] / 2.0
         inside = jnp.all(jnp.abs(local) < half[None, :], axis=1) & valid
         order = jnp.cumsum(inside.astype(jnp.int32))
+        cnt = jnp.sum(inside.astype(jnp.int32))
         slot = jnp.where(inside & (order <= num_sampled), order - 1,
                          num_sampled)
         stacked = jnp.concatenate([points, features], axis=1)
         out = jnp.zeros((num_sampled + 1, stacked.shape[1]), stacked.dtype)
         out = out.at[slot].set(stacked, mode="drop")[:num_sampled]
-        return out, ~jnp.any(inside), jnp.sum(inside.astype(jnp.int32))
+        # cyclic refill of the unwritten tail (k -> k % cnt); cnt==0 keeps
+        # the zero rows via the clamp-to-0 gather of an all-zero prefix
+        k = jnp.arange(num_sampled)
+        src = jnp.where(cnt > 0, k % jnp.maximum(cnt, 1), 0)
+        out = jnp.where((k < cnt)[:, None], out, out[src])
+        return out, cnt == 0, cnt
 
     pooled, empty, counts = jax.vmap(one)(rois)
     return pooled, empty, counts

@@ -91,7 +91,9 @@ class TestInterpolate:
         out = np.asarray(
             three_interpolate(jnp.asarray(feats), jnp.asarray(i), jnp.asarray(d))
         )
-        w = 1.0 / (d**2 + 1e-8)
+        # reference FP weighting: 1/(sqrt_dist + 1e-8)
+        # (pointnet2_batch/pointnet2_utils.py:98 + modules.py:153-156)
+        w = 1.0 / (d + 1e-8)
         w = w / w.sum(1, keepdims=True)
         want = (feats[i] * w[..., None]).sum(1)
         np.testing.assert_allclose(out, want, atol=1e-5)
@@ -168,3 +170,19 @@ class TestRoIAware:
             np.asarray(pooled)[0, : len(first), :3], pts[first], atol=1e-6
         )
         assert np.asarray(pooled)[1].sum() == 0
+
+    def test_roipoint_pool_cyclic_fill(self, rng):
+        """0 < cnt < num_sampled RoIs duplicate their in-box points
+        cyclically into the unfilled slots (roipoint_pool3d_kernel.cu:
+        92-96 `pts_idx[k] = pts_idx[k % cnt]`), NOT zero-pad."""
+        pts = np.array([[0.1, 0.0, 0.0], [0.0, 0.2, 0.0],
+                        [9.0, 9.0, 9.0]], np.float32)
+        feats = np.array([[1.0], [2.0], [3.0]], np.float32)
+        rois = np.array([[0, 0, 0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+        pooled, empty, counts = roipoint_pool3d(
+            jnp.asarray(rois), jnp.asarray(pts), jnp.asarray(feats),
+            jnp.ones(3, bool), num_sampled=5,
+        )
+        assert int(counts[0]) == 2 and not bool(empty[0])
+        got = np.asarray(pooled[0, :, 3])
+        np.testing.assert_allclose(got, [1.0, 2.0, 1.0, 2.0, 1.0])

@@ -38,6 +38,25 @@ class TestCanonical:
         d = np.abs(dec[:, 6] - gts[:, 6]) % (2 * np.pi)
         assert np.all(np.minimum(d, 2 * np.pi - d) < 1e-4)
 
+
+    def test_opposite_heading_canonicalized(self):
+        """roi_head_template.py:124-131: a gt facing the opposite way
+        (heading residual ~pi) is flipped by pi into [-pi/2, pi/2] before
+        encoding — the raw residual would train the head to rotate the
+        refined box 180 degrees."""
+        coder = ResidualCoder()
+        rois = np.array([[5, 5, 0, 4, 2, 1.5, 0.0]], np.float32)
+        gts = rois.copy()
+        gts[:, 6] = np.pi + 0.1
+        enc = canonical_reg_targets(jnp.asarray(rois), jnp.asarray(gts),
+                                    coder)
+        assert abs(float(enc[0, 6]) - 0.1) < 1e-5
+        # and a large positive residual wraps/clamps into the canonical arc
+        gts[:, 6] = 2 * np.pi - 0.05
+        enc = canonical_reg_targets(jnp.asarray(rois), jnp.asarray(gts),
+                                    coder)
+        assert abs(float(enc[0, 6]) + 0.05) < 1e-5
+
     def test_grid_points_match_reference_layout(self):
         """get_dense_grid_points: (idx + 0.5)/g * size - size/2, rotated."""
         roi = np.array([[2.0, -1.0, 0.5, 4.0, 2.0, 1.0, 0.0]], np.float32)
@@ -84,12 +103,22 @@ class TestProposals:
 class TestBEVInterp:
     def test_matches_manual_bilinear(self, rng):
         bev = rng.randn(1, 8, 8, 3).astype(np.float32)
-        # query exactly at cell centers -> exact values
+        # reference convention (bilinear_interpolate_torch): NO half-texel
+        # shift — a query at a cell's metric CENTER maps to coord k+0.5
+        # and blends cells k and k+1 at 50/50
         xy = np.array([[[ (2 + 0.5) * VOXEL[0] * 8 + PC_RANGE[0],
                           (3 + 0.5) * VOXEL[1] * 8 + PC_RANGE[1] ]]], np.float32)
         out = np.asarray(interpolate_bev(jnp.asarray(bev), jnp.asarray(xy),
                                          PC_RANGE, VOXEL, 8))
-        np.testing.assert_allclose(out[0, 0], bev[0, 3, 2], atol=1e-5)
+        want = 0.25 * (bev[0, 3, 2] + bev[0, 3, 3]
+                       + bev[0, 4, 2] + bev[0, 4, 3])
+        np.testing.assert_allclose(out[0, 0], want, atol=1e-5)
+        # a query at an exact grid coordinate returns that cell exactly
+        xy2 = np.array([[[ 2 * VOXEL[0] * 8 + PC_RANGE[0],
+                           3 * VOXEL[1] * 8 + PC_RANGE[1] ]]], np.float32)
+        out2 = np.asarray(interpolate_bev(jnp.asarray(bev), jnp.asarray(xy2),
+                                          PC_RANGE, VOXEL, 8))
+        np.testing.assert_allclose(out2[0, 0], bev[0, 3, 2], atol=1e-5)
 
 
 class TestPVRCNNModel:
