@@ -31,10 +31,58 @@ def merge_detections_across_hosts(out: Dict) -> Dict:
     )
 
 
-def shard_indices_for_host(num_frames: int) -> List[int]:
-    """Frame indices this host evaluates (contiguous shards, like the
-    reference's DistributedSampler without padding duplicates)."""
-    p = jax.process_index()
+def shard_indices_for_host(num_frames: int, process: int | None = None
+                           ) -> List[int]:
+    """Frame indices one host evaluates: STRIDED shard over the wrap-padded
+    index list, exactly torch DistributedSampler's semantics (pad to
+    per*n with indices from the start, then indices[rank::num_replicas]) —
+    equal shard lengths on every host, so collectives and the
+    zip-interleaved merge line up; the duplicate pad frames fall off at
+    the final truncation."""
+    p = jax.process_index() if process is None else process
     n = jax.process_count()
     per = (num_frames + n - 1) // n
-    return list(range(p * per, min((p + 1) * per, num_frames)))
+    idxs = list(range(num_frames))
+    idxs = idxs + idxs[: per * n - num_frames]
+    return idxs[p::n]
+
+
+def merge_anno_lists_across_hosts(part: List, num_frames: int, tmpdir):
+    """Merge per-host ragged anno lists (reference merge_results_dist:
+    229-250): each host pickles its part to a SHARED tmpdir, a global
+    device barrier stands in for the dist.barrier rendezvous, then every
+    host reads all parts, zip-interleaves them (the inverse of the strided
+    sharding), and truncates the wrap-padding to num_frames."""
+    n = jax.process_count()
+    if n == 1:
+        return part[:num_frames]
+    import pickle
+    from pathlib import Path
+
+    from jax.experimental import multihost_utils
+
+    tmpdir = Path(tmpdir)
+    tmpdir.mkdir(parents=True, exist_ok=True)
+    with open(tmpdir / f"part_{jax.process_index()}.pkl", "wb") as f:
+        pickle.dump(part, f)
+    multihost_utils.sync_global_devices("eval_merge_write")
+    parts = []
+    for p in range(n):
+        with open(tmpdir / f"part_{p}.pkl", "rb") as f:
+            parts.append(pickle.load(f))
+    merged = [x for tup in zip(*parts) for x in tup]
+    return merged[:num_frames]
+
+
+def allreduce_host_scalars(values: Dict[str, float]) -> Dict[str, float]:
+    """Sum python scalars across hosts (the reference's metric-dict merge,
+    eval_utils.py:278-282). Single-host is a no-op."""
+    if jax.process_count() == 1:
+        return dict(values)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(values)
+    arr = np.asarray([float(values[k]) for k in keys], np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(arr))
+    summed = gathered.sum(axis=0)
+    return {k: summed[i] for i, k in enumerate(keys)}

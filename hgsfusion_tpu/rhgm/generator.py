@@ -92,15 +92,21 @@ def generate_hybrid_points(masks, mask_labels, raw_points, lidar_to_cam,
     uvd, in_front = project_points_to_image(
         raw_points[:, :3].astype(np.float32), lidar_to_cam, cam_to_img
     )
-    ui = np.clip(np.round(uvd[:, 0]).astype(np.int64), 0, w - 1)
-    vi = np.clip(np.round(uvd[:, 1]).astype(np.int64), 0, h - 1)
+    # reference pixel convention (projectionV2, nusc_image_projection.py:
+    # 78-82): FLOOR the projected coords and require strictly u > 0, v > 0
+    ui = np.clip(np.floor(uvd[:, 0]).astype(np.int64), 0, w - 1)
+    vi = np.clip(np.floor(uvd[:, 1]).astype(np.int64), 0, h - 1)
     in_img = (
-        in_front & (uvd[:, 0] >= 0) & (uvd[:, 0] < w) & (uvd[:, 1] >= 0)
-        & (uvd[:, 1] < h)
+        in_front & (np.floor(uvd[:, 0]) > 0) & (uvd[:, 0] < w)
+        & (np.floor(uvd[:, 1]) > 0) & (uvd[:, 1] < h)
     )
     # point-in-mask matrix (N, M)
     in_mask = masks[:, vi, ui].T & in_img[:, None]
     fg = in_mask.any(axis=1)
+    # each real point is ATTRIBUTED to its first containing mask (argmax,
+    # hybrid_radar_pts_vod.py:230/162); the kNN isolation below matches
+    # virtual pixels only against their own mask's attributed points —
+    # overlapping masks must not share depth sources
     point_instance = np.argmax(in_mask, axis=1)  # valid where fg
 
     gk = gaussian_kernel(gauss_shape, gauss_sigma)
@@ -116,50 +122,54 @@ def generate_hybrid_points(masks, mask_labels, raw_points, lidar_to_cam,
         ys, xs = np.nonzero(mask)
         if len(ys) == 0:
             continue
-        hits = np.flatnonzero(in_mask[:, mi])
-        if len(hits):
-            # Gaussian probability map from radar hits (DOA error model)
-            prob = np.zeros((h, w), np.float64)
-            for pi in hits:
-                y0, x0 = int(vi[pi]), int(ui[pi])
-                y1, y2 = max(y0 - r, 0), min(y0 + r + 1, h)
-                x1, x2 = max(x0 - r, 0), min(x0 + r + 1, w)
-                prob[y1:y2, x1:x2] += gk[
-                    y1 - y0 + r : y2 - y0 + r, x1 - x0 + r : x2 - x0 + r
-                ]
-            base = prob[ys, xs] + 1e-6
-            sel_gauss = rng.choice(len(ys), size=n_half, replace=True,
-                                   p=base / base.sum())
-            uni = np.ones(len(ys))
-            uni[sel_gauss] = 0.0
-            n_uni = int(uni.sum())
-            if n_uni == 0:
-                sel_uni = sel_gauss[:0]
-            else:
-                sel_uni = rng.choice(
-                    len(ys), size=min(n_uni, n_half), replace=False,
-                    p=uni / uni.sum(),
-                )
-            sel = np.concatenate([sel_gauss, sel_uni])
-            branch = np.concatenate(
-                [np.zeros(len(sel_gauss), np.int64), np.ones(len(sel_uni), np.int64)]
-            )
-        else:
-            take = min(num_virtual, len(ys))
-            sel = rng.permutation(len(ys))[:take]
-            branch = np.concatenate(
-                [np.zeros(min(take, n_half), np.int64),
-                 np.ones(max(take - n_half, 0), np.int64)]
-            )
-        # kNN depth transfer, instance-isolated: only this mask's radar hits
-        # can match (reference isolates via the x1e4 instance-id offset)
+        # kNN depth transfer is instance-isolated: only radar points
+        # ATTRIBUTED to this mask can match (the reference's x1e4
+        # instance-id offset over argmax-attributed ids). A mask with no
+        # attributed points emits nothing (its isolated kNN distances all
+        # exceed dist_thresh in the reference).
+        hits = np.flatnonzero(fg & (point_instance == mi) & in_mask[:, mi])
         if len(hits) == 0:
-            # no in-mask radar: reference still back-projects via kNN over
-            # ALL fg points (isolation pushes dist > thresh -> dropped);
-            # these virtual pixels produce no output
             continue
+        # Gaussian probability map from radar hits (DOA error model); the
+        # reference's asymmetric slice [x-26 : x+25] puts the 51-kernel
+        # peak one pixel up-left of the radar pixel
+        # (hybrid_radar_pts_vod.py:181-195, round(25.5)=26)
+        prob = np.zeros((h, w), np.float64)
+        for pi in hits:
+            y0, x0 = int(vi[pi]) - 1, int(ui[pi]) - 1
+            y1, y2 = max(y0 - r, 0), min(y0 + r + 1, h)
+            x1, x2 = max(x0 - r, 0), min(x0 + r + 1, w)
+            prob[y1:y2, x1:x2] += gk[
+                y1 - y0 + r : y2 - y0 + r, x1 - x0 + r : x2 - x0 + r
+            ]
+        base = prob[ys, xs] + 1e-6
+        sel_gauss = rng.choice(len(ys), size=n_half, replace=True,
+                               p=base / base.sum())
+        uni = np.ones(len(ys))
+        uni[sel_gauss] = 0.0
+        n_uni = int(uni.sum())
+        if n_uni == 0:
+            sel_uni = sel_gauss[:0]
+        else:
+            sel_uni = rng.choice(
+                len(ys), size=min(n_uni, n_half), replace=False,
+                p=uni / uni.sum(),
+            )
+        sel = np.concatenate([sel_gauss, sel_uni])
+        # pad to num_virtual by repeating the first selection; the pads
+        # land in the uniform/k=4 block (hybrid_radar_pts_vod.py:214-216)
+        # — small masks must still emit the full quota
+        if len(sel) < num_virtual:
+            sel = np.concatenate(
+                [sel, np.full(num_virtual - len(sel), sel[0], np.int64)])
+        branch = np.concatenate(
+            [np.zeros(n_half, np.int64),
+             np.ones(num_virtual - n_half, np.int64)]
+        )
         vpix = np.stack([xs[sel], ys[sel]], axis=1).astype(np.float32)
-        rpix = np.stack([uvd[hits, 0], uvd[hits, 1]], axis=1)
+        # distances against the FLOORED real-point pixels (projectionV2
+        # stores floor()ed coords; the reference kNN runs on those)
+        rpix = np.stack([ui[hits], vi[hits]], axis=1).astype(np.float32)
         d2 = np.linalg.norm(vpix[:, None, :] - rpix[None, :, :], axis=-1)
         order = np.argsort(d2, axis=1)
         for bi, k in ((0, k_gauss), (1, k_uniform)):

@@ -45,6 +45,31 @@ def model_inputs(batch: Dict) -> Dict:
     return {k: batch[k] for k in MODEL_BATCH_KEYS if k in batch}
 
 
+# models whose forward reads batch["anchors"] (detector.py _RPNProposals):
+# every anchor-RPN two-stage family; PointRCNN/MPPNet propose from points
+ANCHOR_INPUT_MODELS = (
+    "PVRCNN", "PV-RCNN", "PVRCNNPlusPlus", "PV-RCNN++",
+    "VoxelRCNN", "SECONDNetIoU", "PartA2Net", "PartA2",
+)
+
+
+def add_init_anchors(inputs: Dict, yaml_cfg, model_cfg) -> Dict:
+    """Inject the flat anchor grid for init/inference of the two-stage
+    families — tools that model.init without it crash with KeyError
+    'anchors'. No-op for every other model."""
+    if yaml_cfg.MODEL.NAME in ANCHOR_INPUT_MODELS:
+        from ..models.anchors import TargetAssigner
+
+        inputs = dict(inputs)
+        inputs["anchors"] = TargetAssigner(
+            [dict(c)
+             for c in yaml_cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+            model_cfg.grid_size, model_cfg.pc_range,
+            class_names=model_cfg.class_names,
+        ).flat_anchors
+    return inputs
+
+
 def device_batch(batch: Dict) -> Dict:
     """Keep only the array leaves a jitted step can consume."""
     import numpy as np

@@ -108,3 +108,26 @@ class TestHybridMesh:
         with mesh:
             got = np.asarray(jax.jit(conv.apply)(var_r, xs))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_shard_indices_equal_length_and_cover():
+    """DistributedSampler semantics: wrap-padded strided shards of EQUAL
+    length per host (collectives would hang on uneven shards); the union
+    covers every frame and zip-interleave + truncate restores frame
+    order."""
+    from hgsfusion_tpu.parallel.multihost import shard_indices_for_host
+
+    # single-process runtime: exercise the static math via process=...
+    import jax
+
+    n_proc = jax.process_count()
+    assert shard_indices_for_host(10, process=0) == list(
+        range(0, 10, n_proc))
+    # simulated multi-host layout check (pure arithmetic)
+    num_frames, n = 10, 4
+    per = (num_frames + n - 1) // n
+    padded = list(range(num_frames)) + list(range(per * n - num_frames))
+    shards = [padded[p::n] for p in range(n)]
+    assert all(len(s) == per for s in shards)
+    merged = [x for tup in zip(*shards) for x in tup][:num_frames]
+    assert merged == list(range(num_frames))

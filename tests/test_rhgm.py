@@ -94,3 +94,42 @@ class TestRHGM:
         np.save(tmp_path / "00000.pkl", out, allow_pickle=True)
         loaded = np.load(tmp_path / "00000.pkl.npy", allow_pickle=True).item()
         assert loaded["virtual_points"].shape == out["virtual_points"].shape
+
+    def test_overlapping_masks_do_not_share_depth_sources(self, rng):
+        """A real point is argmax-ATTRIBUTED to its first containing mask
+        (hybrid_radar_pts_vod.py:162/230); a second, fully-overlapping
+        mask has no attributed points and must emit nothing (the
+        reference's instance-id isolation pushes its kNN distances past
+        dist_thresh)."""
+        masks, labels, pts = self._setup(rng)
+        masks2 = np.concatenate([masks, masks])  # identical duplicate mask
+        labels2 = np.array([0, 3])
+        out = generate_hybrid_points(
+            masks2, labels2, pts, L2C, C2I, num_virtual=40,
+            rng=np.random.RandomState(1),
+        )
+        v = out["virtual_points"]
+        assert len(v) > 0
+        # every virtual point carries mask 0's label; mask 1 emitted none
+        np.testing.assert_allclose(v[:, 3 + 4 + 0], 1.0)
+        assert np.all(v[:, 3 + 4 + 3] == 0.0)
+
+    def test_small_mask_still_emits_full_quota(self, rng):
+        """Selections shorter than num_virtual are padded by repeating the
+        first pick (hybrid_radar_pts_vod.py:214-216), so a tiny mask still
+        yields the full gauss/uniform quota of virtual rows."""
+        masks, labels, pts = self._setup(rng)
+        # shrink the mask to a few pixels around one projected point
+        uvd, _ = project_points_to_image(pts[:1, :3], L2C, C2I)
+        x0, y0 = int(uvd[0, 0]), int(uvd[0, 1])
+        tiny = np.zeros_like(masks)
+        tiny[0, y0 - 1 : y0 + 2, x0 - 1 : x0 + 2] = True  # 9 px
+        out = generate_hybrid_points(
+            tiny, labels, pts, L2C, C2I, num_virtual=40,
+            rng=np.random.RandomState(1),
+        )
+        v = out["virtual_points"]
+        # hits >= 1 -> k taps = min(k, hits); with >=4 hits in the tiny
+        # window this is 20*1 + 20*4 = 100, and never less than
+        # num_virtual when at least one hit exists
+        assert len(v) >= 40, len(v)

@@ -263,3 +263,30 @@ class TestPVRCNNPlusPlus:
                         False, mutable=False)
         assert out.shape == (1, 2, 8)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_add_init_anchors_covers_all_twostage_families():
+    """tools/{test,export,demo,dump_activations}.py crash at model.init
+    with KeyError 'anchors' for any anchor-RPN two-stage family unless the
+    shared helper injects the flat anchor grid (round-2 review: only
+    PVRCNN was special-cased in test.py, none elsewhere)."""
+    from hgsfusion_tpu.config import load_config, model_config_from_yaml
+    from hgsfusion_tpu.train.trainer import (
+        ANCHOR_INPUT_MODELS, add_init_anchors,
+    )
+
+    for cfg_name, expect in [
+        ("configs/voxelrcnn_vod.yaml", True),
+        ("configs/second_iou_vod.yaml", True),
+        ("configs/pvrcnn_vod.yaml", True),
+        ("configs/parta2_vod.yaml", True),
+        ("configs/hgsfusion_vod.yaml", False),
+        ("configs/pointrcnn_vod.yaml", False),
+    ]:
+        cfg = load_config(cfg_name)
+        mc = model_config_from_yaml(cfg)
+        out = add_init_anchors({}, cfg, mc)
+        assert ("anchors" in out) == expect, cfg_name
+        if expect:
+            assert cfg.MODEL.NAME in ANCHOR_INPUT_MODELS
+            assert out["anchors"].ndim == 2

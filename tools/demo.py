@@ -100,8 +100,12 @@ def main():
                             logger=logger)
     model = build_network(cfg, model_cfg)
     batch = dataset.collate_batch([dataset[0]])
+    from hgsfusion_tpu.train.trainer import add_init_anchors
+
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(
-        {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+        add_init_anchors(
+            {k: jnp.asarray(v) for k, v in device_batch(batch).items()},
+            cfg, model_cfg)
     )
     params, stats = variables["params"], variables["batch_stats"]
     if args.ckpt_dir:

@@ -42,7 +42,11 @@ def main():
                             logger=logger)
     model = build_network(cfg, model_cfg)
     batch = dataset.collate_batch([dataset[args.frame]])
-    jb = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+    from hgsfusion_tpu.train.trainer import add_init_anchors
+
+    jb = add_init_anchors(
+        {k: jnp.asarray(v) for k, v in device_batch(batch).items()},
+        cfg, model_cfg)
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(jb)
     if args.ckpt_dir:
         mgr = CheckpointManager(args.ckpt_dir)

@@ -95,9 +95,11 @@ def main():
     example = {k: jnp.asarray(v) for k, v in device_batch(example).items()}
 
     model = build_network(cfg, model_cfg)
+    from hgsfusion_tpu.train.trainer import add_init_anchors
+
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(0), b, False)
-    )(model_inputs(example))
+    )(add_init_anchors(model_inputs(example), cfg, model_cfg))
     params, stats = variables["params"], variables.get("batch_stats", {})
     if args.ckpt_dir:
         mgr = CheckpointManager(args.ckpt_dir)

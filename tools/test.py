@@ -46,6 +46,10 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     from hgsfusion_tpu.eval.kitti_ap import d3_box_overlap
     from hgsfusion_tpu.models.anchors import TargetAssigner
     from hgsfusion_tpu.models.registry import build_network
+    from hgsfusion_tpu.parallel.multihost import (
+        allreduce_host_scalars, merge_anno_lists_across_hosts,
+        shard_indices_for_host,
+    )
     from hgsfusion_tpu.train.trainer import (
         detections_to_pred_dicts, device_batch, make_eval_step,
     )
@@ -86,9 +90,15 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     recall = {t: 0 for t in recall_thresh}
     total_gt = 0
     n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
+    # multi-host: strided equal-length shards; annos merged below
+    # (reference dist_test path, eval_utils.py:265-268). Requires a SHARED
+    # filesystem for the merge tmpdir, like the reference's tmpdir.
+    n_proc = jax.process_count()
+    frame_idxs = (
+        shard_indices_for_host(n) if n_proc > 1 else list(range(n)))
     times = []
-    for i0 in range(0, n, batch_size):
-        idxs = list(range(i0, min(i0 + batch_size, n)))
+    for i0 in range(0, len(frame_idxs), batch_size):
+        idxs = frame_idxs[i0:i0 + batch_size]
         samples = [dataset[j] for j in idxs]
         batch = dataset.collate_batch(samples)
         jb = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
@@ -115,7 +125,17 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
             output_path=result_dir if result_dir else None,
         )
         if (i0 // batch_size) % 50 == 0:
-            logger.info(f"eval {i0}/{n}")
+            logger.info(f"eval {i0}/{len(frame_idxs)}")
+
+    if n_proc > 1:
+        det_annos = merge_anno_lists_across_hosts(
+            det_annos, n,
+            (result_dir or Path("/tmp/hgs_eval")) / "tmpdir")
+        summed = allreduce_host_scalars(
+            {**{f"recall@{t}": recall[t] for t in recall_thresh},
+             "total_gt": total_gt})
+        total_gt = int(summed["total_gt"])
+        recall = {t: int(summed[f"recall@{t}"]) for t in recall_thresh}
 
     if infer_time and times:
         steady = times[2:] or times
@@ -175,14 +195,9 @@ def main():
         k: jnp.asarray(v) for k, v in batch.items()
         if not isinstance(v, list) and k != "batch_size"
     }
-    if cfg.MODEL.NAME in ("PVRCNN", "PV-RCNN"):
-        from hgsfusion_tpu.models.anchors import TargetAssigner
+    from hgsfusion_tpu.train.trainer import add_init_anchors
 
-        init_inputs["anchors"] = TargetAssigner(
-            [dict(c) for c in cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
-            model_cfg.grid_size, model_cfg.pc_range,
-            class_names=model_cfg.class_names,
-        ).flat_anchors
+    init_inputs = add_init_anchors(init_inputs, cfg, model_cfg)
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(
         init_inputs
     )
@@ -237,9 +252,16 @@ def main():
                 evaluated.add(step)
         logger.info(f"evaluated checkpoints: {sorted(evaluated)}")
     else:
+        if args.eval_all:
+            raise SystemExit(
+                "--eval_all requires --ckpt_dir (otherwise only the "
+                "randomly initialized model would be evaluated)")
         if args.ckpt_dir:
             step = args.ckpt_step or CheckpointManager(args.ckpt_dir).latest_step()
             params, batch_stats = load_step(step)
+        else:
+            logger.warning(
+                "no --ckpt_dir: evaluating randomly initialized weights")
         eval_once(params, batch_stats)
 
 

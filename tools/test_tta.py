@@ -120,11 +120,24 @@ def main():
         if i % 20 == 0:
             logger.info(f"tta eval {i}/{n}")
 
-    from hgsfusion_tpu.eval.vod_eval import vod_official_eval
+    # dataset-specific protocol over the AUGMENTED per-variant gts (the
+    # reference's eval_one_epoch_tta scores via dataset.evaluation,
+    # eval_utils.py:303-307; TJ4D must not be scored with the VoD ROI/IoU
+    # protocol)
+    from hgsfusion_tpu.datasets.tj4d import TJ4DDataset
 
-    result_str, result_dict = vod_official_eval(
-        gt_annos, det_annos, dataset.class_names
-    )
+    if isinstance(dataset, TJ4DDataset):
+        from hgsfusion_tpu.eval.tj4d_eval import tj4d_official_eval
+
+        result_str, result_dict = tj4d_official_eval(
+            gt_annos, det_annos, dataset.class_names
+        )
+    else:
+        from hgsfusion_tpu.eval.vod_eval import vod_official_eval
+
+        result_str, result_dict = vod_official_eval(
+            gt_annos, det_annos, dataset.class_names
+        )
     logger.info("\n" + result_str)
     with open(out_dir / "result.pkl", "wb") as f:
         pickle.dump(det_annos, f)

@@ -180,7 +180,26 @@ def main():
     )
 
     ckpt = CheckpointManager(out_dir / "ckpt", max_to_keep=args.max_ckpt_save_num)
-    restored, step0 = ckpt.restore(state, step=args.ckpt and int(args.ckpt))
+    # --ckpt accepts a step number OR a checkpoint-dir path (the reference
+    # CLI takes a .pth path; an orbax dir stands in for that here)
+    resume_step = None
+    if args.ckpt:
+        try:
+            resume_step = int(args.ckpt)
+        except ValueError:
+            ext = CheckpointManager(args.ckpt)
+            raw = ext.manager.restore(ext.latest_step())
+            state = TrainState(
+                params=jax.tree_util.tree_map(
+                    jnp.asarray, raw["params"]),
+                batch_stats=jax.tree_util.tree_map(
+                    jnp.asarray, raw["batch_stats"]),
+                opt_state=state.opt_state, step=state.step,
+            )
+            logger.info(
+                f"loaded weights from {args.ckpt} "
+                f"(step {ext.latest_step()}, fresh optimizer)")
+    restored, step0 = ckpt.restore(state, step=resume_step)
     if restored is not None:
         state = restored
         logger.info(f"auto-resumed from step {step0}")
@@ -229,8 +248,18 @@ def main():
             args.disable_aug_last_epochs > 0 and not aug_disabled
             and step >= (epochs - args.disable_aug_last_epochs) * steps_per_epoch
         ):
-            dataset.data_augmentor.queue = []  # keep only the identity path
-            logger.info("augmentation disabled for the final epochs")
+            # disable only DISABLE_AUG_LIST entries (DisableAugmentationHook,
+            # train_utils.py:257-272) — typically gt_sampling; world
+            # flip/rot/scale stay active in the final epochs
+            hook = cfg.get("HOOK", {}).get("DisableAugmentationHook", {})
+            disable = set(hook.get("DISABLE_AUG_LIST", ["gt_sampling"]))
+            dataset.data_augmentor.queue = [
+                (fn, c) for fn, c in dataset.data_augmentor.queue
+                if c["NAME"] not in disable
+            ]
+            logger.info(
+                f"augmentations {sorted(disable)} disabled for the final "
+                f"epochs")
             aug_disabled = True
         if prof_range and step == prof_range[0]:
             jax.profiler.start_trace(str(out_dir / "profile"))
