@@ -44,10 +44,10 @@ class _WindowAttentionLayer(nn.Module):
             num_heads=self.num_heads, qkv_features=self.features,
             out_features=self.features, dtype=self.dtype, name="attn",
         )(q, q, q, mask=token_valid[:, None, None, :])
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + att)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tokens + att)
         f = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(tokens)
         f = nn.Dense(self.features, dtype=self.dtype, name="ffn2")(nn.relu(f))
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + f)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tokens + f)
         return tokens * token_valid[..., None].astype(tokens.dtype)
 
 

@@ -127,13 +127,13 @@ class _TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         attn_mask = mask[:, None, None, :] & mask[:, None, :, None]
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn",
         )(h, mask=attn_mask)
         x = x + h
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * x.shape[-1], dtype=self.dtype, name="mlp1")(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp2")(nn.gelu(h))
         return x + h

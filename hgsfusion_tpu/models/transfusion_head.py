@@ -70,17 +70,17 @@ class TransformerDecoderLayer(nn.Module):
             num_heads=self.num_heads, qkv_features=self.features,
             out_features=self.features, dtype=self.dtype, name="self_attn",
         )(q, q, q)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query + sa)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(query + sa)
 
         ca = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.features,
             out_features=self.features, dtype=self.dtype, name="cross_attn",
         )(query + qe, key + ke, key + ke)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query + ca)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(query + ca)
 
         f = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(query)
         f = nn.Dense(self.features, dtype=self.dtype, name="linear2")(nn.relu(f))
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(query + f)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(query + f)
 
 
 class _Branch(nn.Module):
@@ -204,8 +204,11 @@ class TransFusionHead(nn.Module):
         q_hm = _Branch(self.num_class, init_bias=-2.19, dtype=self.dtype,
                        name="heatmap")(query_feat, train)
 
+        # gathered from the POST-peak-NMS map (predict:214-217 gathers the
+        # zeroed `heatmap`, not the raw sigmoid): a class's score at a
+        # query cell is nonzero only where that class also peaks there
         q_hm_score = jnp.take_along_axis(
-            heat.transpose(0, 3, 1, 2).reshape(b, self.num_class, h * w),
+            peaks.transpose(0, 3, 1, 2).reshape(b, self.num_class, h * w),
             spatial[:, None, :], axis=-1,
         ).transpose(0, 2, 1)  # (B, P, C)
 

@@ -3138,3 +3138,180 @@ class TestVoxelNeXt2DParity:
         np.testing.assert_array_equal(np.asarray(omask[..., 0]), want_occ)
         np.testing.assert_allclose(
             np.asarray(z).transpose(0, 3, 1, 2), want, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# TransFusionHead (query-based BEVFusion head) parity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_transfusion():
+    """Reference TransFusionHead (dense_heads/transfusion_head.py) on CPU."""
+    from ref_loader import install_reference_packages
+
+    load = install_reference_packages()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    return load("pcdet.models.dense_heads.transfusion_head")
+
+
+def _tf_torch_head(tf_mod, num_class=3, hidden=32, heads=4, ffn=64,
+                   proposals=8, grid=8):
+    from hgsfusion_tpu.config import ConfigDict as CD
+
+    cfg = CD({
+        "TARGET_ASSIGNER_CONFIG": {
+            "FEATURE_MAP_STRIDE": 1, "DATASET": "Waymo",
+            "HUNGARIAN_ASSIGNER": {
+                "cls_cost": {"gamma": 2.0, "alpha": 0.25, "weight": 0.15},
+                "reg_cost": {"weight": 0.25},
+                "iou_cost": {"weight": 0.25},
+            },
+        },
+        "HIDDEN_CHANNEL": hidden, "NUM_PROPOSALS": proposals,
+        "BN_MOMENTUM": 0.1, "NMS_KERNEL_SIZE": 3,
+        "NUM_HEADS": heads, "DROPOUT": 0.0, "ACTIVATION": "relu",
+        "FFN_CHANNEL": ffn, "USE_BIAS_BEFORE_NORM": False,
+        "NUM_HM_CONV": 2,
+        "LOSS_CONFIG": {
+            "LOSS_CLS": {"use_sigmoid": True, "gamma": 2.0, "alpha": 0.25},
+            "LOSS_WEIGHTS": {"cls_weight": 1.0, "bbox_weight": 0.25,
+                             "hm_weight": 1.0},
+        },
+        "SEPARATE_HEAD_CFG": {
+            "HEAD_ORDER": ["center", "height", "dim", "rot"],
+            "HEAD_DICT": {
+                "center": {"out_channels": 2, "num_conv": 2},
+                "height": {"out_channels": 1, "num_conv": 2},
+                "dim": {"out_channels": 3, "num_conv": 2},
+                "rot": {"out_channels": 2, "num_conv": 2},
+            },
+        },
+    })
+    torch.manual_seed(7)
+    head = tf_mod.TransFusionHead(
+        model_cfg=cfg, input_channels=24, num_class=num_class,
+        class_names=["Car", "Pedestrian", "Cyclist"],
+        grid_size=np.array([grid, grid, 1]),
+        point_cloud_range=np.array([0, -3.2, -2.0, 6.4, 3.2, 1.0]),
+        voxel_size=np.array([0.8, 0.8, 3.0]),
+        predict_boxes_when_training=False)
+    return head
+
+
+def _tf_copy_weights(head, params, stats, hidden=32, heads=4):
+    """Map the torch TransFusionHead state onto our flax tree in place."""
+    sd = {k: v.detach().numpy() for k, v in head.state_dict().items()}
+    hd = hidden // heads
+
+    def conv2d(name):  # (O, I, kh, kw) -> (kh, kw, I, O)
+        return sd[name].transpose(2, 3, 1, 0)
+
+    def conv1d_as_dense(name):  # (O, I, 1) -> (I, O)
+        return sd[name][:, :, 0].T
+
+    def bn(dst, prefix):
+        dst_p, dst_s = dst
+        dst_p["scale"] = sd[prefix + ".weight"]
+        dst_p["bias"] = sd[prefix + ".bias"]
+        dst_s["mean"] = sd[prefix + ".running_mean"]
+        dst_s["var"] = sd[prefix + ".running_var"]
+
+    def mha(dst, prefix):
+        ipw = sd[prefix + ".in_proj_weight"]  # (3E, E)
+        ipb = sd[prefix + ".in_proj_bias"]
+        e = ipw.shape[1]
+        for i, part in enumerate(("query", "key", "value")):
+            dst[part]["kernel"] = (
+                ipw[i * e:(i + 1) * e].T.reshape(e, heads, hd))
+            dst[part]["bias"] = ipb[i * e:(i + 1) * e].reshape(heads, hd)
+        dst["out"]["kernel"] = (
+            sd[prefix + ".out_proj.weight"].T.reshape(heads, hd, e))
+        dst["out"]["bias"] = sd[prefix + ".out_proj.bias"]
+
+    def ln(dst, prefix):
+        dst["scale"] = sd[prefix + ".weight"]
+        dst["bias"] = sd[prefix + ".bias"]
+
+    params["shared_conv"]["kernel"] = conv2d("shared_conv.weight")
+    params["shared_conv"]["bias"] = sd["shared_conv.bias"]
+    params["hm_conv1"]["kernel"] = conv2d("heatmap_head.0.conv.weight")
+    bn((params["hm_bn"], stats["hm_bn"]), "heatmap_head.0.bn")
+    params["hm_out"]["kernel"] = conv2d("heatmap_head.1.weight")
+    params["hm_out"]["bias"] = sd["heatmap_head.1.bias"]
+    params["class_encoding"]["kernel"] = conv1d_as_dense(
+        "class_encoding.weight")
+    params["class_encoding"]["bias"] = sd["class_encoding.bias"]
+
+    dec_p, dec_s = params["decoder"], stats["decoder"]
+    for ours, theirs in (("self_posembed", "decoder.self_posembed"),
+                         ("cross_posembed", "decoder.cross_posembed")):
+        pe = theirs + ".position_embedding_head"
+        dec_p[ours]["fc1"]["kernel"] = conv1d_as_dense(pe + ".0.weight")
+        dec_p[ours]["fc1"]["bias"] = sd[pe + ".0.bias"]
+        bn((dec_p[ours]["bn"], dec_s[ours]["bn"]), pe + ".1")
+        dec_p[ours]["fc2"]["kernel"] = conv1d_as_dense(pe + ".3.weight")
+        dec_p[ours]["fc2"]["bias"] = sd[pe + ".3.bias"]
+    mha(dec_p["self_attn"], "decoder.self_attn")
+    mha(dec_p["cross_attn"], "decoder.multihead_attn")
+    for i in (1, 2, 3):
+        ln(dec_p[f"norm{i}"], f"decoder.norm{i}")
+    for lin in ("linear1", "linear2"):
+        dec_p[lin]["kernel"] = sd[f"decoder.{lin}.weight"].T
+        dec_p[lin]["bias"] = sd[f"decoder.{lin}.bias"]
+
+    for name in ("center", "height", "dim", "rot", "heatmap"):
+        t = f"prediction_head.{name}"
+        params[name]["fc"]["kernel"] = conv1d_as_dense(t + ".0.0.weight")
+        bn((params[name]["bn"], stats[name]["bn"]), t + ".0.1")
+        params[name]["out"]["kernel"] = conv1d_as_dense(t + ".1.weight")
+        params[name]["out"]["bias"] = sd[t + ".1.bias"]
+
+
+class TestTransFusionHeadParity:
+    def test_predict_matches_reference(self, ref_transfusion):
+        """Whole predict() pass with copied weights: heatmap head, peak
+        NMS, top-P query selection, class encoding, decoder (learned pos
+        embeds + self/cross attention + FFN), and all prediction branches.
+        Square 8x8 grid: the reference's bev_pos flattening is only
+        well-defined for square maps (create_2D_grid is x-major while the
+        feature flatten is row-major; every shipped config is square)."""
+        import jax
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.transfusion_head import TransFusionHead
+
+        hidden, heads, proposals, grid, num_class = 32, 4, 8, 8, 3
+        head = _tf_torch_head(ref_transfusion, num_class, hidden, heads,
+                              64, proposals, grid)
+        _randomize_bns(head)
+        head.eval()
+        rng = np.random.RandomState(5)
+        x = rng.randn(2, 24, grid, grid).astype(np.float32)
+        with torch.no_grad():
+            ref = head.predict(torch.from_numpy(x))
+
+        ours = TransFusionHead(
+            num_class=num_class, hidden=hidden, num_proposals=proposals,
+            num_heads=heads, ffn=64, nms_kernel_size=3)
+        feats = jnp.asarray(x.transpose(0, 2, 3, 1))
+        variables = ours.init(jax.random.PRNGKey(0), feats, False)
+        params = jax.tree_util.tree_map(np.array, variables["params"])
+        stats = jax.tree_util.tree_map(np.array, variables["batch_stats"])
+        _tf_copy_weights(head, params, stats, hidden, heads)
+        out = ours.apply(
+            {"params": params, "batch_stats": stats}, feats, False)
+
+        np.testing.assert_allclose(
+            np.asarray(out["dense_heatmap"]).transpose(0, 3, 1, 2),
+            ref["dense_heatmap"].numpy(), atol=1e-4,
+            err_msg="dense_heatmap")
+        np.testing.assert_array_equal(
+            np.asarray(out["query_labels"]), head.query_labels.numpy())
+        np.testing.assert_allclose(
+            np.asarray(out["query_heatmap_score"]).transpose(0, 2, 1),
+            ref["query_heatmap_score"].numpy(), atol=1e-5,
+            err_msg="query_heatmap_score")
+        for k in ("center", "height", "dim", "rot", "heatmap"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]).transpose(0, 2, 1), ref[k].numpy(),
+                atol=2e-4, err_msg=k)
