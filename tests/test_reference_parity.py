@@ -3315,3 +3315,114 @@ class TestTransFusionHeadParity:
             np.testing.assert_allclose(
                 np.asarray(out[k]).transpose(0, 2, 1), ref[k].numpy(),
                 atol=2e-4, err_msg=k)
+
+
+class TestWholeGraphTrainLossParity:
+    """TRAIN-mode whole-graph parity: the composed training loss
+    (loss_rpn + loss_occ, caddn.get_training_loss:58-99 with USE_DEPTH
+    False) of the reference flagship chain vs this framework's
+    anchor_head_loss + occupancy_loss on the same frame with copied
+    weights. Train-mode BN uses batch statistics on both sides, so the
+    full forward is deterministic and comparable."""
+
+    def test_losses_match(self):
+        import jax
+        import jax.numpy as jnp
+
+        from hgsfusion_tpu.models.anchor_head import anchor_head_loss
+        from hgsfusion_tpu.models.anchors import TargetAssigner
+        from hgsfusion_tpu.models.detector import (
+            HGSFusionConfig, HGSFusionModel,
+        )
+        from hgsfusion_tpu.models.occupancy import occupancy_loss
+        from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
+
+        rng = np.random.RandomState(11)
+        root = _wg_torch_chain()
+        _randomize_bns(root)
+        root.train()
+        taps, l2c, c2i, pts_list = _wg_batch(rng)
+        b = len(pts_list)
+        # gt boxes inside the tiny range, classes 1..3. Centers stay OFF
+        # exact voxel boundaries: the reference occ-target rasterizer
+        # mixes a float64 pc_range with a float32 voxel_size
+        # (radar_occupancy_2d_v2.py:145-147), so a center exactly on a
+        # cell edge floors to a different cell than pure-f32 math — a
+        # measure-zero ULP tie, not a semantic difference.
+        # ...and irregular offsets/headings also keep the force-match
+        # argmax (gt -> best anchor) free of exact IoU ties, which torch
+        # and jax break differently on symmetric layouts
+        # class-matched gt sizes: a toy gt much smaller than its class's
+        # anchor is contained by MANY anchors at the identical IoU
+        # (inter==gt area), and torch/jax break that argmax tie
+        # differently; realistic sizes give a unique best anchor
+        sizes = [(3.8, 1.5, 1.5), (0.75, 0.62, 1.7), (1.7, 0.58, 1.6)]
+        gt = np.zeros((b, 3, 8), np.float32)
+        for i in range(b):
+            for j in range(3):
+                gt[i, j] = [2.57 + 0.83 * j, -1.03 + 1.09 * j, -0.7,
+                            *sizes[j], 0.11 + 0.3 * j, (j % 3) + 1]
+        _InjectDDN.feats = {
+            f"layer{i + 1}": torch.from_numpy(t) for i, t in enumerate(taps)
+        }
+        points_cat = np.concatenate([
+            np.concatenate([np.full((len(p), 1), i, np.float32), p], axis=1)
+            for i, p in enumerate(pts_list)
+        ])
+        batch_dict = {
+            "batch_size": b,
+            "images": torch.zeros(b, 3, *_WG_IMAGE_HW),
+            "image_shape": torch.tensor([list(_WG_IMAGE_HW)] * b),
+            "trans_lidar_to_cam": torch.from_numpy(l2c),
+            "trans_cam_to_img": torch.from_numpy(c2i),
+            "lidar_aug_matrix": torch.eye(4).repeat(b, 1, 1),
+            "points": torch.from_numpy(points_cat),
+            "gt_boxes": torch.from_numpy(gt),
+        }
+        torch.manual_seed(0)  # dense_head target sampling is deterministic
+        with torch.no_grad():
+            bd = root.fusion_vfe(batch_dict)
+            bd = root.fusion_after_bev(bd)
+            bd = root.dense_head(bd)
+            loss_rpn, tb_rpn = root.dense_head.get_loss()
+            loss_occ = root.fusion_vfe.get_occ_loss()
+        state = {k: v.numpy() for k, v in root.state_dict().items()}
+
+        cfg = HGSFusionConfig(
+            pc_range=tuple(_WG_PC_RANGE), voxel_size=tuple(_WG_VOXEL),
+            image_size=_WG_IMAGE_HW, channel_reduce_out=8,
+            f2v_out_channels=128, disc_num_bins=16, disc_depth_min=1.0,
+            disc_depth_max=6.4, use_depth=False, remat=False)
+        model = HGSFusionModel(cfg=cfg)
+        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=17)
+        batch["gt_boxes"] = jnp.asarray(gt)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        variables, _ = convert_hgsfusion_state(state, variables)
+        preds, _ = model.apply(
+            variables, batch, True, mutable=["batch_stats"])
+
+        assigner = TargetAssigner(
+            [dict(c) for c in _WG_ANCHOR_CFG], cfg.grid_size, cfg.pc_range,
+            class_names=["Car", "Pedestrian", "Cyclist"])
+        targets = assigner(batch["gt_boxes"])
+        lw = {"cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+              "code_weights": [1.0] * 7}
+        rpn, tb = anchor_head_loss(
+            preds, targets, assigner.flat_anchors, 3, lw)
+        occ = occupancy_loss(
+            preds["occupancy"], batch["gt_boxes"], cfg.grid_size,
+            cfg.pc_range, cfg.voxel_size)
+
+        assert float(loss_rpn) > 0 and float(loss_occ) > 0  # non-vacuous
+        np.testing.assert_allclose(
+            float(rpn), float(loss_rpn), rtol=2e-3, err_msg="loss_rpn")
+        np.testing.assert_allclose(
+            float(occ), float(loss_occ), rtol=2e-3, err_msg="loss_occ")
+        # per-term breakdown pins cls/loc/dir individually
+        for ours_k, ref_k in (("rpn_loss_cls", "rpn_loss_cls"),
+                              ("rpn_loss_loc", "rpn_loss_loc"),
+                              ("rpn_loss_dir", "rpn_loss_dir")):
+            if ref_k in tb_rpn:
+                np.testing.assert_allclose(
+                    float(tb[ours_k]), float(tb_rpn[ref_k]), rtol=2e-3,
+                    err_msg=ours_k)
