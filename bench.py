@@ -28,9 +28,12 @@ REF_A100_FPS = 18.0  # roofline estimate; see BASELINE.md "Reference A100 roofli
 TARGET_MULTIPLIER = 3.0
 
 
-def main(dataset: str = "vod"):
+def main(dataset: str = "vod", batch_size: int = 1):
     """dataset: 'vod' (driver default) or 'tj4d' (python bench.py --tj4d —
-    the second headline config: 216x248 grid, 4 classes, 31-wide reader)."""
+    the second headline config: 216x248 grid, 4 classes, 31-wide reader).
+    batch_size: --batch N (XLA-sampler B=2 OOMs on v5e — 18.3G frustum
+    intermediates vs 15.75G HBM; the VMEM-resident pallas sampler variant
+    removes those buffers, so B=2 is worth measuring there)."""
     import jax
 
     from __graft_entry__ import _vod_flagship
@@ -39,7 +42,7 @@ def main(dataset: str = "vod"):
     from hgsfusion_tpu.models.detector import post_process
 
     config_path = f"configs/hgsfusion_{dataset}.yaml"
-    model, cfg, batch = _vod_flagship(config_path=config_path)
+    model, cfg, batch = _vod_flagship(config_path=config_path, b=batch_size)
     yaml_cfg = load_config(config_path)
     anchor_cfg = [dict(c) for c in yaml_cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG]
     assigner = TargetAssigner(
@@ -83,10 +86,11 @@ def main(dataset: str = "vod"):
         rates.append(iters * batch["images"].shape[0] / dt)
     fps = sorted(rates)[1]
 
+    tag = "" if batch_size == 1 else f"_b{batch_size}"
     print(
         json.dumps(
             {
-                "metric": f"hgsfusion_{dataset}_e2e_inference",
+                "metric": f"hgsfusion_{dataset}{tag}_e2e_inference",
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / (TARGET_MULTIPLIER * REF_A100_FPS), 4),
@@ -99,6 +103,13 @@ if __name__ == "__main__":
     import sys
 
     # --tj4d (second headline config) or --<any> -> configs/hgsfusion_<any>.yaml
-    # (e.g. --vod_pallas for the Pallas f2v sampler variant)
-    arg = next((a.lstrip("-") for a in sys.argv[1:] if a.startswith("--")), None)
-    main(arg or "vod")
+    # (e.g. --vod_pallas for the Pallas f2v sampler variant);
+    # --batch N for batched serving measurements
+    args = sys.argv[1:]
+    bsz = 1
+    if "--batch" in args:
+        i = args.index("--batch")
+        bsz = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    arg = next((a.lstrip("-") for a in args if a.startswith("--")), None)
+    main(arg or "vod", batch_size=bsz)
