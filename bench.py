@@ -107,9 +107,20 @@ if __name__ == "__main__":
     # --batch N for batched serving measurements
     args = sys.argv[1:]
     bsz = 1
-    if "--batch" in args:
-        i = args.index("--batch")
-        bsz = int(args[i + 1])
-        args = args[:i] + args[i + 2:]
-    arg = next((a.lstrip("-") for a in args if a.startswith("--")), None)
+    rest = []
+    skip = False
+    for i, a in enumerate(args):
+        if skip:
+            skip = False
+            continue
+        if a == "--batch":
+            if i + 1 >= len(args):
+                raise SystemExit("--batch requires a value (e.g. --batch 2)")
+            bsz = int(args[i + 1])
+            skip = True
+        elif a.startswith("--batch="):
+            bsz = int(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    arg = next((a.lstrip("-") for a in rest if a.startswith("--")), None)
     main(arg or "vod", batch_size=bsz)

@@ -268,6 +268,12 @@ def model_config_from_yaml(cfg: ConfigDict):
         use_depth=image_vfe.get("USE_DEPTH", True),
         center_feature_map_stride=tgt.get("FEATURE_MAP_STRIDE", 2),
         center_max_k=post.get("MAX_OBJ_PER_SAMPLE", 500),
+        # TransFusion peak-pool exemptions follow TARGET_ASSIGNER_CONFIG.
+        # DATASET (transfusion_head.py predict:168-176): nuScenes exempts
+        # classes 8,9 (Pedestrian/Traffic_cone), Waymo 1,2 (Ped/Cyc), any
+        # other dataset (VoD/TJ4D) pools ALL classes
+        tf_no_pool_classes={"nuScenes": (8, 9), "Waymo": (1, 2)}.get(
+            tgt.get("DATASET", ""), ()),
         center_gaussian_overlap=tgt.get("GAUSSIAN_OVERLAP", 0.1),
         center_min_radius=tgt.get("MIN_RADIUS", 2),
         center_post_limit=tuple(

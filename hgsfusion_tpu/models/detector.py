@@ -135,6 +135,9 @@ class HGSFusionConfig:
     # POST_PROCESSING defaults)
     center_feature_map_stride: int = 2
     center_max_k: int = 500
+    # TransFusion peak-pool exemptions by dataset rule (empty = pool all,
+    # the VoD/TJ4D behavior; see config.py tf_no_pool_classes)
+    tf_no_pool_classes: Tuple[int, ...] = ()
     center_gaussian_overlap: float = 0.1
     center_min_radius: int = 2
     center_post_limit: Tuple[float, ...] = (
@@ -652,6 +655,7 @@ class BEVFusionModel(nn.Module):
         )(fused, train)
         return TransFusionHead(
             num_class=cfg.num_class, num_proposals=cfg.center_max_k,
+            no_pool_classes=cfg.tf_no_pool_classes,
             dtype=cfg.dtype, name="dense_head",
         )(feats, train)
 
@@ -1185,6 +1189,7 @@ class TransFusionModel(nn.Module):
         )
         return TransFusionHead(
             num_class=cfg.num_class, num_proposals=cfg.center_max_k,
+            no_pool_classes=cfg.tf_no_pool_classes,
             dtype=cfg.dtype, name="dense_head",
         )(feats, train)
 

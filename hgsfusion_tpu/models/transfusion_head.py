@@ -123,9 +123,10 @@ class TransFusionHead(nn.Module):
     num_heads: int = 8
     ffn: int = 256
     nms_kernel_size: int = 3
-    # classes exempt from peak pooling (small objects; the reference's
-    # Waymo rule exempts Pedestrian=1, Cyclist=2)
-    no_pool_classes: Tuple[int, ...] = (1, 2)
+    # classes exempt from peak pooling, per TARGET_ASSIGNER_CONFIG.DATASET
+    # (predict:168-176): nuScenes (8, 9), Waymo (1, 2), anything else —
+    # incl. the shipped VoD/TJ4D configs — pools ALL classes (empty)
+    no_pool_classes: Tuple[int, ...] = ()
     dtype: object = None
 
     @nn.compact

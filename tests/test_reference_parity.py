@@ -2180,15 +2180,18 @@ def _wg_batch(rng, b=2, num_pt=17):
 
 def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
             class_names=("Car", "Pedestrian", "Cyclist"), seed=3,
-            reader_dataset="vod"):
+            reader_dataset="vod", train=False, gt_boxes=None):
     """Build + run the reference chain once; return
-    (state_dict, inputs, outputs)."""
+    (state_dict, inputs, outputs). train=True runs the chain in training
+    mode (batch-stat BN, dense-head target assignment) with `gt_boxes`
+    (B, N, 8) in the batch; outputs then also carry the root module under
+    'root' for get_loss calls."""
     rng = np.random.RandomState(seed)
     root = _wg_torch_chain(num_pt=num_pt, reader_in=reader_in,
                            anchor_cfg=anchor_cfg, class_names=class_names,
                            reader_dataset=reader_dataset)
     _randomize_bns(root)
-    root.eval()
+    root.train() if train else root.eval()
     taps, l2c, c2i, pts_list = _wg_batch(rng, num_pt=num_pt)
     b = len(pts_list)
     _InjectDDN.feats = {
@@ -2207,6 +2210,9 @@ def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
         "lidar_aug_matrix": torch.eye(4).repeat(b, 1, 1),
         "points": torch.from_numpy(points_cat),
     }
+    if gt_boxes is not None:
+        batch_dict["gt_boxes"] = torch.from_numpy(gt_boxes)
+    torch.manual_seed(0)  # dense_head target sampling determinism
     with torch.no_grad():
         bd = root.fusion_vfe(batch_dict)
         bd = root.fusion_after_bev(bd)
@@ -2220,9 +2226,12 @@ def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
         # (radar_occupancy_2d_v2.py:306-317)
         "gated_bev": bd["spatial_features"].numpy(),
         "fused": bd["spatial_features_2d"].numpy(),
-        "batch_cls_preds": bd["batch_cls_preds"].numpy(),
-        "batch_box_preds": bd["batch_box_preds"].numpy(),
     }
+    if train:
+        outs["root"] = root
+    else:
+        outs["batch_cls_preds"] = bd["batch_cls_preds"].numpy()
+        outs["batch_box_preds"] = bd["batch_box_preds"].numpy()
     return state, (taps, l2c, c2i, pts_list), outs
 
 
@@ -3155,12 +3164,12 @@ def ref_transfusion():
 
 
 def _tf_torch_head(tf_mod, num_class=3, hidden=32, heads=4, ffn=64,
-                   proposals=8, grid=8):
+                   proposals=8, grid=8, dataset="Waymo"):
     from hgsfusion_tpu.config import ConfigDict as CD
 
     cfg = CD({
         "TARGET_ASSIGNER_CONFIG": {
-            "FEATURE_MAP_STRIDE": 1, "DATASET": "Waymo",
+            "FEATURE_MAP_STRIDE": 1, "DATASET": dataset,
             "HUNGARIAN_ASSIGNER": {
                 "cls_cost": {"gamma": 2.0, "alpha": 0.25, "weight": 0.15},
                 "reg_cost": {"weight": 0.25},
@@ -3268,9 +3277,15 @@ def _tf_copy_weights(head, params, stats, hidden=32, heads=4):
 
 
 class TestTransFusionHeadParity:
-    def test_predict_matches_reference(self, ref_transfusion):
+    @pytest.mark.parametrize("dataset,no_pool", [
+        ("Waymo", (1, 2)),   # Ped/Cyc exempt from peak pooling
+        ("VoD", ()),         # the shipped configs: pool ALL classes
+    ])
+    def test_predict_matches_reference(self, ref_transfusion, dataset,
+                                       no_pool):
         """Whole predict() pass with copied weights: heatmap head, peak
-        NMS, top-P query selection, class encoding, decoder (learned pos
+        NMS (incl. the per-DATASET pool-exemption rule, predict:168-176),
+        top-P query selection, class encoding, decoder (learned pos
         embeds + self/cross attention + FFN), and all prediction branches.
         Square 8x8 grid: the reference's bev_pos flattening is only
         well-defined for square maps (create_2D_grid is x-major while the
@@ -3282,7 +3297,7 @@ class TestTransFusionHeadParity:
 
         hidden, heads, proposals, grid, num_class = 32, 4, 8, 8, 3
         head = _tf_torch_head(ref_transfusion, num_class, hidden, heads,
-                              64, proposals, grid)
+                              64, proposals, grid, dataset=dataset)
         _randomize_bns(head)
         head.eval()
         rng = np.random.RandomState(5)
@@ -3292,7 +3307,8 @@ class TestTransFusionHeadParity:
 
         ours = TransFusionHead(
             num_class=num_class, hidden=hidden, num_proposals=proposals,
-            num_heads=heads, ffn=64, nms_kernel_size=3)
+            num_heads=heads, ffn=64, nms_kernel_size=3,
+            no_pool_classes=no_pool)
         feats = jnp.asarray(x.transpose(0, 2, 3, 1))
         variables = ours.init(jax.random.PRNGKey(0), feats, False)
         params = jax.tree_util.tree_map(np.array, variables["params"])
@@ -3337,12 +3353,7 @@ class TestWholeGraphTrainLossParity:
         from hgsfusion_tpu.models.occupancy import occupancy_loss
         from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
 
-        rng = np.random.RandomState(11)
-        root = _wg_torch_chain()
-        _randomize_bns(root)
-        root.train()
-        taps, l2c, c2i, pts_list = _wg_batch(rng)
-        b = len(pts_list)
+        b = 2
         # gt boxes inside the tiny range, classes 1..3. Centers stay OFF
         # exact voxel boundaries: the reference occ-target rasterizer
         # mixes a float64 pc_range with a float32 voxel_size
@@ -3362,31 +3373,12 @@ class TestWholeGraphTrainLossParity:
             for j in range(3):
                 gt[i, j] = [2.57 + 0.83 * j, -1.03 + 1.09 * j, -0.7,
                             *sizes[j], 0.11 + 0.3 * j, (j % 3) + 1]
-        _InjectDDN.feats = {
-            f"layer{i + 1}": torch.from_numpy(t) for i, t in enumerate(taps)
-        }
-        points_cat = np.concatenate([
-            np.concatenate([np.full((len(p), 1), i, np.float32), p], axis=1)
-            for i, p in enumerate(pts_list)
-        ])
-        batch_dict = {
-            "batch_size": b,
-            "images": torch.zeros(b, 3, *_WG_IMAGE_HW),
-            "image_shape": torch.tensor([list(_WG_IMAGE_HW)] * b),
-            "trans_lidar_to_cam": torch.from_numpy(l2c),
-            "trans_cam_to_img": torch.from_numpy(c2i),
-            "lidar_aug_matrix": torch.eye(4).repeat(b, 1, 1),
-            "points": torch.from_numpy(points_cat),
-            "gt_boxes": torch.from_numpy(gt),
-        }
-        torch.manual_seed(0)  # dense_head target sampling is deterministic
+        state, (taps, l2c, c2i, pts_list), outs = _wg_run(
+            seed=11, train=True, gt_boxes=gt)
+        root = outs["root"]
         with torch.no_grad():
-            bd = root.fusion_vfe(batch_dict)
-            bd = root.fusion_after_bev(bd)
-            bd = root.dense_head(bd)
             loss_rpn, tb_rpn = root.dense_head.get_loss()
             loss_occ = root.fusion_vfe.get_occ_loss()
-        state = {k: v.numpy() for k, v in root.state_dict().items()}
 
         cfg = HGSFusionConfig(
             pc_range=tuple(_WG_PC_RANGE), voxel_size=tuple(_WG_VOXEL),
