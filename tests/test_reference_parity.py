@@ -3341,7 +3341,8 @@ class TestWholeGraphTrainLossParity:
     weights. Train-mode BN uses batch statistics on both sides, so the
     full forward is deterministic and comparable."""
 
-    def test_losses_match(self):
+    @pytest.mark.parametrize("family", ["vod", "tj4d"])
+    def test_losses_match(self, family):
         import jax
         import jax.numpy as jnp
 
@@ -3353,6 +3354,16 @@ class TestWholeGraphTrainLossParity:
         from hgsfusion_tpu.models.occupancy import occupancy_loss
         from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
 
+        if family == "vod":
+            num_pt, reader_in = 17, 29
+            anchor_cfg, classes = _WG_ANCHOR_CFG, ("Car", "Pedestrian",
+                                                   "Cyclist")
+            extra_cfg = {}
+        else:  # the 31-wide split reader + 4-class anchor-order quirk
+            num_pt, reader_in = 18, 31
+            anchor_cfg, classes = _WG_TJ4D_ANCHOR_CFG, _WG_TJ4D_CLASSES
+            extra_cfg = dict(num_point_features=18, reader_num_input=31,
+                             num_anchors_per_location=8)
         b = 2
         # gt boxes inside the tiny range, classes 1..3. Centers stay OFF
         # exact voxel boundaries: the reference occ-target rasterizer
@@ -3374,19 +3385,22 @@ class TestWholeGraphTrainLossParity:
                 gt[i, j] = [2.57 + 0.83 * j, -1.03 + 1.09 * j, -0.7,
                             *sizes[j], 0.11 + 0.3 * j, (j % 3) + 1]
         state, (taps, l2c, c2i, pts_list), outs = _wg_run(
-            seed=11, train=True, gt_boxes=gt)
+            num_pt=num_pt, reader_in=reader_in, anchor_cfg=anchor_cfg,
+            class_names=classes, seed=11, reader_dataset=family,
+            train=True, gt_boxes=gt)
         root = outs["root"]
         with torch.no_grad():
             loss_rpn, tb_rpn = root.dense_head.get_loss()
             loss_occ = root.fusion_vfe.get_occ_loss()
 
         cfg = HGSFusionConfig(
+            class_names=classes,
             pc_range=tuple(_WG_PC_RANGE), voxel_size=tuple(_WG_VOXEL),
             image_size=_WG_IMAGE_HW, channel_reduce_out=8,
             f2v_out_channels=128, disc_num_bins=16, disc_depth_min=1.0,
-            disc_depth_max=6.4, use_depth=False, remat=False)
+            disc_depth_max=6.4, use_depth=False, remat=False, **extra_cfg)
         model = HGSFusionModel(cfg=cfg)
-        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=17)
+        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=num_pt)
         batch["gt_boxes"] = jnp.asarray(gt)
         variables = model.init(jax.random.PRNGKey(0), batch, False)
         variables, _ = convert_hgsfusion_state(state, variables)
@@ -3394,13 +3408,13 @@ class TestWholeGraphTrainLossParity:
             variables, batch, True, mutable=["batch_stats"])
 
         assigner = TargetAssigner(
-            [dict(c) for c in _WG_ANCHOR_CFG], cfg.grid_size, cfg.pc_range,
-            class_names=["Car", "Pedestrian", "Cyclist"])
+            [dict(c) for c in anchor_cfg], cfg.grid_size, cfg.pc_range,
+            class_names=list(classes))
         targets = assigner(batch["gt_boxes"])
         lw = {"cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
               "code_weights": [1.0] * 7}
         rpn, tb = anchor_head_loss(
-            preds, targets, assigner.flat_anchors, 3, lw)
+            preds, targets, assigner.flat_anchors, len(classes), lw)
         occ = occupancy_loss(
             preds["occupancy"], batch["gt_boxes"], cfg.grid_size,
             cfg.pc_range, cfg.voxel_size)
