@@ -280,7 +280,12 @@ def timed(fn, args, iters=ITERS, perturb_arg=0):
         a = list(a)
         for i in range(iters):
             out = fn(*a)
-            acc = acc + out[0, 0].astype(jnp.float32)
+            # FULL-array reduction: consuming only out[0, 0] lets XLA's
+            # slice-sinker shrink the elementwise combine to ~one row for
+            # the XLA baseline while pallas_call stays opaque — an
+            # asymmetric comparison. sum(out) forces materialization for
+            # every variant at identical (~ms-level) cost.
+            acc = acc + jnp.sum(out.astype(jnp.float32))
             x = a[perturb_arg]
             z = (0,) * x.ndim
             a[perturb_arg] = x.at[z].set((x[z] + 1) % 4)
@@ -338,11 +343,42 @@ def main():
                     blk, *rest, cq=cq), (blkw, idxw, tablew, w4w),
                 perturb_arg=3)
             print(f"{name}: pallas windowed    {t_w * 1e3:8.2f} ms "
-                  f"({t_w / N_PAD * 1e9:.2f} ns/row)", flush=True)
+                  f"({t_w / N_PAD * 1e9:.2f} ns/row) "
+                  f"[UPPER BOUND: block-local synthetic indices; the real "
+                  f"grid violates the window invariant — not shippable "
+                  f"without an overflow pass]", flush=True)
         except Exception as e:
             msg = str(e).splitlines()[0][:200]
             print(f"{name}: pallas windowed FAILED: {msg}", flush=True)
+        # PRODUCTION kernels (ops/pallas_sample) on the same inputs: the
+        # microbench bodies unroll differently than the shipped fori_loop
+        # (unroll=8) kernels, so the layout verdict must be confirmed on
+        # the exact code that ships
+        try:
+            from hgsfusion_tpu.ops import pallas_sample as PS
+
+            t_prod = timed(
+                lambda i_, t_, w_: PS._gather_combine(
+                    i_, t_, w_.astype(jnp.float32), N_PAD, c),
+                (idx, table, w4))
+            print(f"{name}: PRODUCTION rows    {t_prod * 1e3:8.2f} ms "
+                  f"({t_prod / N_PAD * 1e9:.2f} ns/row)", flush=True)
+        except Exception as e:
+            print(f"{name}: PRODUCTION rows FAILED: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
         table4 = jnp.transpose(table.reshape(p, 4, c), (1, 0, 2))
+        try:
+            from hgsfusion_tpu.ops import pallas_sample as PS
+
+            t_prod4 = timed(
+                lambda i_, t_, w_: PS._gather_combine_planes(
+                    i_, t_, w_.astype(jnp.float32), N_PAD, c),
+                (idx, table4, w4))
+            print(f"{name}: PRODUCTION planes  {t_prod4 * 1e3:8.2f} ms "
+                  f"({t_prod4 / N_PAD * 1e9:.2f} ns/row)", flush=True)
+        except Exception as e:
+            print(f"{name}: PRODUCTION planes FAILED: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
         for unroll in (4, 8):
             try:
                 t_p = timed(

@@ -39,14 +39,19 @@ CASES = [
 
 
 def make_inputs(p, cq):
-    rng = np.random.RandomState(0)
+    # f32 generation: rng.randn would materialize an 18 GB float64
+    # (N_PAD, 768) intermediate before the bf16 cast and can OOM the host
+    # before the first measurement
+    rng = np.random.default_rng(0)
     win = min(2048, p)
-    base = rng.randint(0, p - win + 1, size=(N_PAD // TILE, 1))
-    jitter = rng.randint(0, win, size=(N_PAD // TILE, TILE))
+    base = rng.integers(0, p - win + 1, size=(N_PAD // TILE, 1))
+    jitter = rng.integers(0, win, size=(N_PAD // TILE, TILE))
     idx = (base + jitter).reshape(-1).astype(np.int32)
-    upd = rng.randn(N_PAD, cq).astype(jnp.bfloat16)
-    ct = rng.randn(N_PAD, cq // 4).astype(jnp.bfloat16)
-    w4 = rng.rand(N_PAD, 4).astype(jnp.bfloat16)
+    upd = rng.standard_normal((N_PAD, cq), dtype=np.float32).astype(
+        jnp.bfloat16)
+    ct = rng.standard_normal((N_PAD, cq // 4), dtype=np.float32).astype(
+        jnp.bfloat16)
+    w4 = rng.random((N_PAD, 4), dtype=np.float32).astype(jnp.bfloat16)
     return jnp.asarray(idx), jnp.asarray(upd), jnp.asarray(ct), jnp.asarray(w4)
 
 
@@ -144,7 +149,7 @@ def timed(fn, args, iters=ITERS):
         idx = a[0]
         for i in range(iters):
             out = fn(idx, *a[1:])
-            acc = acc + out[0, 0].astype(jnp.float32)
+            acc = acc + jnp.sum(out.astype(jnp.float32))  # full materialization
             idx = idx.at[0].set((idx[0] + 1) % 8)  # defeat CSE, O(1)
         return acc
 
@@ -166,6 +171,32 @@ def main():
                      (idx, ct, w4))
         print(f"{name}: XLA outer+scatter  {t_xo * 1e3:8.2f} ms "
               f"({t_xo / N_PAD * 1e9:.1f} ns/row)", flush=True)
+        # PRODUCTION backward kernels on the same inputs (the shipped
+        # fori_loop unroll=8 bodies, both layouts)
+        try:
+            from hgsfusion_tpu.ops import pallas_sample as PS
+
+            t_pr = timed(
+                lambda i_, c_, w_: PS._scatter_outer(
+                    i_, c_, w_.astype(jnp.float32), p, cq // 4),
+                (idx, ct, w4))
+            print(f"{name}: PRODUCTION rows    {t_pr * 1e3:8.2f} ms "
+                  f"({t_pr / N_PAD * 1e9:.1f} ns/row)", flush=True)
+        except Exception as e:
+            print(f"{name}: PRODUCTION rows FAILED: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
+        try:
+            from hgsfusion_tpu.ops import pallas_sample as PS
+
+            t_pp = timed(
+                lambda i_, c_, w_: PS._scatter_outer_planes(
+                    i_, c_, w_.astype(jnp.float32), p, cq // 4),
+                (idx, ct, w4))
+            print(f"{name}: PRODUCTION planes  {t_pp * 1e3:8.2f} ms "
+                  f"({t_pp / N_PAD * 1e9:.1f} ns/row)", flush=True)
+        except Exception as e:
+            print(f"{name}: PRODUCTION planes FAILED: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
         for fn, tag in ((pallas_scatter, "premat"),
                         (pallas_scatter_outer, "outer ")):
             args = (idx, upd) if tag == "premat" else (idx, ct, w4)

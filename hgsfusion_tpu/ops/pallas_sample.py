@@ -34,6 +34,7 @@ multi-chip becomes worth it.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,11 +53,19 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 # per query, lane slices at c-multiples); "planes" keeps 4 separate tap
 # planes ((4, P, c): no lane slicing, one dynamic middle-dim read). Both
 # are numerically identical; the on-chip microbench picks the one Mosaic
-# lowers faster (_bench_gather_pallas.py).
-LAYOUT = "rows"
+# lowers faster (_bench_gather_pallas.py). Env-overridable so an on-chip
+# Mosaic rejection is recoverable by a RERUN, not a source edit:
+#   HGS_PALLAS_LAYOUT=planes python bench.py --vod_pallas
+LAYOUT = os.environ.get("HGS_PALLAS_LAYOUT", "rows")
 
 
 def _interpret() -> bool:
+    # HGS_PALLAS_INTERPRET=1 forces interpret mode even on a TPU host —
+    # needed for CPU-forced parity scripts (jax.default_device(cpu)) while
+    # the default backend is the TPU, where Mosaic lowering would fail
+    force = os.environ.get("HGS_PALLAS_INTERPRET")
+    if force is not None:
+        return force not in ("0", "false", "")
     return jax.default_backend() != "tpu"
 
 
@@ -64,20 +73,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _num_passes(p_pad: int, c: int, itemsize: int) -> int:
+def _num_passes(p_pad: int, c: int, itemsize: int,
+                layout: str | None = None) -> int:
     """Channel-split pass count: smallest split of c (already padded to a
     multiple of 32 => 128-lane quad rows) whose per-pass table fits the
-    budget."""
+    budget, measured in PHYSICAL VMEM bytes: Mosaic pads the lane
+    (last) dimension to 128, so the planes layout's (4, P, ck) table
+    allocates 4 * P * round_up(ck, 128) * itemsize — channel-splitting
+    below ck=128 cannot shrink it further."""
     assert c % 32 == 0, c
+    layout = LAYOUT if layout is None else layout
     for passes in (1, 2, 4, 8):
         ck = c // passes
         if c % passes or ck % 32:
             continue
-        if p_pad * 4 * ck * itemsize <= TABLE_BUDGET_BYTES:
+        if layout == "planes":
+            phys = 4 * p_pad * _round_up(ck, 128) * itemsize
+        else:  # rows: lane dim 4*ck, a 128-multiple whenever ck % 32 == 0
+            phys = p_pad * _round_up(4 * ck, 128) * itemsize
+        if phys <= TABLE_BUDGET_BYTES:
             return passes
     raise ValueError(
         f"no channel split of c={c} fits the VMEM table budget "
-        f"TABLE_BUDGET_BYTES={TABLE_BUDGET_BYTES} at rows={p_pad}; "
+        f"TABLE_BUDGET_BYTES={TABLE_BUDGET_BYTES} at rows={p_pad} "
+        f"(layout={layout}; planes floors at round_up(ck,128) lanes); "
         f"lower the budget granularity or use SAMPLER_KERNEL: xla")
 
 
@@ -89,12 +108,16 @@ def _gather_combine(idx, table, w4, n_pad: int, c: int):
         def body(i, carry):
             r = idx_ref[i]
             row = table_ref[r, :]
-            w = w_ref[pl.ds(i, 1), :]
+            # per-row tap weights come from SMEM as true scalars (the
+            # guide's scalar-memory pattern): a dynamic vector-to-scalar
+            # extract from a VMEM block is a lowering Mosaic may reject
+            # or serialize; SMEM scalar reads are free
+            dt = row.dtype
             out_ref[pl.ds(i, 1), :] = (
-                row[0 * c : 1 * c] * w[0, 0]
-                + row[1 * c : 2 * c] * w[0, 1]
-                + row[2 * c : 3 * c] * w[0, 2]
-                + row[3 * c : 4 * c] * w[0, 3]
+                row[0 * c : 1 * c] * w_ref[i, 0].astype(dt)
+                + row[1 * c : 2 * c] * w_ref[i, 1].astype(dt)
+                + row[2 * c : 3 * c] * w_ref[i, 2].astype(dt)
+                + row[3 * c : 4 * c] * w_ref[i, 3].astype(dt)
             )[None, :]
             return carry
 
@@ -108,7 +131,7 @@ def _gather_combine(idx, table, w4, n_pad: int, c: int):
             pl.BlockSpec((p_pad, cq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -126,10 +149,12 @@ def _gather_combine_planes(idx, table4, w4, n_pad: int, c: int):
         def body(i, carry):
             r = idx_ref[i]
             rows = table_ref[:, r, :]  # (4, c)
-            w = w_ref[pl.ds(i, 1), :]
+            dt = rows.dtype
             out_ref[pl.ds(i, 1), :] = (
-                rows[0] * w[0, 0] + rows[1] * w[0, 1]
-                + rows[2] * w[0, 2] + rows[3] * w[0, 3]
+                rows[0] * w_ref[i, 0].astype(dt)
+                + rows[1] * w_ref[i, 1].astype(dt)
+                + rows[2] * w_ref[i, 2].astype(dt)
+                + rows[3] * w_ref[i, 3].astype(dt)
             )[None, :]
             return carry
 
@@ -143,7 +168,7 @@ def _gather_combine_planes(idx, table4, w4, n_pad: int, c: int):
             pl.BlockSpec((4, p_pad, c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -167,8 +192,10 @@ def _scatter_outer_planes(idx, ct, w4, p_pad: int, c: int):
         def body(i, carry):
             r = idx_ref[i]
             g = ct_ref[pl.ds(i, 1), :]
-            w = w_ref[pl.ds(i, 1), :]
-            out_ref[:, r, :] += g * w[0, :, None]
+            dt = g.dtype
+            w = jnp.stack([w_ref[i, 0].astype(dt), w_ref[i, 1].astype(dt),
+                           w_ref[i, 2].astype(dt), w_ref[i, 3].astype(dt)])
+            out_ref[:, r, :] += g * w[:, None]
             return carry
 
         jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
@@ -181,7 +208,7 @@ def _scatter_outer_planes(idx, ct, w4, p_pad: int, c: int):
             pl.BlockSpec((TILE, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((4, p_pad, c), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -205,9 +232,10 @@ def _scatter_outer(idx, ct, w4, p_pad: int, c: int):
         def body(i, carry):
             r = idx_ref[i]
             g = ct_ref[pl.ds(i, 1), :]
-            w = w_ref[pl.ds(i, 1), :]
+            dt = g.dtype
             row = jnp.concatenate(
-                [g * w[0, 0], g * w[0, 1], g * w[0, 2], g * w[0, 3]],
+                [g * w_ref[i, 0].astype(dt), g * w_ref[i, 1].astype(dt),
+                 g * w_ref[i, 2].astype(dt), g * w_ref[i, 3].astype(dt)],
                 axis=-1)
             out_ref[pl.ds(r, 1), :] += row
             return carry
@@ -222,7 +250,7 @@ def _scatter_outer(idx, ct, w4, p_pad: int, c: int):
             pl.BlockSpec((TILE, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((p_pad, 4 * c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -262,7 +290,9 @@ def _indices(coords, b, h, w, m, dtype):
     flat, w4 = _quad_idx_weights(coords.reshape(b, -1, 2), h, w, dtype)
     p0 = hp * wp
     idx = (flat + jnp.arange(b, dtype=jnp.int32)[:, None] * p0).reshape(-1)
-    w4 = jnp.stack(w4, axis=-1).reshape(-1, 4)
+    # f32 weights: SMEM scalar reads; cast to the data dtype per use so
+    # numerics match the previous bf16 VMEM staging exactly
+    w4 = jnp.stack(w4, axis=-1).reshape(-1, 4).astype(jnp.float32)
     n = b * m
     n_pad = _round_up(n, TILE)
     if n_pad != n:

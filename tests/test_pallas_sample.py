@@ -50,18 +50,40 @@ def test_forward_bf16_flagship_dtype():
 
 
 def test_channel_split_passes(monkeypatch):
-    """Force the channel-split path and check it still matches exactly."""
+    """Force the channel-split path and check it still matches exactly.
+
+    The budget math counts PHYSICAL VMEM (lane dim padded to 128), so the
+    planes layout cannot split below ck=128 — its forced-split case needs
+    a 256-channel table (ck=128 per pass), while rows splits 128 -> 2x64.
+    """
     rng = np.random.RandomState(2)
-    feats = jnp.asarray(rng.randn(1, 6, 8, 128).astype(np.float32))
+    c = 128 if pallas_sample.LAYOUT == "rows" else 256
+    feats = jnp.asarray(rng.randn(1, 6, 8, c).astype(np.float32))
     coords = _coords(rng, (1, 12, 11, 2))
     ref = grid_sample_2d_quad(feats, coords)
     p_pad = pallas_sample._round_up((6 + 1) * (8 + 1), 16)
-    budget = p_pad * 4 * 64 * 4  # exactly two f32 passes of 64ch
+    if pallas_sample.LAYOUT == "rows":
+        budget = p_pad * 4 * 64 * 4  # exactly two f32 passes of 64ch
+    else:
+        budget = 4 * p_pad * 128 * 4  # two planes passes of ck=128
     monkeypatch.setattr(pallas_sample, "TABLE_BUDGET_BYTES", budget)
-    assert pallas_sample._num_passes(p_pad, 128, 4) == 2
+    assert pallas_sample._num_passes(p_pad, c, 4) == 2
     got = grid_sample_2d_quad_pallas(feats, coords)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_planes_split_floor(monkeypatch):
+    """Splitting below 128 lanes is a physical no-op for planes: the
+    budget check must FAIL LOUDLY (suggesting the xla fallback) instead of
+    picking a split that still over-allocates VMEM and dies in Mosaic."""
+    p_pad = 1024
+    floor = 4 * p_pad * 128 * 2  # bf16, ck<=128 all cost this much
+    monkeypatch.setattr(pallas_sample, "TABLE_BUDGET_BYTES", floor - 1)
+    with pytest.raises(ValueError, match="SAMPLER_KERNEL: xla"):
+        pallas_sample._num_passes(p_pad, 128, 2, layout="planes")
+    monkeypatch.setattr(pallas_sample, "TABLE_BUDGET_BYTES", floor)
+    assert pallas_sample._num_passes(p_pad, 128, 2, layout="planes") == 1
 
 
 def test_non_multiple_of_32_channels():
