@@ -28,6 +28,33 @@ REF_A100_FPS = 18.0  # roofline estimate; see BASELINE.md "Reference A100 roofli
 TARGET_MULTIPLIER = 3.0
 
 
+def probe_backend(timeout_s: int | None = None):
+    """Bound JAX backend init so an unreachable TPU tunnel yields a readable
+    diagnostic instead of a hang + 30-line traceback (the round-2 failure
+    mode). The dead-tunnel hang happens inside a blocking C (grpc) call, so
+    SIGALRM never delivers in-process — the probe must be a killable child
+    process. Raises TimeoutError on hang, RuntimeError on backend-init error.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("HGS_BENCH_PROBE_TIMEOUT", "240"))
+    if timeout_s <= 0:
+        raise TimeoutError("jax backend init exceeded 0s")
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        raise TimeoutError(f"jax backend init exceeded {timeout_s}s")
+    if res.returncode != 0:
+        tail = (res.stderr.strip().splitlines() or ["backend init failed"])[-1]
+        raise RuntimeError(tail)
+
+
 def main(dataset: str = "vod", batch_size: int = 1):
     """dataset: 'vod' (driver default) or 'tj4d' (python bench.py --tj4d —
     the second headline config: 216x248 grid, 4 classes, 31-wide reader).
@@ -123,4 +150,26 @@ if __name__ == "__main__":
         else:
             rest.append(a)
     arg = next((a.lstrip("-") for a in rest if a.startswith("--")), None)
-    main(arg or "vod", batch_size=bsz)
+    dataset = arg or "vod"
+    try:
+        probe_backend()
+        main(dataset, batch_size=bsz)
+    except BaseException as e:  # noqa: BLE001 — one legible line, always
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        reason = "tpu-unavailable" if isinstance(e, TimeoutError) else type(e).__name__
+        first_line = str(e).strip().splitlines()[0] if str(e).strip() else ""
+        tag = "" if bsz == 1 else f"_b{bsz}"
+        print(
+            json.dumps(
+                {
+                    "metric": f"hgsfusion_{dataset}{tag}_e2e_inference",
+                    "value": 0.0,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": reason,
+                    "detail": first_line[:200],
+                }
+            )
+        )
+        raise SystemExit(1)

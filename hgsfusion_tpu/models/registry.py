@@ -54,6 +54,12 @@ DETECTORS = {
     "PartA2Net": PartA2Model,  # part-aware/aggregation two-stage
     "PartA2": PartA2Model,
     "MPPNet": MPPNetModel,  # multi-frame trajectory refinement
+    # Reference registers both names (pcdet/models/detectors/__init__.py:13,33).
+    # MPPNetE2E differs only in inference bookkeeping (stateful FIFO memory
+    # bank); the same fixed-window module serves both — the streaming path is
+    # the functional mppnet.MPPNetStreamState + mppnet_stream_step, tested
+    # equal to this forward (tests/test_mppnet.py TestMPPNetStreaming).
+    "MPPNetE2E": MPPNetModel,
 }
 
 

@@ -210,9 +210,11 @@ def _quad_idx_weights(coords, h, w, dtype):
 def _q8_sample_impl(features, coords, compute_dtype):
     """int8-payload quad sample: returns (out_unscaled, scale).
 
-    out_unscaled = sum_tap w_tap * q_tap in compute_dtype — integer-valued
-    magnitudes <= 127, exact in bfloat16 — so the caller dequantizes by
-    folding `scale` (C,) into whatever linear op consumes the samples
+    out_unscaled = sum_tap w_tap * q_tap in compute_dtype. The int8 payload
+    values q_tap (magnitudes <= 127) are exact in bfloat16; the tap weights
+    are fractional, so the combine itself rounds exactly like the bf16
+    exact-path combine (same numerics, smaller gather payload). The caller
+    dequantizes by folding `scale` (C,) into whatever linear op consumes the samples
     (e.g. kernel_rows * scale[:, None]); dequantization commutes with the
     bilinear tap combine because the scale is per-channel.
     """

@@ -43,7 +43,12 @@ def shard_indices_for_host(num_frames: int, process: int | None = None
     n = jax.process_count()
     per = (num_frames + n - 1) // n
     idxs = list(range(num_frames))
-    idxs = idxs + idxs[: per * n - num_frames]
+    # torch DistributedSampler repeats the whole list as many times as needed
+    # (indices * ceil(pad/len)): a single slice-pad under-fills when
+    # num_frames < n, yielding UNEQUAL shards that the zip-interleaved merge
+    # then truncates to the shortest (dropping frames) — ADVICE r2.
+    target = per * n
+    idxs = (idxs * ((target + num_frames - 1) // num_frames))[:target]
     return idxs[p::n]
 
 

@@ -7,10 +7,13 @@ sharding-aware checkpoints instead of CPU-tensor pickles.
 """
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Optional
 
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
 
 
 class CheckpointManager:
@@ -29,6 +32,11 @@ class CheckpointManager:
         # duplicate, and the end-of-training flush routinely lands on the
         # step the epoch-boundary save just wrote (tools/train.py)
         if step in self.manager.all_steps():
+            # visible, not silent: a caller saving genuinely NEW state at an
+            # already-saved step keeps the older state (ADVICE r2)
+            logger.info(
+                "checkpoint step %d already exists in %s — skipping save "
+                "(existing state kept)", step, self.ckpt_dir)
             if wait:
                 self.manager.wait_until_finished()
             return

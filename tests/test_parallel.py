@@ -131,3 +131,26 @@ def test_shard_indices_equal_length_and_cover():
     assert all(len(s) == per for s in shards)
     merged = [x for tup in zip(*shards) for x in tup][:num_frames]
     assert merged == list(range(num_frames))
+
+
+def test_shard_indices_fewer_frames_than_hosts(monkeypatch):
+    """num_frames < process_count (e.g. a --max_frames smoke run on many
+    hosts) must still yield EQUAL, non-empty shards via whole-list repetition
+    (torch DistributedSampler repeats indices * ceil(pad/len)); a single
+    slice-pad under-fills and the zip-merge then drops frames (ADVICE r2)."""
+    import jax
+
+    from hgsfusion_tpu.parallel.multihost import shard_indices_for_host
+
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    num_frames = 3
+    shards = [shard_indices_for_host(num_frames, process=p) for p in range(8)]
+    assert all(len(s) == 1 for s in shards)  # per = ceil(3/8) = 1
+    merged = [x for tup in zip(*shards) for x in tup][:num_frames]
+    assert merged == list(range(num_frames))
+    # and the classic case is unchanged
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    shards = [shard_indices_for_host(10, process=p) for p in range(4)]
+    assert all(len(s) == 3 for s in shards)
+    merged = [x for tup in zip(*shards) for x in tup][:10]
+    assert merged == list(range(10))
