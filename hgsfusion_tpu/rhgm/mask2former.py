@@ -12,13 +12,17 @@ Architecture (Mask2Former, Cheng et al. 2022):
 - backbone: SwinTransformer (reused from models/swin.py — the reference
   config is swin-L cityscapes instance, maskformer2_swin_large_IN21k
   per hybrid_radar_pts_vod.py:54);
-- pixel decoder: FPN variant (BasePixelDecoder) — lateral 1x1 + GN,
-  top-down sum, 3x3 + GN + ReLU per level, and a final 3x3 producing
-  stride-4 mask features. (Deviation: the swin-L config uses the
-  MSDeformAttn pixel decoder; the FPN decoder is the paper's documented
-  base variant and is gather-free, which is the TPU-native choice —
-  deformable attention's per-pixel bilinear taps are exactly the
-  scattered-gather pattern XLA:TPU executes worst.)
+- pixel decoder: TWO variants, selected by `pixel_decoder`:
+  * "msdeform" (default) — MSDeformAttnPixelDecoder, the decoder the
+    reference's swin-L checkpoint was trained with: 6-layer deformable-
+    attention encoder over res5/res4/res3 + one FPN step onto res2.
+    Required for importing the published weights
+    (train/torch_convert.py convert_mask2former_state).
+  * "fpn" — BasePixelDecoder (lateral 1x1 + GN, top-down sum, 3x3 + GN +
+    ReLU per level). Gather-free, the TPU-friendliest choice for
+    self-trained weights — deformable attention's per-pixel bilinear
+    taps are a scattered-gather pattern; fine for this offline tool,
+    wrong for a hot path.
 - transformer decoder: 100 learned queries, 9 post-norm layers cycling
   over the 3 lowest-resolution pixel-decoder scales, each layer =
   masked cross-attention (attention restricted to the foreground of the
@@ -123,6 +127,212 @@ class PixelDecoderFPN(nn.Module):
         mask_features = nn.Conv(self.mask_dim, (3, 3), dtype=self.dtype,
                                 name="mask_features")(outs[-1])
         return mask_features, outs[:3]  # strides 32, 16, 8
+
+
+def _deform_sample_level(value, loc):
+    """Bilinear-sample one value level at deformable sampling locations.
+
+    value: (B, H, W, heads, dh); loc: (B, Q, heads, P, 2) normalized (x, y)
+    in [0, 1]. torch semantics: F.grid_sample(grid=2*loc-1, bilinear,
+    padding_mode='zeros', align_corners=False) — pixel coords
+    px = loc_x*W - 0.5 — exactly Deformable DETR's
+    ms_deform_attn_core_pytorch (the published checkpoints were trained
+    with the CUDA kernel, which matches this fallback bitwise-closely).
+    Returns (B, Q, heads, P, dh).
+    """
+    b, h, w, nh, dh = value.shape
+    q, p = loc.shape[1], loc.shape[3]
+    px = loc[..., 0] * w - 0.5
+    py = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = px - x0
+    ty = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    v = value.reshape(b, h * w, nh, dh).transpose(0, 2, 1, 3)  # (B,nh,HW,dh)
+    out = jnp.zeros((b, q, nh, p, dh), value.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0i + dx
+            yi = y0i + dy
+            wgt = (tx if dx else 1 - tx) * (ty if dy else 1 - ty)
+            inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            idxf = idx.transpose(0, 2, 1, 3).reshape(b, nh, q * p)
+            tap = jnp.take_along_axis(v, idxf[..., None], axis=2)
+            tap = tap.reshape(b, nh, q, p, dh).transpose(0, 2, 1, 3, 4)
+            out = out + tap * (wgt * inb)[..., None]
+    return out
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable attention (Deformable DETR, Zhu et al. 2021)
+    — the self-attention of the MSDeformAttn pixel-decoder encoder.
+
+    Param names mirror the published module (ms_deform_attn.py:
+    sampling_offsets / attention_weights / value_proj / output_proj) so the
+    checkpoint converter maps 1:1.
+    """
+
+    d_model: int = 256
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, reference_points, value_levels):
+        """query (B, Q, C) [already pos-embedded]; reference_points
+        (B, Q, n_levels, 2) normalized (x, y); value_levels: list of
+        (B, H_l, W_l, C) UN-pos-embedded sources. Returns (B, Q, C)."""
+        c, nh, nl, npt = self.d_model, self.n_heads, self.n_levels, \
+            self.n_points
+        dh = c // nh
+        b, q = query.shape[:2]
+        offsets = nn.Dense(nh * nl * npt * 2, dtype=self.dtype,
+                           name="sampling_offsets")(query)
+        offsets = offsets.reshape(b, q, nh, nl, npt, 2)
+        attn = nn.Dense(nh * nl * npt, dtype=self.dtype,
+                        name="attention_weights")(query)
+        attn = jax.nn.softmax(
+            attn.reshape(b, q, nh, nl * npt), axis=-1
+        ).reshape(b, q, nh, nl, npt)
+        value_proj = nn.Dense(c, dtype=self.dtype, name="value_proj")
+        acc = jnp.zeros((b, q, nh, dh), query.dtype)
+        for l, v in enumerate(value_levels):
+            hl, wl = v.shape[1:3]
+            val = value_proj(v).reshape(b, hl, wl, nh, dh)
+            norm = jnp.asarray([wl, hl], query.dtype)
+            loc = (reference_points[:, :, None, l, None, :]
+                   + offsets[:, :, :, l] / norm)
+            tap = _deform_sample_level(val, loc)  # (B, Q, nh, P, dh)
+            acc = acc + (tap * attn[:, :, :, l, :, None]).sum(axis=3)
+        return nn.Dense(c, dtype=self.dtype, name="output_proj")(
+            acc.reshape(b, q, c))
+
+
+class _MSDeformEncoderLayer(nn.Module):
+    """MSDeformAttnTransformerEncoderLayer: deformable self-attn + FFN,
+    post-norm, ReLU (msdeformattn.py encoder; d_ffn=1024)."""
+
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, value_levels):
+        y = MSDeformAttn(
+            d_model=self.d_model, n_levels=self.n_levels,
+            n_heads=self.n_heads, n_points=self.n_points, dtype=self.dtype,
+            name="self_attn",
+        )(src + pos, reference_points, value_levels)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + y)
+        y = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
+        y = nn.Dense(self.d_model, dtype=self.dtype,
+                     name="linear2")(nn.relu(y))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + y)
+
+
+class PixelDecoderMSDeform(nn.Module):
+    """MSDeformAttnPixelDecoder — the pixel decoder the published swin-L
+    checkpoints actually use (mask2former/modeling/pixel_decoder/
+    msdeformattn.py; selected by the reference's generation config,
+    hybrid_radar_pts_vod.py:54).
+
+    A 6-layer deformable-attention encoder runs over the 3 coarsest scales
+    (res5, res4, res3 after 1x1+GN input projections), then one FPN step
+    fuses the stride-8 output with res2 (adapter_1 lateral 1x1+GN,
+    layer_1 3x3+GN+ReLU) and mask_features is a plain 3x3 conv.
+
+    inputs: NHWC features stride-ascending ([res2, res3, res4, res5]).
+    Returns (mask_features (B, H/4, W/4, mask_dim), [stride-32, -16, -8
+    encoder maps] for the transformer decoder) — same contract as
+    PixelDecoderFPN.
+    """
+
+    conv_dim: int = 256
+    mask_dim: int = 256
+    enc_layers: int = 6
+    n_heads: int = 8
+    n_points: int = 4
+    d_ffn: int = 1024
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        c = self.conv_dim
+        b = inputs[0].shape[0]
+        # transformer levels, coarsest first: res5, res4, res3
+        levels = inputs[:0:-1]
+        nl = len(levels)
+        srcs, poss, hws = [], [], []
+        for i, f in enumerate(levels):
+            # nn.Sequential(Conv2d(in, c, 1), GroupNorm(32, c)) — conv HAS
+            # bias here (plain nn.Conv2d), unlike the d2 norm-fused convs
+            y = nn.Conv(c, (1, 1), dtype=self.dtype,
+                        name=f"input_proj_{i}_conv")(f)
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                             name=f"input_proj_{i}_gn")(y)
+            h, w = y.shape[1:3]
+            srcs.append(y.reshape(b, h * w, c))
+            poss.append(jnp.asarray(
+                sine_position_embedding(h, w, c), self.dtype
+            ).reshape(1, h * w, c))
+            hws.append((h, w))
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (nl, c))
+        pos_flat = jnp.concatenate(
+            [p + level_embed[i][None, None] for i, p in enumerate(poss)],
+            axis=1)
+        src_flat = jnp.concatenate(srcs, axis=1)
+        # reference point of each query = its own normalized pixel center,
+        # identical across sampling levels (valid_ratios == 1: no padding
+        # mask in this single-image pipeline)
+        refs = []
+        for (h, w) in hws:
+            ry, rx = np.meshgrid(
+                (np.arange(h, dtype=np.float32) + 0.5) / h,
+                (np.arange(w, dtype=np.float32) + 0.5) / w, indexing="ij")
+            refs.append(np.stack([rx, ry], -1).reshape(-1, 2))
+        ref_points = jnp.asarray(np.concatenate(refs, 0))[None, :, None, :]
+        ref_points = jnp.broadcast_to(ref_points, (b,) + ref_points.shape[1:3]
+                                      + (2,)).astype(self.dtype)
+
+        x = src_flat
+        for li in range(self.enc_layers):
+            # value levels are the CURRENT x re-split into maps (the encoder
+            # re-reads its own output each layer)
+            vals, start = [], 0
+            for (h, w) in hws:
+                vals.append(x[:, start:start + h * w].reshape(b, h, w, c))
+                start += h * w
+            x = _MSDeformEncoderLayer(
+                d_model=c, d_ffn=self.d_ffn, n_levels=nl,
+                n_heads=self.n_heads, n_points=self.n_points,
+                dtype=self.dtype, name=f"encoder_layer_{li}",
+            )(x, pos_flat, ref_points, vals)
+
+        outs, start = [], 0
+        for (h, w) in hws:
+            outs.append(x[:, start:start + h * w].reshape(b, h, w, c))
+            start += h * w
+        # one FPN step onto stride 4 (res2): d2 norm-fused convs, bias-free
+        lat = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="adapter_1")(inputs[0])
+        lat = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                           name="adapter_1_gn")(lat)
+        y = lat + resize_bilinear(outs[-1], lat.shape[1:3])
+        y = nn.Conv(c, (3, 3), use_bias=False, dtype=self.dtype,
+                    name="layer_1")(y)
+        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                 dtype=self.dtype, name="layer_1_gn")(y))
+        mask_features = nn.Conv(self.mask_dim, (3, 3), dtype=self.dtype,
+                                name="mask_features")(y)
+        return mask_features, outs  # strides 32, 16, 8
 
 
 class _MHA(nn.Module):
@@ -272,6 +482,13 @@ class Mask2FormerInstance(nn.Module):
     dec_heads: int = 8
     dec_layers: int = 9
     dim_feedforward: int = 2048
+    # "msdeform" = MSDeformAttnPixelDecoder, what the published swin-L
+    # checkpoint was trained with (required for weight import); "fpn" =
+    # the gather-free BasePixelDecoder variant (TPU-friendliest, for
+    # self-trained weights).
+    pixel_decoder: str = "msdeform"
+    pd_enc_layers: int = 6   # TRANSFORMER_ENC_LAYERS (msdeform only)
+    pd_ffn: int = 1024       # encoder d_ffn, 1024 in the published config
     dtype: object = jnp.float32
 
     @nn.compact
@@ -282,10 +499,17 @@ class Mask2FormerInstance(nn.Module):
             out_indices=(0, 1, 2, 3), drop_path_rate=0.0,
             dtype=self.dtype, name="backbone",
         )(images, train)
-        mask_features, scales = PixelDecoderFPN(
-            conv_dim=self.hidden_dim, mask_dim=self.hidden_dim,
-            dtype=self.dtype, name="pixel_decoder",
-        )(feats)
+        if self.pixel_decoder == "msdeform":
+            mask_features, scales = PixelDecoderMSDeform(
+                conv_dim=self.hidden_dim, mask_dim=self.hidden_dim,
+                enc_layers=self.pd_enc_layers, d_ffn=self.pd_ffn,
+                dtype=self.dtype, name="pixel_decoder",
+            )(feats)
+        else:
+            mask_features, scales = PixelDecoderFPN(
+                conv_dim=self.hidden_dim, mask_dim=self.hidden_dim,
+                dtype=self.dtype, name="pixel_decoder",
+            )(feats)
         cls, masks = MaskedTransformerDecoder(
             num_classes=self.num_classes, hidden_dim=self.hidden_dim,
             num_queries=self.num_queries, num_heads=self.dec_heads,

@@ -341,3 +341,210 @@ def convert_hgsfusion_state(state: Dict[str, np.ndarray], variables):
             unmatched.append(k)
     report = {"copied": copied, "missing": missing, "unmatched": unmatched}
     return {"params": p, "batch_stats": s}, report
+
+
+# ---------------------------------------------------------------------------
+# Mask2Former (RHGM mask source): published swin-L checkpoint -> flax
+# ---------------------------------------------------------------------------
+
+def load_d2_checkpoint(path):
+    """Load a detectron2-format checkpoint: .pkl ({"model": {k: ndarray}})
+    or a torch .pth — the published Mask2Former weights ship as .pkl
+    (the reference's generation pipeline consumes them via detectron2,
+    hybrid_radar_pts_vod.py:34-42)."""
+    p = str(path)
+    if p.endswith(".pkl"):
+        import pickle
+
+        with open(p, "rb") as f:
+            ckpt = pickle.load(f, encoding="latin1")
+        state = ckpt.get("model", ckpt)
+        return {k: np.asarray(v) for k, v in state.items()}
+    return load_torch_state_dict(p)
+
+
+def _swin_merge_perm(c: int) -> np.ndarray:
+    """Input-channel permutation for PatchMerging weights: microsoft swin
+    concatenates position-major ([x(0::2,0::2); x(1::2,0::2); x(0::2,1::2);
+    x(1::2,1::2)] -> index pos*C + c), our flax PatchMerging mirrors mmcv's
+    nn.Unfold (channel-major, index c*4 + kh*2 + kw). perm[i_ours] = i_ms."""
+    pos_rank = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+    perm = np.empty(4 * c, np.int64)
+    for i in range(4 * c):
+        ch, r = divmod(i, 4)
+        kh, kw = divmod(r, 2)
+        perm[i] = pos_rank[(kh, kw)] * c + ch
+    return perm
+
+
+def convert_mask2former_state(state: Dict[str, np.ndarray], variables):
+    """Published Mask2Former checkpoint (detectron2 key structure:
+    backbone.* microsoft-swin, sem_seg_head.pixel_decoder.* MSDeformAttn,
+    sem_seg_head.predictor.* MultiScaleMaskedTransformerDecoder) ->
+    variables for rhgm.mask2former.Mask2FormerInstance(pixel_decoder=
+    'msdeform').
+
+    Architecture hyperparameters (depths, out indices, layer counts) are
+    derived from the flax `variables` template, so the same mapping serves
+    the tiny test model and the real swin-L. Returns (variables, report);
+    report lists copied/missing/unmatched keys — a checkpoint/model
+    mismatch shows up there, not as a silent partial load.
+    """
+    import re
+
+    import jax
+    from flax.core import unfreeze
+
+    params = jax.tree_util.tree_map(np.asarray, unfreeze(variables["params"]))
+    copied, missing, unmatched = [], [], []
+    used = set()
+
+    def get(key):
+        used.add(key)
+        return np.asarray(state[key])
+
+    def put(path, value):
+        node = params
+        for k in path[:-1]:
+            node = node[k]
+        tgt = node[path[-1]]
+        if tuple(tgt.shape) != tuple(value.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: model "
+                f"{tuple(tgt.shape)} vs checkpoint {tuple(value.shape)}")
+        node[path[-1]] = value.astype(tgt.dtype)
+        copied.append("/".join(path))
+
+    def try_(fn, *a):
+        try:
+            fn(*a)
+        except KeyError as e:
+            missing.append(str(e))
+
+    def ln(path, key):
+        try_(put, path + ("scale",), get(key + ".weight"))
+        try_(put, path + ("bias",), get(key + ".bias"))
+
+    def dense(path, key, bias=True):
+        try_(put, path + ("kernel",), _linear(get(key + ".weight")))
+        if bias:
+            try_(put, path + ("bias",), get(key + ".bias"))
+
+    def conv(path, key, bias=True):
+        try_(put, path + ("kernel",), _conv(get(key + ".weight")))
+        if bias:
+            try_(put, path + ("bias",), get(key + ".bias"))
+
+    # ---- backbone (microsoft swin naming) -------------------------------
+    bb = params["backbone"]
+    conv(("backbone", "patch_embed", "projection"),
+         "backbone.patch_embed.proj")
+    ln(("backbone", "patch_embed", "norm"), "backbone.patch_embed.norm")
+    stages: Dict[int, int] = {}
+    for k in bb:
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", k)
+        if m:
+            s, b = int(m.group(1)), int(m.group(2))
+            stages[s] = max(stages.get(s, 0), b + 1)
+    for s in sorted(stages):
+        for b in range(stages[s]):
+            t = f"backbone.layers.{s}.blocks.{b}"
+            o = ("backbone", f"stage{s}_block{b}")
+            ln(o + ("norm1",), t + ".norm1")
+            ln(o + ("norm2",), t + ".norm2")
+            try_(put, o + ("attn", "w_msa", "relative_position_bias_table"),
+                 get(t + ".attn.relative_position_bias_table"))
+            dense(o + ("attn", "w_msa", "qkv"), t + ".attn.qkv")
+            dense(o + ("attn", "w_msa", "proj"), t + ".attn.proj")
+            dense(o + ("ffn", "fc1"), t + ".mlp.fc1")
+            dense(o + ("ffn", "fc2"), t + ".mlp.fc2")
+        if f"downsample{s}" in bb:
+            t = f"backbone.layers.{s}.downsample"
+            w = _linear(get(t + ".reduction.weight"))  # (4C, 2C)
+            perm = _swin_merge_perm(w.shape[0] // 4)
+            try_(put, ("backbone", f"downsample{s}", "reduction", "kernel"),
+                 w[perm])
+            nw, nb = get(t + ".norm.weight"), get(t + ".norm.bias")
+            try_(put, ("backbone", f"downsample{s}", "norm", "scale"),
+                 nw[perm])
+            try_(put, ("backbone", f"downsample{s}", "norm", "bias"),
+                 nb[perm])
+    for k in bb:
+        m = re.fullmatch(r"norm(\d+)", k)
+        if m:
+            ln(("backbone", k), f"backbone.norm{m.group(1)}")
+
+    # ---- pixel decoder (MSDeformAttnPixelDecoder) ------------------------
+    pd = params["pixel_decoder"]
+    pfx = "sem_seg_head.pixel_decoder"
+    n_proj = sum(1 for k in pd if re.fullmatch(r"input_proj_\d+_conv", k))
+    for i in range(n_proj):
+        conv(("pixel_decoder", f"input_proj_{i}_conv"),
+             f"{pfx}.input_proj.{i}.0")
+        ln(("pixel_decoder", f"input_proj_{i}_gn"), f"{pfx}.input_proj.{i}.1")
+    try_(put, ("pixel_decoder", "level_embed"),
+         get(f"{pfx}.transformer.level_embed"))
+    n_enc = sum(1 for k in pd if re.fullmatch(r"encoder_layer_\d+", k))
+    for li in range(n_enc):
+        t = f"{pfx}.transformer.encoder.layers.{li}"
+        o = ("pixel_decoder", f"encoder_layer_{li}")
+        for sub in ("sampling_offsets", "attention_weights", "value_proj",
+                    "output_proj"):
+            dense(o + ("self_attn", sub), f"{t}.self_attn.{sub}")
+        ln(o + ("norm1",), t + ".norm1")
+        ln(o + ("norm2",), t + ".norm2")
+        dense(o + ("linear1",), t + ".linear1")
+        dense(o + ("linear2",), t + ".linear2")
+    conv(("pixel_decoder", "adapter_1"), f"{pfx}.adapter_1", bias=False)
+    ln(("pixel_decoder", "adapter_1_gn"), f"{pfx}.adapter_1.norm")
+    conv(("pixel_decoder", "layer_1"), f"{pfx}.layer_1", bias=False)
+    ln(("pixel_decoder", "layer_1_gn"), f"{pfx}.layer_1.norm")
+    conv(("pixel_decoder", "mask_features"), f"{pfx}.mask_features")
+
+    # ---- transformer decoder (predictor) ---------------------------------
+    td = params["transformer_decoder"]
+    pfx = "sem_seg_head.predictor"
+    for name in ("query_feat", "query_embed", "level_embed"):
+        try_(put, ("transformer_decoder", name), get(f"{pfx}.{name}.weight"))
+
+    def mha(o_path, t_key):
+        w = get(t_key + ".in_proj_weight")  # (3C, C) rows [Wq; Wk; Wv]
+        bvec = get(t_key + ".in_proj_bias")
+        c = w.shape[1]
+        for i, sub in enumerate(("q", "k", "v")):
+            try_(put, o_path + (sub, "kernel"),
+                 _linear(w[i * c:(i + 1) * c]))
+            try_(put, o_path + (sub, "bias"), bvec[i * c:(i + 1) * c])
+        dense(o_path + ("proj",), t_key + ".out_proj")
+
+    n_dec = sum(1 for k in td if re.fullmatch(r"layer\d+_cross", k))
+    for li in range(n_dec):
+        mha(("transformer_decoder", f"layer{li}_cross"),
+            f"{pfx}.transformer_cross_attention_layers.{li}.multihead_attn")
+        ln(("transformer_decoder", f"layer{li}_cross_norm"),
+           f"{pfx}.transformer_cross_attention_layers.{li}.norm")
+        mha(("transformer_decoder", f"layer{li}_self"),
+            f"{pfx}.transformer_self_attention_layers.{li}.self_attn")
+        ln(("transformer_decoder", f"layer{li}_self_norm"),
+           f"{pfx}.transformer_self_attention_layers.{li}.norm")
+        dense(("transformer_decoder", f"layer{li}_ffn0"),
+              f"{pfx}.transformer_ffn_layers.{li}.linear1")
+        dense(("transformer_decoder", f"layer{li}_ffn1"),
+              f"{pfx}.transformer_ffn_layers.{li}.linear2")
+        ln(("transformer_decoder", f"layer{li}_ffn_norm"),
+           f"{pfx}.transformer_ffn_layers.{li}.norm")
+    ln(("transformer_decoder", "decoder_norm"), f"{pfx}.decoder_norm")
+    dense(("transformer_decoder", "class_embed"), f"{pfx}.class_embed")
+    for i in range(3):
+        dense(("transformer_decoder", "mask_embed", f"fc{i}"),
+              f"{pfx}.mask_embed.layers.{i}")
+
+    _SKIP = ("relative_position_index", "attn_mask", "empty_weight",
+             "pixel_mean", "pixel_std")
+    for k in state:
+        if k not in used and not any(s in k for s in _SKIP):
+            unmatched.append(k)
+    report = {"copied": copied, "missing": missing, "unmatched": unmatched}
+    out = dict(variables)
+    out["params"] = params
+    return out, report

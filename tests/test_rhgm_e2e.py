@@ -210,3 +210,36 @@ class TestGenerateHybridPointsCLI:
         d = np.load(out / "00000.pkl.npy", allow_pickle=True).item()
         assert set(d) == {"virtual_points", "real_points"}
         assert d["virtual_points"].shape[1] == 15
+
+    def test_model_source_with_published_ckpt_format(self, tmp_path):
+        """image -> CONVERTED published-format checkpoint -> masks ->
+        virtual points: a detectron2 .pkl with the real key structure
+        (tests/ref_mask2former.py) drives --mask_source model --ckpt,
+        including the reference's ResizeShortestEdge step."""
+        import pickle
+
+        import torch
+
+        from ref_mask2former import Mask2FormerTorch
+
+        torch.manual_seed(3)
+        ref = Mask2FormerTorch(
+            embed_dim=32, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+            window_size=4, hidden_dim=64, num_queries=20, nheads=8,
+            dim_feedforward=128, dec_layers=3, enc_layers=2, num_classes=8)
+        state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        ckpt = tmp_path / "model_final.pkl"
+        with open(ckpt, "wb") as f:
+            pickle.dump({"model": state}, f)
+
+        root = _make_tree(tmp_path)
+        out = tmp_path / "virtual_points_ckpt"
+        r = _run_cli(["--dataset", "vod", "--data_root", str(root),
+                      "--pts_save_path", str(out), "--mask_source", "model",
+                      "--model_preset", "tiny", "--image_hw", "64", "96",
+                      "--ckpt", str(ckpt), "--resize_shortest", "80",
+                      "--confidence_threshold", "0.0", "--max_frames", "1"])
+        assert "imported" in r.stdout, r.stdout + r.stderr
+        assert "incomplete" not in r.stdout, r.stdout
+        d = np.load(out / "00000.pkl.npy", allow_pickle=True).item()
+        assert d["virtual_points"].shape[1] == 15

@@ -74,9 +74,19 @@ def parse_args():
     p.add_argument("--masks_dir", default=None,
                    help="precomputed: directory of <frame_id>.npz files")
     p.add_argument("--ckpt", default=None,
-                   help="model: orbax checkpoint dir for Mask2FormerInstance"
-                        " (randomly initialized when omitted — only useful "
-                        "for pipeline validation)")
+                   help="model: weights for Mask2FormerInstance — either an "
+                        "orbax checkpoint dir (self-trained) or the "
+                        "published detectron2 .pkl/.pth (swin-L cityscapes "
+                        "model_final_*.pkl; converted on load via "
+                        "train/torch_convert.convert_mask2former_state). "
+                        "Randomly initialized when omitted — only useful "
+                        "for pipeline validation")
+    p.add_argument("--resize_shortest", type=int, default=0,
+                   help="model: resize the shortest image edge to this "
+                        "before segmentation, as the reference predictor "
+                        "does (detectron2 ResizeShortestEdge, "
+                        "MIN_SIZE_TEST=1024 in the cityscapes config); "
+                        "masks come back at the original size. 0 = off")
     p.add_argument("--confidence_threshold", type=float, default=0.5,
                    help="model: min instance score "
                         "(hybrid_radar_pts_vod.py:72-77)")
@@ -147,9 +157,19 @@ def load_precomputed_masks(masks_dir: Path, idx: str, image_hw, thresh):
 
 
 class ModelMaskSource:
-    """Jitted Mask2FormerInstance + instance_inference at a fixed size."""
+    """Jitted Mask2FormerInstance + instance_inference at a fixed size.
 
-    def __init__(self, preset: str, ckpt: str | None, image_hw, thresh):
+    With resize_shortest > 0 the image is bilinearly resized so its
+    shortest edge matches (the reference predictor's ResizeShortestEdge;
+    1024 for the cityscapes config) before segmentation; instance masks
+    are produced directly at the ORIGINAL size by resizing the mask
+    logits there (the reference goes logits -> padded size -> original,
+    two bilinears; one bilinear is numerically equivalent to well within
+    the >0 binarization threshold's tolerance).
+    """
+
+    def __init__(self, preset: str, ckpt: str | None, image_hw, thresh,
+                 resize_shortest: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -162,12 +182,43 @@ class ModelMaskSource:
         if preset == "tiny":
             kw = dict(embed_dims=32, depths=(1, 1, 2, 1),
                       num_heads=(1, 2, 4, 8), window_size=4, hidden_dim=64,
-                      num_queries=20, dec_layers=3, dim_feedforward=128)
+                      num_queries=20, dec_layers=3, dim_feedforward=128,
+                      pd_enc_layers=2, pd_ffn=256)
         self.model = Mask2FormerInstance(**kw)
         self.image_hw = tuple(image_hw)
+        if resize_shortest and resize_shortest > 0:
+            s = resize_shortest / min(self.image_hw)
+            self.model_hw = (int(round(self.image_hw[0] * s)),
+                             int(round(self.image_hw[1] * s)))
+        else:
+            self.model_hw = self.image_hw
         self.thresh = float(thresh)
-        dummy = jnp.zeros((1,) + self.image_hw + (3,), jnp.float32)
-        if ckpt:
+        dummy = jnp.zeros((1,) + self.model_hw + (3,), jnp.float32)
+        if ckpt and (str(ckpt).endswith(".pkl")
+                     or str(ckpt).endswith(".pth")
+                     or str(ckpt).endswith(".pt")):
+            # published detectron2 checkpoint (e.g. the swin-L cityscapes
+            # model_final_*.pkl the reference pipeline runs,
+            # hybrid_radar_pts_vod.py:34-42) -> torch->flax conversion
+            from hgsfusion_tpu.train.torch_convert import (
+                convert_mask2former_state,
+                load_d2_checkpoint,
+            )
+
+            state = load_d2_checkpoint(ckpt)
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), dummy, False)
+            self.variables, report = convert_mask2former_state(
+                state, self.variables)
+            if report["missing"] or report["unmatched"]:
+                print("[generate_hybrid_points] checkpoint mapping "
+                      f"incomplete: missing={report['missing'][:5]} "
+                      f"unmatched={report['unmatched'][:5]} "
+                      f"(copied {len(report['copied'])})")
+            else:
+                print(f"[generate_hybrid_points] imported "
+                      f"{len(report['copied'])} tensors from {ckpt}")
+        elif ckpt:
             import orbax.checkpoint as ocp
 
             self.variables = ocp.StandardCheckpointer().restore(
@@ -183,7 +234,12 @@ class ModelMaskSource:
         std = jnp.asarray([0.229, 0.224, 0.225])
 
         def fwd(img):
+            if self.model_hw != self.image_hw:
+                from hgsfusion_tpu.models.layers import resize_bilinear
+
+                img = resize_bilinear(img, self.model_hw)
             out = self.model.apply(self.variables, (img - mean) / std, False)
+            # mask logits resized straight to the ORIGINAL image size
             return instance_inference(
                 out["pred_logits"], out["pred_masks"], self.image_hw)
 
@@ -221,7 +277,8 @@ def main():
     if args.mask_source == "model":
         model_src = ModelMaskSource(
             args.model_preset, args.ckpt, spec["image_hw"],
-            args.confidence_threshold)
+            args.confidence_threshold,
+            resize_shortest=args.resize_shortest)
     elif args.mask_source == "precomputed" and not args.masks_dir:
         raise SystemExit("--mask_source precomputed needs --masks_dir")
 
