@@ -96,16 +96,21 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     n_proc = jax.process_count()
     frame_idxs = (
         shard_indices_for_host(n) if n_proc > 1 else list(range(n)))
-    times = []
-    for i0 in range(0, len(frame_idxs), batch_size):
-        idxs = frame_idxs[i0:i0 + batch_size]
-        samples = [dataset[j] for j in idxs]
-        batch = dataset.collate_batch(samples)
-        jb = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
-        t0 = time.perf_counter()
-        out = eval_step(params, batch_stats, jb)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / len(idxs))
+    # Serving-style pipelined eval (round-2 finding: the synchronous
+    # per-frame loop measured 357.5 ms/frame against the 110 ms chained
+    # bench — per-frame H2D/D2H sync through the tunnel dominated).
+    # Three overlaps: (a) a producer thread builds + collates the NEXT
+    # batches while the device runs, (b) the H2D transfer of batch i+1 is
+    # dispatched before batch i's results are fetched, (c) the host-side
+    # postprocess (recall IoU, anno generation) of batch i runs while the
+    # device executes batch i+1 — jax dispatch is async, so eval_step
+    # returns immediately and the D2H fetch inside the postprocess is the
+    # only sync point, by which time the next step is already queued.
+    import queue as _queue
+    import threading as _threading
+
+    def _host_post(out, batch):
+        nonlocal total_gt
         pred_dicts = detections_to_pred_dicts(out, batch)
         # recall records (detector3d_template.generate_recall_record:381-423)
         gt = np.asarray(batch["gt_boxes"])
@@ -120,12 +125,49 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
                 best = iou.max(axis=1)
                 for t in recall_thresh:
                     recall[t] += int((best > t).sum())
-        det_annos += dataset.generate_prediction_dicts(
+        return dataset.generate_prediction_dicts(
             batch, pred_dicts, dataset.class_names,
             output_path=result_dir if result_dir else None,
         )
-        if (i0 // batch_size) % 50 == 0:
-            logger.info(f"eval {i0}/{len(frame_idxs)}")
+
+    batch_q: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+    def _producer():
+        try:
+            for i0 in range(0, len(frame_idxs), batch_size):
+                idxs = frame_idxs[i0:i0 + batch_size]
+                samples = [dataset[j] for j in idxs]
+                batch_q.put((len(idxs), dataset.collate_batch(samples)))
+            batch_q.put(None)
+        except BaseException as exc:  # surface in the consumer
+            batch_q.put(exc)
+
+    _threading.Thread(target=_producer, daemon=True).start()
+    times = []
+    pending = None  # (out, batch, n_frames, t_start)
+    done = 0
+    while True:
+        item = batch_q.get()
+        if isinstance(item, BaseException):
+            raise item
+        if item is None:
+            break
+        n_frames, batch = item
+        jb = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+        t0 = time.perf_counter()
+        out = eval_step(params, batch_stats, jb)  # async dispatch
+        if pending is not None:
+            p_out, p_batch, p_n, p_t0 = pending
+            det_annos += _host_post(p_out, p_batch)  # syncs on p_out
+            times.append((time.perf_counter() - p_t0) / p_n)
+        pending = (out, batch, n_frames, t0)
+        done += 1
+        if done % 50 == 1:
+            logger.info(f"eval {done * batch_size}/{len(frame_idxs)}")
+    if pending is not None:
+        p_out, p_batch, p_n, p_t0 = pending
+        det_annos += _host_post(p_out, p_batch)
+        times.append((time.perf_counter() - p_t0) / p_n)
 
     if n_proc > 1:
         det_annos = merge_anno_lists_across_hosts(
@@ -139,7 +181,8 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
 
     if infer_time and times:
         steady = times[2:] or times
-        logger.info(f"inference: {np.mean(steady) * 1000:.1f} ms/frame "
+        logger.info(f"inference (pipelined): "
+                    f"{np.mean(steady) * 1000:.1f} ms/frame "
                     f"({1.0 / np.mean(steady):.2f} FPS)")
     for t in recall_thresh:
         logger.info(
