@@ -241,10 +241,15 @@ class TestDemoCLI:
         out_dir = tmp_path / "demo"
         _run([
             "tools/demo.py", "--cfg_file", str(cfg_path),
-            "--frames", "1", "--out_dir", str(out_dir),
+            "--frames", "1", "--out_dir", str(out_dir), "--html",
         ], cwd=REPO)
         pngs = list(out_dir.glob("*_bev.png"))
         assert pngs, list(out_dir.iterdir())
+        htmls = list(out_dir.glob("*_3d.html"))
+        assert htmls, list(out_dir.iterdir())
+        html = htmls[0].read_text()
+        assert '<script id="scene" type="application/json">' in html
+        assert "requestAnimationFrame" in html  # interactive, not a render
 
 
 class TestImageProjectionRender:

@@ -1,9 +1,11 @@
-"""Demo: run the detector on frames and render BEV visualizations.
+"""Demo: run the detector on frames and render visualizations.
 
 Reference: tools/demo.py:23-112 (open3d interactive viewer) and
 tools/visual_tools/* (matplotlib BEV renderers). Headless TPU hosts have no
-GL, so this renders matplotlib BEV images (points + gt + predictions) to PNG.
-"""
+GL, so this renders matplotlib BEV images (points + gt + predictions) to PNG
+and — the interactive equivalent of the reference's open3d window —
+self-contained HTML 3D viewers (--html; orbit/zoom/pan in any browser,
+utils/visual_3d.py)."""
 from __future__ import annotations
 
 import argparse
@@ -91,6 +93,9 @@ def main():
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--out_dir", default="demo_out")
+    p.add_argument("--html", action="store_true",
+                   help="also write an interactive 3D HTML viewer per frame "
+                        "(the open3d-window equivalent for headless hosts)")
     args = p.parse_args()
 
     cfg = load_config(args.cfg_file)
@@ -142,6 +147,16 @@ def main():
                     facecolor="gray")
         plt.close(fig)
         logger.info(f"wrote {out_dir}/{batch['frame_id'][0]}_bev.png")
+
+        if args.html:
+            from hgsfusion_tpu.utils.visual_3d import export_html
+
+            out = export_html(
+                out_dir / f"{batch['frame_id'][0]}_3d.html", pts,
+                gt_boxes=gt[:, :7], pred_boxes=preds["pred_boxes"],
+                pred_scores=preds["pred_scores"],
+                title=f"frame {batch['frame_id'][0]} — gt cyan, pred green")
+            logger.info(f"wrote {out}")
 
         # camera view with projected 3D boxes, when the frame carries one
         if "images" in batch and batch.get("calib") is not None:
