@@ -57,12 +57,12 @@ def main():
     for _ in range(max(args.warmup, 0)):
         jax.block_until_ready(call(first))
 
-    for f in files:
-        batch = np.load(f)
-        t0 = time.perf_counter()
-        dets = call(batch)
-        # fetching to host is the honest synchronization point
-        dets = {k: np.asarray(v) for k, v in dets.items()}
+    # double-buffered: batch i+1 is dispatched (async) before batch i's
+    # results are fetched, so H2D/compute overlap the host-side fetch+save
+    # — same structure as the pipelined eval loop (tools/test.py run_eval)
+    def finish(item):
+        f, dets, t0 = item
+        dets = {k: np.asarray(v) for k, v in dets.items()}  # sync point
         dt = time.perf_counter() - t0
         out = out_dir / f"{f.stem}_dets.npz"
         np.savez(out, **dets)
@@ -70,6 +70,17 @@ def main():
         if args.time:
             msg += f"  {dt * 1e3:.1f} ms"
         print(msg)
+
+    pending = None
+    for f in files:
+        batch = np.load(f)
+        t0 = time.perf_counter()
+        dets = call(batch)  # async dispatch
+        if pending is not None:
+            finish(pending)
+        pending = (f, dets, t0)
+    if pending is not None:
+        finish(pending)
 
 
 if __name__ == "__main__":
