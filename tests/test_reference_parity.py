@@ -2568,6 +2568,14 @@ def _wg_run_scaled(spec, b, seed):
         err_msg="batch_box_preds")
 
 
+_WG_MID_SPEC = dict(
+    pc_range=[0.0, -12.8, -1.0, 25.6, 12.8, 1.56],
+    voxel=[0.2, 0.2, 0.16], grid=(128, 128, 16),
+    image_hw=(256, 384), tap_ch=[32, 48, 64, 96], reduce_out=64,
+    bins=32, depth_min=1.0, depth_max=25.6, counts=(600, 350),
+    f2v_out=128)
+
+
 class TestWholeGraphScaledShapes:
     """VERDICT r2 #5: the tiny whole-graph family cannot exercise flagship
     shape interactions (516x1936 padding, /4-/8 stride geometry at real
@@ -2576,12 +2584,7 @@ class TestWholeGraphScaledShapes:
     grid_sample) and env-gated."""
 
     def test_mid_scale(self):
-        _wg_run_scaled(dict(
-            pc_range=[0.0, -12.8, -1.0, 25.6, 12.8, 1.56],
-            voxel=[0.2, 0.2, 0.16], grid=(128, 128, 16),
-            image_hw=(256, 384), tap_ch=[32, 48, 64, 96], reduce_out=64,
-            bins=32, depth_min=1.0, depth_max=25.6, counts=(600, 350),
-            f2v_out=128), b=2, seed=11)
+        _wg_run_scaled(_WG_MID_SPEC, b=2, seed=11)
 
     @pytest.mark.skipif(
         not os.environ.get("HGS_RUN_SLOW"),
@@ -3447,7 +3450,7 @@ class TestWholeGraphTrainLossParity:
     weights. Train-mode BN uses batch statistics on both sides, so the
     full forward is deterministic and comparable."""
 
-    @pytest.mark.parametrize("family", ["vod", "tj4d"])
+    @pytest.mark.parametrize("family", ["vod", "tj4d", "vod_mid"])
     def test_losses_match(self, family):
         import jax
         import jax.numpy as jnp
@@ -3460,11 +3463,17 @@ class TestWholeGraphTrainLossParity:
         from hgsfusion_tpu.models.occupancy import occupancy_loss
         from hgsfusion_tpu.train.torch_convert import convert_hgsfusion_state
 
-        if family == "vod":
+        spec = _WG_SPEC
+        if family in ("vod", "vod_mid"):
             num_pt, reader_in = 17, 29
             anchor_cfg, classes = _WG_ANCHOR_CFG, ("Car", "Pedestrian",
                                                    "Cyclist")
             extra_cfg = {}
+            if family == "vod_mid":
+                # train-mode leg of VERDICT r2 #5: mid-scale geometry
+                # (realistic-size gts, 128x128x16 grid, /4-/8 strides at
+                # 256x384) through target assignment + both losses
+                spec = _WG_MID_SPEC
         else:  # the 31-wide split reader + 4-class anchor-order quirk
             num_pt, reader_in = 18, 31
             anchor_cfg, classes = _WG_TJ4D_ANCHOR_CFG, _WG_TJ4D_CLASSES
@@ -3485,15 +3494,21 @@ class TestWholeGraphTrainLossParity:
         # (inter==gt area), and torch/jax break that argmax tie
         # differently; realistic sizes give a unique best anchor
         sizes = [(3.8, 1.5, 1.5), (0.75, 0.62, 1.7), (1.7, 0.58, 1.6)]
+        if family == "vod_mid":  # same tie-avoidance rules, mid range
+            def pos(j):
+                return [6.13 + 3.11 * j, -4.21 + 3.37 * j, -0.31]
+        else:
+            def pos(j):
+                return [2.57 + 0.83 * j, -1.03 + 1.09 * j, -0.7]
         gt = np.zeros((b, 3, 8), np.float32)
         for i in range(b):
             for j in range(3):
-                gt[i, j] = [2.57 + 0.83 * j, -1.03 + 1.09 * j, -0.7,
-                            *sizes[j], 0.11 + 0.3 * j, (j % 3) + 1]
+                gt[i, j] = [*pos(j), *sizes[j], 0.11 + 0.3 * j, (j % 3) + 1]
         state, (taps, l2c, c2i, pts_list), outs = _wg_run(
             num_pt=num_pt, reader_in=reader_in, anchor_cfg=anchor_cfg,
-            class_names=classes, seed=11, reader_dataset=family,
-            train=True, gt_boxes=gt)
+            class_names=classes, seed=11,
+            reader_dataset="vod" if family == "vod_mid" else family,
+            train=True, gt_boxes=gt, spec=spec)
         root = outs["root"]
         with torch.no_grad():
             loss_rpn, tb_rpn = root.dense_head.get_loss()
@@ -3501,12 +3516,17 @@ class TestWholeGraphTrainLossParity:
 
         cfg = HGSFusionConfig(
             class_names=classes,
-            pc_range=tuple(_WG_PC_RANGE), voxel_size=tuple(_WG_VOXEL),
-            image_size=_WG_IMAGE_HW, channel_reduce_out=8,
-            f2v_out_channels=128, disc_num_bins=16, disc_depth_min=1.0,
-            disc_depth_max=6.4, use_depth=False, remat=False, **extra_cfg)
+            pc_range=tuple(spec["pc_range"]),
+            voxel_size=tuple(spec["voxel"]),
+            image_size=tuple(spec["image_hw"]),
+            channel_reduce_out=spec["reduce_out"],
+            f2v_out_channels=spec["f2v_out"],
+            disc_num_bins=spec["bins"], disc_depth_min=spec["depth_min"],
+            disc_depth_max=spec["depth_max"],
+            use_depth=False, remat=False, **extra_cfg)
         model = HGSFusionModel(cfg=cfg)
-        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=num_pt)
+        batch = _wg_jax_batch(taps, l2c, c2i, pts_list, num_pt=num_pt,
+                              spec=spec)
         batch["gt_boxes"] = jnp.asarray(gt)
         variables = model.init(jax.random.PRNGKey(0), batch, False)
         variables, _ = convert_hgsfusion_state(state, variables)
