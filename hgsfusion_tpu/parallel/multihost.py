@@ -41,6 +41,8 @@ def shard_indices_for_host(num_frames: int, process: int | None = None
     the final truncation."""
     p = jax.process_index() if process is None else process
     n = jax.process_count()
+    if num_frames == 0:
+        return []
     per = (num_frames + n - 1) // n
     idxs = list(range(num_frames))
     # torch DistributedSampler repeats the whole list as many times as needed

@@ -299,8 +299,8 @@ class PixelDecoderMSDeform(nn.Module):
                 (np.arange(w, dtype=np.float32) + 0.5) / w, indexing="ij")
             refs.append(np.stack([rx, ry], -1).reshape(-1, 2))
         ref_points = jnp.asarray(np.concatenate(refs, 0))[None, :, None, :]
-        ref_points = jnp.broadcast_to(ref_points, (b,) + ref_points.shape[1:3]
-                                      + (2,)).astype(self.dtype)
+        ref_points = jnp.broadcast_to(
+            ref_points, (b, ref_points.shape[1], nl, 2)).astype(self.dtype)
 
         x = src_flat
         for li in range(self.enc_layers):

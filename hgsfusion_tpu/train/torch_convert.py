@@ -415,25 +415,31 @@ def convert_mask2former_state(state: Dict[str, np.ndarray], variables):
         node[path[-1]] = value.astype(tgt.dtype)
         copied.append("/".join(path))
 
-    def try_(fn, *a):
+    def try_(fn):
+        # fn is a thunk so checkpoint-side lookups (get) raise INSIDE the
+        # try and land in report["missing"] — eager-argument evaluation
+        # would escape as a raw KeyError on an architecture mismatch
         try:
-            fn(*a)
+            fn()
         except KeyError as e:
             missing.append(str(e))
 
+    def copy_(path, key, xform=lambda v: v):
+        try_(lambda: put(path, xform(get(key))))
+
     def ln(path, key):
-        try_(put, path + ("scale",), get(key + ".weight"))
-        try_(put, path + ("bias",), get(key + ".bias"))
+        copy_(path + ("scale",), key + ".weight")
+        copy_(path + ("bias",), key + ".bias")
 
     def dense(path, key, bias=True):
-        try_(put, path + ("kernel",), _linear(get(key + ".weight")))
+        copy_(path + ("kernel",), key + ".weight", _linear)
         if bias:
-            try_(put, path + ("bias",), get(key + ".bias"))
+            copy_(path + ("bias",), key + ".bias")
 
     def conv(path, key, bias=True):
-        try_(put, path + ("kernel",), _conv(get(key + ".weight")))
+        copy_(path + ("kernel",), key + ".weight", _conv)
         if bias:
-            try_(put, path + ("bias",), get(key + ".bias"))
+            copy_(path + ("bias",), key + ".bias")
 
     # ---- backbone (microsoft swin naming) -------------------------------
     bb = params["backbone"]
@@ -452,23 +458,25 @@ def convert_mask2former_state(state: Dict[str, np.ndarray], variables):
             o = ("backbone", f"stage{s}_block{b}")
             ln(o + ("norm1",), t + ".norm1")
             ln(o + ("norm2",), t + ".norm2")
-            try_(put, o + ("attn", "w_msa", "relative_position_bias_table"),
-                 get(t + ".attn.relative_position_bias_table"))
+            copy_(o + ("attn", "w_msa", "relative_position_bias_table"),
+                  t + ".attn.relative_position_bias_table")
             dense(o + ("attn", "w_msa", "qkv"), t + ".attn.qkv")
             dense(o + ("attn", "w_msa", "proj"), t + ".attn.proj")
             dense(o + ("ffn", "fc1"), t + ".mlp.fc1")
             dense(o + ("ffn", "fc2"), t + ".mlp.fc2")
         if f"downsample{s}" in bb:
             t = f"backbone.layers.{s}.downsample"
-            w = _linear(get(t + ".reduction.weight"))  # (4C, 2C)
-            perm = _swin_merge_perm(w.shape[0] // 4)
-            try_(put, ("backbone", f"downsample{s}", "reduction", "kernel"),
-                 w[perm])
-            nw, nb = get(t + ".norm.weight"), get(t + ".norm.bias")
-            try_(put, ("backbone", f"downsample{s}", "norm", "scale"),
-                 nw[perm])
-            try_(put, ("backbone", f"downsample{s}", "norm", "bias"),
-                 nb[perm])
+
+            def merge_perm(v):  # input-channel reorder, _swin_merge_perm
+                return v[_swin_merge_perm(v.shape[0] // 4)]
+
+            copy_(("backbone", f"downsample{s}", "reduction", "kernel"),
+                  t + ".reduction.weight",
+                  lambda v: merge_perm(_linear(v)))
+            copy_(("backbone", f"downsample{s}", "norm", "scale"),
+                  t + ".norm.weight", merge_perm)
+            copy_(("backbone", f"downsample{s}", "norm", "bias"),
+                  t + ".norm.bias", merge_perm)
     for k in bb:
         m = re.fullmatch(r"norm(\d+)", k)
         if m:
@@ -482,8 +490,8 @@ def convert_mask2former_state(state: Dict[str, np.ndarray], variables):
         conv(("pixel_decoder", f"input_proj_{i}_conv"),
              f"{pfx}.input_proj.{i}.0")
         ln(("pixel_decoder", f"input_proj_{i}_gn"), f"{pfx}.input_proj.{i}.1")
-    try_(put, ("pixel_decoder", "level_embed"),
-         get(f"{pfx}.transformer.level_embed"))
+    copy_(("pixel_decoder", "level_embed"),
+          f"{pfx}.transformer.level_embed")
     n_enc = sum(1 for k in pd if re.fullmatch(r"encoder_layer_\d+", k))
     for li in range(n_enc):
         t = f"{pfx}.transformer.encoder.layers.{li}"
@@ -505,16 +513,23 @@ def convert_mask2former_state(state: Dict[str, np.ndarray], variables):
     td = params["transformer_decoder"]
     pfx = "sem_seg_head.predictor"
     for name in ("query_feat", "query_embed", "level_embed"):
-        try_(put, ("transformer_decoder", name), get(f"{pfx}.{name}.weight"))
+        copy_(("transformer_decoder", name), f"{pfx}.{name}.weight")
 
     def mha(o_path, t_key):
-        w = get(t_key + ".in_proj_weight")  # (3C, C) rows [Wq; Wk; Wv]
-        bvec = get(t_key + ".in_proj_bias")
-        c = w.shape[1]
+        # torch MultiheadAttention packs in_proj as rows [Wq; Wk; Wv];
+        # split third i of the packed weight (2-D) or bias (1-D)
+        def split(i):
+            def xf(v):
+                c = v.shape[-1] if v.ndim == 2 else v.shape[0] // 3
+                part = v[i * c:(i + 1) * c]
+                return _linear(part) if v.ndim == 2 else part
+            return xf
+
         for i, sub in enumerate(("q", "k", "v")):
-            try_(put, o_path + (sub, "kernel"),
-                 _linear(w[i * c:(i + 1) * c]))
-            try_(put, o_path + (sub, "bias"), bvec[i * c:(i + 1) * c])
+            copy_(o_path + (sub, "kernel"), t_key + ".in_proj_weight",
+                  split(i))
+            copy_(o_path + (sub, "bias"), t_key + ".in_proj_bias",
+                  split(i))
         dense(o_path + ("proj",), t_key + ".out_proj")
 
     n_dec = sum(1 for k in td if re.fullmatch(r"layer\d+_cross", k))

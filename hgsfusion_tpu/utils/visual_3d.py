@@ -150,12 +150,15 @@ def export_html(path, points, gt_boxes=None, pred_boxes=None,
     if len(pts) > max_points:  # keep the file and the canvas loop light
         sel = np.linspace(0, len(pts) - 1, max_points).astype(np.int64)
         pts = pts[sel]
-    color_src = pts[:, 3] if pts.shape[1] > 3 and np.ptp(pts[:, 3]) > 1e-6 \
-        else pts[:, 2]
-    lo, hi = float(color_src.min()), float(color_src.max())
-    c01 = (color_src - lo) / max(hi - lo, 1e-6)
-    pdata = np.round(
-        np.concatenate([pts[:, :3], c01[:, None]], axis=1), 3).tolist()
+    if len(pts):
+        color_src = pts[:, 3] if pts.shape[1] > 3 \
+            and np.ptp(pts[:, 3]) > 1e-6 else pts[:, 2]
+        lo, hi = float(color_src.min()), float(color_src.max())
+        c01 = (color_src - lo) / max(hi - lo, 1e-6)
+        pdata = np.round(
+            np.concatenate([pts[:, :3], c01[:, None]], axis=1), 3).tolist()
+    else:  # empty frame (e.g. all points masked out): boxes-only viewer
+        pdata = []
 
     def corners(b):
         b = np.asarray(b, np.float32).reshape(-1, b.shape[-1])[:, :7]
@@ -174,8 +177,14 @@ def export_html(path, points, gt_boxes=None, pred_boxes=None,
         if pred_scores is not None else None,
         "extent": float(max(np.max(span), 1.0)),
     }
-    html = _HTML.replace("__TITLE__", title).replace(
-        "__DATA__", json.dumps(scene, separators=(",", ":")))
+    # escape the title for the <title> element and keep '<' out of the
+    # inline JSON (json.dumps leaves '</script>' intact, which would
+    # terminate the scene <script> block)
+    import html as _html
+    scene_json = json.dumps(scene, separators=(",", ":")) \
+        .replace("<", "\\u003c")
+    html = _HTML.replace("__TITLE__", _html.escape(title)).replace(
+        "__DATA__", scene_json)
     path = Path(path)
     path.write_text(html)
     return path

@@ -154,3 +154,14 @@ def test_shard_indices_fewer_frames_than_hosts(monkeypatch):
     assert all(len(s) == 3 for s in shards)
     merged = [x for tup in zip(*shards) for x in tup][:10]
     assert merged == list(range(10))
+
+
+def test_shard_indices_zero_frames(monkeypatch):
+    """num_frames == 0 (empty dataset / --max_frames 0) yields empty shards
+    on every host instead of a ZeroDivisionError in the wrap-padding."""
+    import jax
+
+    from hgsfusion_tpu.parallel.multihost import shard_indices_for_host
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert all(shard_indices_for_host(0, process=p) == [] for p in range(4))

@@ -59,3 +59,18 @@ class TestExportHtml:
             export_html(tmp_path / "h.html", pts).read_text())
         c = [p[3] for p in scene["points"]]
         assert c[0] == 0.0 and c[-1] == 1.0
+
+    def test_empty_frame_and_hostile_title(self, tmp_path):
+        # zero points (fully-masked frame) must still render a boxes-only
+        # viewer, and markup in the title must not escape its contexts
+        gt = np.array([[1.0, 2.0, 0.0, 4.0, 1.8, 1.6, 0.0]], np.float32)
+        out = export_html(tmp_path / "e.html", np.zeros((0, 4), np.float32),
+                          gt_boxes=gt, title="frame </script><b>")
+        html = out.read_text()
+        scene = _scene_json(html)
+        assert scene["points"] == []
+        assert len(scene["gt_boxes"]) == 1
+        assert scene["extent"] == 1.0
+        # '<' never appears raw in the inline JSON or the <title>
+        assert "</script><b>" not in html
+        assert scene["title"] == "frame </script><b>"  # round-trips intact

@@ -98,6 +98,12 @@ def parse_args():
                    choices=("large", "tiny"),
                    help="model: swin-L (reference scale) or a tiny variant "
                         "for smoke tests")
+    p.add_argument("--pixel_decoder", default="msdeform",
+                   choices=("msdeform", "fpn"),
+                   help="model: msdeform matches the published checkpoints "
+                        "(required for --ckpt *.pkl import); fpn is the "
+                        "gather-free variant — pass it to load self-trained "
+                        "orbax checkpoints from the FPN-decoder model")
     p.add_argument("--image_hw", type=int, nargs=2, default=None,
                    help="override the dataset's image size (synthetic or "
                         "re-cropped trees)")
@@ -169,7 +175,7 @@ class ModelMaskSource:
     """
 
     def __init__(self, preset: str, ckpt: str | None, image_hw, thresh,
-                 resize_shortest: int = 0):
+                 resize_shortest: int = 0, pixel_decoder: str = "msdeform"):
         import jax
         import jax.numpy as jnp
 
@@ -178,9 +184,9 @@ class ModelMaskSource:
             instance_inference,
         )
 
-        kw = {}
+        kw = {"pixel_decoder": pixel_decoder}
         if preset == "tiny":
-            kw = dict(embed_dims=32, depths=(1, 1, 2, 1),
+            kw.update(embed_dims=32, depths=(1, 1, 2, 1),
                       num_heads=(1, 2, 4, 8), window_size=4, hidden_dim=64,
                       num_queries=20, dec_layers=3, dim_feedforward=128,
                       pd_enc_layers=2, pd_ffn=256)
@@ -278,7 +284,8 @@ def main():
         model_src = ModelMaskSource(
             args.model_preset, args.ckpt, spec["image_hw"],
             args.confidence_threshold,
-            resize_shortest=args.resize_shortest)
+            resize_shortest=args.resize_shortest,
+            pixel_decoder=args.pixel_decoder)
     elif args.mask_source == "precomputed" and not args.masks_dir:
         raise SystemExit("--mask_source precomputed needs --masks_dir")
 

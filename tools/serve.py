@@ -59,26 +59,34 @@ def main():
 
     # double-buffered: batch i+1 is dispatched (async) before batch i's
     # results are fetched, so H2D/compute overlap the host-side fetch+save
-    # — same structure as the pipelined eval loop (tools/test.py run_eval)
+    # — same structure as the pipelined eval loop (tools/test.py run_eval).
+    # Timing: inter-completion gaps, not dispatch-to-fetch spans — in a
+    # pipeline the spans of consecutive batches overlap (batch i's fetch
+    # happens after batch i+1's np.load + dispatch), so a span would bill
+    # the next file's disk IO to this file; completion gaps tile the wall
+    # clock exactly and their mean is the pipelined per-batch latency.
+    last_done = None
+
     def finish(item):
-        f, dets, t0 = item
+        nonlocal last_done
+        f, dets = item
         dets = {k: np.asarray(v) for k, v in dets.items()}  # sync point
-        dt = time.perf_counter() - t0
+        now = time.perf_counter()
         out = out_dir / f"{f.stem}_dets.npz"
         np.savez(out, **dets)
         msg = f"{f.name} -> {out.name}"
-        if args.time:
-            msg += f"  {dt * 1e3:.1f} ms"
+        if args.time and last_done is not None:
+            msg += f"  {(now - last_done) * 1e3:.1f} ms"
+        last_done = now
         print(msg)
 
     pending = None
     for f in files:
         batch = np.load(f)
-        t0 = time.perf_counter()
         dets = call(batch)  # async dispatch
         if pending is not None:
             finish(pending)
-        pending = (f, dets, t0)
+        pending = (f, dets)
     if pending is not None:
         finish(pending)
 

@@ -143,9 +143,24 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
             batch_q.put(exc)
 
     _threading.Thread(target=_producer, daemon=True).start()
+    # timing: per-batch intervals BETWEEN postprocess completions — in a
+    # pipeline, dispatch-to-fetch spans of consecutive batches overlap, so
+    # summing them would double-count; inter-completion gaps tile the wall
+    # clock exactly and their mean IS the pipelined ms/frame
     times = []
-    pending = None  # (out, batch, n_frames, t_start)
+    last_done = None
+    pending = None  # (out, batch, n_frames)
     done = 0
+
+    def _finish(item):
+        nonlocal last_done
+        p_out, p_batch, p_n = item
+        det_annos.extend(_host_post(p_out, p_batch))  # syncs on p_out
+        now = time.perf_counter()
+        if last_done is not None:
+            times.append((now - last_done) / p_n)
+        last_done = now
+
     while True:
         item = batch_q.get()
         if isinstance(item, BaseException):
@@ -154,20 +169,15 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
             break
         n_frames, batch = item
         jb = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
-        t0 = time.perf_counter()
         out = eval_step(params, batch_stats, jb)  # async dispatch
         if pending is not None:
-            p_out, p_batch, p_n, p_t0 = pending
-            det_annos += _host_post(p_out, p_batch)  # syncs on p_out
-            times.append((time.perf_counter() - p_t0) / p_n)
-        pending = (out, batch, n_frames, t0)
+            _finish(pending)
+        pending = (out, batch, n_frames)
         done += 1
         if done % 50 == 1:
             logger.info(f"eval {done * batch_size}/{len(frame_idxs)}")
     if pending is not None:
-        p_out, p_batch, p_n, p_t0 = pending
-        det_annos += _host_post(p_out, p_batch)
-        times.append((time.perf_counter() - p_t0) / p_n)
+        _finish(pending)
 
     if n_proc > 1:
         det_annos = merge_anno_lists_across_hosts(
