@@ -48,7 +48,7 @@ def make_inputs(p, cq):
     jitter = rng.randint(0, win, size=(N_PAD // TILE, TILE))
     idx = (base + jitter).reshape(-1).astype(np.int32)
     table = rng.randn(p, cq).astype(jnp.bfloat16)
-    w4 = rng.rand(N_PAD, 4).astype(jnp.bfloat16)
+    w4 = rng.rand(N_PAD, 4).astype(np.float32)
     return jnp.asarray(idx), jnp.asarray(table), jnp.asarray(w4)
 
 
@@ -75,12 +75,12 @@ def pallas_gather_combine(idx, table, w4, cq, unroll=4):
                 j = i * unroll + u
                 r = idx_ref[j]
                 row = table_ref[r, :]
-                w = w_ref[pl.ds(j, 1), :]
+                dt = row.dtype
                 out_ref[pl.ds(j, 1), :] = (
-                    row[0 * c : 1 * c] * w[0, 0]
-                    + row[1 * c : 2 * c] * w[0, 1]
-                    + row[2 * c : 3 * c] * w[0, 2]
-                    + row[3 * c : 4 * c] * w[0, 3]
+                    row[0 * c : 1 * c] * w_ref[j, 0].astype(dt)
+                    + row[1 * c : 2 * c] * w_ref[j, 1].astype(dt)
+                    + row[2 * c : 3 * c] * w_ref[j, 2].astype(dt)
+                    + row[3 * c : 4 * c] * w_ref[j, 3].astype(dt)
                 )[None, :]
             return carry
 
@@ -94,7 +94,7 @@ def pallas_gather_combine(idx, table, w4, cq, unroll=4):
             pl.BlockSpec((p, cq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -118,10 +118,12 @@ def pallas_gather_combine_planes(idx, table4, w4, cq, unroll=4):
                 j = i * unroll + u
                 r = idx_ref[j]
                 rows = table_ref[:, r, :]  # (4, c)
-                w = w_ref[pl.ds(j, 1), :]
+                dt = rows.dtype
                 out_ref[pl.ds(j, 1), :] = (
-                    rows[0] * w[0, 0] + rows[1] * w[0, 1]
-                    + rows[2] * w[0, 2] + rows[3] * w[0, 3]
+                    rows[0] * w_ref[j, 0].astype(dt)
+                    + rows[1] * w_ref[j, 1].astype(dt)
+                    + rows[2] * w_ref[j, 2].astype(dt)
+                    + rows[3] * w_ref[j, 3].astype(dt)
                 )[None, :]
             return carry
 
@@ -135,7 +137,7 @@ def pallas_gather_combine_planes(idx, table4, w4, cq, unroll=4):
             pl.BlockSpec((4, p, c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((TILE, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -165,12 +167,12 @@ def pallas_gather_combine_matmul(idx, table, w4, kmat, cq, unroll=8):
                 j = i * unroll + u
                 r = idx_ref[j]
                 row = table_ref[r, :]
-                w = w_ref[pl.ds(j, 1), :]
+                dt = row.dtype
                 scratch[pl.ds(j, 1), :] = (
-                    row[0 * c : 1 * c] * w[0, 0]
-                    + row[1 * c : 2 * c] * w[0, 1]
-                    + row[2 * c : 3 * c] * w[0, 2]
-                    + row[3 * c : 4 * c] * w[0, 3]
+                    row[0 * c : 1 * c] * w_ref[j, 0].astype(dt)
+                    + row[1 * c : 2 * c] * w_ref[j, 1].astype(dt)
+                    + row[2 * c : 3 * c] * w_ref[j, 2].astype(dt)
+                    + row[3 * c : 4 * c] * w_ref[j, 3].astype(dt)
                 )[None, :]
             return carry
 
@@ -187,7 +189,7 @@ def pallas_gather_combine_matmul(idx, table, w4, kmat, cq, unroll=8):
             pl.BlockSpec((p, cq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((c, ko), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -214,7 +216,7 @@ def make_inputs_windowed(p, cq):
     jitter = rng.randint(0, WIN, size=(N_PAD // TILE, TILE))
     idx = (blk[:, None] * WIN + jitter).reshape(-1).astype(np.int32)
     table = rng.randn(p, cq).astype(jnp.bfloat16)
-    w4 = rng.rand(N_PAD, 4).astype(jnp.bfloat16)
+    w4 = rng.rand(N_PAD, 4).astype(np.float32)
     return jnp.asarray(blk), jnp.asarray(idx), jnp.asarray(table), \
         jnp.asarray(w4)
 
@@ -234,12 +236,12 @@ def pallas_gather_combine_windowed(blk, idx, table, w4, cq, unroll=8):
                 j = i * unroll + u
                 r = idx_ref[j] - base
                 row = table_ref[r, :]
-                w = w_ref[pl.ds(j, 1), :]
+                dt = row.dtype
                 out_ref[pl.ds(j, 1), :] = (
-                    row[0 * c : 1 * c] * w[0, 0]
-                    + row[1 * c : 2 * c] * w[0, 1]
-                    + row[2 * c : 3 * c] * w[0, 2]
-                    + row[3 * c : 4 * c] * w[0, 3]
+                    row[0 * c : 1 * c] * w_ref[j, 0].astype(dt)
+                    + row[1 * c : 2 * c] * w_ref[j, 1].astype(dt)
+                    + row[2 * c : 3 * c] * w_ref[j, 2].astype(dt)
+                    + row[3 * c : 4 * c] * w_ref[j, 3].astype(dt)
                 )[None, :]
             return carry
 
@@ -254,7 +256,7 @@ def pallas_gather_combine_windowed(blk, idx, table, w4, cq, unroll=8):
             pl.BlockSpec((WIN, cq), lambda i, blk: (blk[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i, blk: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((TILE, c), lambda i, blk: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -44,6 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .grid_sample import _quad_idx_weights
 
 TILE = 2048
+# Mosaic constraint (measured on-chip 2026-08-19): fori_loop supports only
+# unroll=1 or full unroll (=num_steps); unroll=8 is rejected outright.
+# Full unroll of 2048 would explode compile time, so all kernels use
+# unroll=1 — the per-row body is a dynamic VMEM read + 4 scalar-weighted
+# vector ops, so the loop is VMEM/VPU-bound, not branch-bound.
 # Per-kernel VMEM budget for the resident table. The Mosaic default limit
 # is raised via vmem_limit_bytes; the flagship tables are 24 MB (g8) and
 # 32 MB (g4). Tuned on-chip (see BASELINE.md round-2 pallas section).
@@ -121,7 +126,7 @@ def _gather_combine(idx, table, w4, n_pad: int, c: int):
             )[None, :]
             return carry
 
-        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=1)
 
     return pl.pallas_call(
         kernel,
@@ -158,7 +163,7 @@ def _gather_combine_planes(idx, table4, w4, n_pad: int, c: int):
             )[None, :]
             return carry
 
-        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=1)
 
     return pl.pallas_call(
         kernel,
@@ -198,7 +203,7 @@ def _scatter_outer_planes(idx, ct, w4, p_pad: int, c: int):
             out_ref[:, r, :] += g * w[:, None]
             return carry
 
-        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=1)
 
     return pl.pallas_call(
         kernel,
@@ -240,7 +245,7 @@ def _scatter_outer(idx, ct, w4, p_pad: int, c: int):
             out_ref[pl.ds(r, 1), :] += row
             return carry
 
-        jax.lax.fori_loop(0, TILE, body, 0, unroll=8)
+        jax.lax.fori_loop(0, TILE, body, 0, unroll=1)
 
     return pl.pallas_call(
         kernel,

@@ -24,9 +24,19 @@ def _run_bench(extra_env, args=()):
     )
 
 
-def test_backend_failure_emits_one_json_line():
+def test_backend_failure_emits_one_json_line(tmp_path):
+    # Env knobs can't force an init failure here: the axon plugin ignores
+    # JAX_PLATFORMS, so when the tunnel is up "tpu"/bogus names still resolve
+    # and bench.py runs the real benchmark (observed 2026-08-19). Instead,
+    # shadow `jax` in the probe child with a module that raises at import —
+    # the probe subprocess exits nonzero exactly like a real backend-init
+    # error, independent of chip reachability.
+    (tmp_path / "jax").mkdir()
+    (tmp_path / "jax" / "__init__.py").write_text(
+        "raise RuntimeError('simulated backend init failure')\n"
+    )
     res = _run_bench({
-        "JAX_PLATFORMS": "tpu",  # no TPU plugin in the test env -> init error
+        "PYTHONPATH": str(tmp_path),
         "HGS_BENCH_PROBE_TIMEOUT": "30",
     })
     assert res.returncode == 1
