@@ -54,6 +54,12 @@ def make_inputs(p, cq):
 
 def xla_gather_combine(idx, table, w4, cq):
     c = cq // 4
+    # w4 arrives f32 (SMEM scalar reads for the pallas kernels); the
+    # production XLA path combines with table-dtype weights
+    # (grid_sample._quad_idx_weights(dtype)), so cast here — otherwise the
+    # baseline promotes the whole combine chain to f32 and the comparison
+    # is apples-to-oranges (ADVICE r3 medium).
+    w4 = w4.astype(table.dtype)
     rows = jnp.take(table, idx, axis=0)
     return (
         rows[:, 0 * c : 1 * c] * w4[:, 0:1]
@@ -295,6 +301,9 @@ def timed(fn, args, iters=ITERS, perturb_arg=0):
 
     f = jax.jit(chained)
     f(*args).block_until_ready()  # compile
+    f(*args).block_until_ready()  # warmup: first post-compile run through
+    # the remote-exec tunnel can carry setup cost (r3: g8 read 20 s where
+    # every later group read 16-40 ms) — never time the first execution
     t0 = time.perf_counter()
     float(f(*args))
     return (time.perf_counter() - t0) / iters
@@ -353,9 +362,10 @@ def main():
             msg = str(e).splitlines()[0][:200]
             print(f"{name}: pallas windowed FAILED: {msg}", flush=True)
         # PRODUCTION kernels (ops/pallas_sample) on the same inputs: the
-        # microbench bodies unroll differently than the shipped fori_loop
-        # (unroll=8) kernels, so the layout verdict must be confirmed on
-        # the exact code that ships
+        # shipped kernels use fori_loop unroll=1 (Mosaic rejects any other
+        # partial unroll); the microbench variants above differ by doing a
+        # Python-level manual unroll inside the loop body, so the layout
+        # verdict must still be confirmed on the exact code that ships
         try:
             from hgsfusion_tpu.ops import pallas_sample as PS
 

@@ -89,6 +89,40 @@ class F2VStage(nn.Module):
         )(feats, grid, False, None)
 
 
+class PolarF2VStage(nn.Module):
+    """polar-factorized f2v + Z-collapse (models/polar_f2v.py) -> image_bev.
+
+    Under F2V.VIEW polar the voxel volume never exists; this stage covers
+    what F2VStage + the collapse half of FuseHeadStage cover on the gather
+    path, so compare it against f2v + the collapse share of fuse_head."""
+
+    cfg: object
+
+    @nn.compact
+    def __call__(self, feats, l2c, c2i, bda):
+        from hgsfusion_tpu.models.polar_f2v import (
+            _CollapseScope,
+            _F2VScope,
+            polar_image_bev,
+        )
+
+        cfg = self.cfg
+        return polar_image_bev(
+            _F2VScope(sum_channels=sum(f.shape[-1] for f in feats),
+                      out_channels=cfg.f2v_out_channels, dtype=cfg.dtype,
+                      name="f2v"),
+            _CollapseScope(in_channels=cfg.f2v_out_channels,
+                           nz=cfg.grid_size[2],
+                           out_channels=cfg.radar_input_channels,
+                           dtype=cfg.dtype, name="map_to_bev"),
+            feats, l2c, c2i, cfg.image_size, bda, False,
+            grid_size=cfg.grid_size, pc_range=cfg.pc_range,
+            zeta_bins=cfg.f2v_polar_zeta_bins,
+            near_columns=cfg.f2v_polar_near_columns,
+            bev_aug=cfg.bev_aug, dtype=cfg.dtype,
+        )
+
+
 class RadarStage(nn.Module):
     """pillar VFE + radar BEV backbone -> radar_bev."""
 
@@ -113,14 +147,20 @@ class FuseHeadStage(nn.Module):
     """collapse + occupancy gate + SE fusion + anchor head -> preds."""
 
     cfg: object
+    # True when the input is already the collapsed image BEV (polar view:
+    # PolarF2VStage emits it; the collapse lives in that stage instead)
+    takes_image_bev: bool = False
 
     @nn.compact
     def __call__(self, voxel, radar_bev):
         cfg = self.cfg
-        image_bev = Conv2DCollapse(
-            num_bev_features=cfg.radar_input_channels, dtype=cfg.dtype,
-            name="map_to_bev",
-        )(voxel, False)
+        if self.takes_image_bev:
+            image_bev = voxel
+        else:
+            image_bev = Conv2DCollapse(
+                num_bev_features=cfg.radar_input_channels, dtype=cfg.dtype,
+                name="map_to_bev",
+            )(voxel, False)
         gated, occupancy = RadarOccupancy2D(
             radar_input_channels=cfg.radar_input_channels,
             use_aspp=cfg.use_aspp, aspp_dilation=cfg.aspp_dilation,
@@ -198,10 +238,13 @@ def main():
         lambda b: model.init(jax.random.PRNGKey(0), b, False))(batch)
 
     cam = jax.jit(lambda v, img: CameraStage(cfg).apply(v, img))
+    polar = getattr(cfg, "f2v_view", "gather") == "polar"
+    f2v_mod = PolarF2VStage(cfg) if polar else F2VStage(cfg)
     f2v = jax.jit(
-        lambda v, f, l2c, c2i, bda: F2VStage(cfg).apply(v, f, l2c, c2i, bda))
+        lambda v, f, l2c, c2i, bda: f2v_mod.apply(v, f, l2c, c2i, bda))
     radar = jax.jit(lambda v, p, pv: RadarStage(cfg).apply(v, p, pv))
-    fuse = jax.jit(lambda v, vox, rb: FuseHeadStage(cfg).apply(v, vox, rb))
+    fuse_mod = FuseHeadStage(cfg, takes_image_bev=polar)
+    fuse = jax.jit(lambda v, vox, rb: fuse_mod.apply(v, vox, rb))
     full = jax.jit(lambda v, b: model.apply(v, b, False))
 
     @jax.jit
@@ -226,12 +269,16 @@ def main():
     ms = {
         "camera": timed("camera (preprocess+DDN+reduce)", cam, variables,
                         batch["images"]),
-        "f2v": timed("f2v (grid gen + sample/reduce)", f2v, variables,
-                     feats, l2c, c2i, bda),
+        "f2v": timed(
+            "f2v (polar resample + collapse -> image_bev)" if polar
+            else "f2v (grid gen + sample/reduce)",
+            f2v, variables, feats, l2c, c2i, bda),
         "radar": timed("radar (pillar VFE + BEV backbone)", radar, variables,
                        batch["points"], batch["points_valid"]),
-        "fuse_head": timed("fuse_head (collapse+occ+SE+head)", fuse,
-                           variables, voxel, radar_bev),
+        "fuse_head": timed(
+            "fuse_head (occ+SE+head)" if polar
+            else "fuse_head (collapse+occ+SE+head)",
+            fuse, variables, voxel, radar_bev),
         "post": timed("post_process (decode+NMS)", post, preds),
         "full_forward": timed("full forward (model.apply)", full, variables,
                               batch),

@@ -49,6 +49,13 @@ class HGSFusionConfig:
     # f2v sampler kernel ("xla" | "pallas"); see
     # FrustumToVoxelMultiScale.sampler_kernel
     f2v_sampler_kernel: str = "xla"
+    # f2v view-transform formulation ("gather" | "polar"): "polar" runs
+    # the polar-factorized f2v + Z-collapse (polar_f2v.py) — ~30x fewer
+    # gather rows, no voxel-volume materialization; sub-pixel resampling
+    # approximations documented in that module
+    f2v_view: str = "gather"
+    f2v_polar_zeta_bins: int = 192
+    f2v_polar_near_columns: int = 20
     disc_mode: str = "LID"
     disc_num_bins: int = 80
     disc_depth_min: float = 1.0
@@ -256,24 +263,53 @@ class HGSFusionModel(nn.Module):
                 depth_probs.append(probs)
 
         # ---- frustum view transform (pure geometry + fused reduce)
-        grid_gen = FrustumGridGenerator(
-            grid_size=cfg.grid_size, pc_range=cfg.pc_range, disc_cfg=cfg.disc_cfg,
-            bev_aug=cfg.bev_aug,
-        )
-        grid = grid_gen(
-            batch["trans_lidar_to_cam"], batch["trans_cam_to_img"],
-            cfg.image_size, bda=batch.get("lidar_aug_matrix"),
-        )
-        f2v_cls = (
-            nn.remat(FrustumToVoxelMultiScale, static_argnums=(3,))
-            if cfg.remat else FrustumToVoxelMultiScale
-        )
-        voxel = f2v_cls(
-            out_channels=cfg.f2v_out_channels, dtype=cfg.dtype,
-            num_depth_bins=cfg.disc_num_bins, quant=cfg.f2v_quant,
-            sampler_kernel=cfg.f2v_sampler_kernel,
-            name="f2v",
-        )(feats, grid, train, depth_probs)  # (B, Y, X, Z, C)
+        image_bev = None
+        if cfg.f2v_view == "polar":
+            # polar-factorized f2v + Z-collapse (polar_f2v.py): emits the
+            # image BEV directly; no voxel volume is materialized
+            if cfg.use_depth or cfg.f2v_quant != "none" or \
+                    cfg.f2v_sampler_kernel != "xla":
+                raise ValueError(
+                    "F2V.VIEW: polar covers the USE_DEPTH: False CONCAT "
+                    "path with the default XLA sampler only (QUANT and "
+                    "SAMPLER_KERNEL are gather-path options)")
+            from .polar_f2v import _CollapseScope, _F2VScope, polar_image_bev
+
+            image_bev = polar_image_bev(
+                _F2VScope(sum_channels=sum(f.shape[-1] for f in feats),
+                          out_channels=cfg.f2v_out_channels,
+                          dtype=cfg.dtype, name="f2v"),
+                _CollapseScope(in_channels=cfg.f2v_out_channels,
+                               nz=cfg.grid_size[2],
+                               out_channels=cfg.radar_input_channels,
+                               dtype=cfg.dtype, name="map_to_bev"),
+                feats, batch["trans_lidar_to_cam"],
+                batch["trans_cam_to_img"], cfg.image_size,
+                batch.get("lidar_aug_matrix"), train,
+                grid_size=cfg.grid_size, pc_range=cfg.pc_range,
+                zeta_bins=cfg.f2v_polar_zeta_bins,
+                near_columns=cfg.f2v_polar_near_columns,
+                bev_aug=cfg.bev_aug, dtype=cfg.dtype,
+            )
+        else:
+            grid_gen = FrustumGridGenerator(
+                grid_size=cfg.grid_size, pc_range=cfg.pc_range,
+                disc_cfg=cfg.disc_cfg, bev_aug=cfg.bev_aug,
+            )
+            grid = grid_gen(
+                batch["trans_lidar_to_cam"], batch["trans_cam_to_img"],
+                cfg.image_size, bda=batch.get("lidar_aug_matrix"),
+            )
+            f2v_cls = (
+                nn.remat(FrustumToVoxelMultiScale, static_argnums=(3,))
+                if cfg.remat else FrustumToVoxelMultiScale
+            )
+            voxel = f2v_cls(
+                out_channels=cfg.f2v_out_channels, dtype=cfg.dtype,
+                num_depth_bins=cfg.disc_num_bins, quant=cfg.f2v_quant,
+                sampler_kernel=cfg.f2v_sampler_kernel,
+                name="f2v",
+            )(feats, grid, train, depth_probs)  # (B, Y, X, Z, C)
 
         # ---- radar branch
         pillar_bev, occ_mask = PillarFeatureNet(
@@ -291,10 +327,11 @@ class HGSFusionModel(nn.Module):
         )(pillar_bev, occ_mask, train)
 
         # ---- DSM spatial sync: collapse + occupancy gate
-        image_bev = Conv2DCollapse(
-            num_bev_features=cfg.radar_input_channels, dtype=cfg.dtype,
-            name="map_to_bev",
-        )(voxel, train)
+        if image_bev is None:
+            image_bev = Conv2DCollapse(
+                num_bev_features=cfg.radar_input_channels, dtype=cfg.dtype,
+                name="map_to_bev",
+            )(voxel, train)
         gated, occupancy = RadarOccupancy2D(
             radar_input_channels=cfg.radar_input_channels,
             use_aspp=cfg.use_aspp,
