@@ -1,11 +1,14 @@
-import time, json, numpy as np, jax, jax.numpy as jnp
+import sys, time, json, numpy as np, jax, jax.numpy as jnp
 from __graft_entry__ import _vod_flagship
 from hgsfusion_tpu.models.anchors import TargetAssigner
 from hgsfusion_tpu.config import load_config, ConfigDict
 from hgsfusion_tpu.train.optim import build_optimizer
 from hgsfusion_tpu.train.trainer import TrainState, make_train_step
 
-model, cfg, batch = _vod_flagship()
+CFG = "configs/hgsfusion_vod.yaml"
+if "--cfg" in sys.argv:
+    CFG = sys.argv[sys.argv.index("--cfg") + 1]
+model, cfg, batch = _vod_flagship(config_path=CFG)
 rng = np.random.RandomState(0)
 gt = np.zeros((1, 64, 8), np.float32)
 gt[0, :10, :7] = np.concatenate([
@@ -15,7 +18,7 @@ gt[0, :10, :7] = np.concatenate([
 gt[0, :10, 7] = 1
 batch = dict(batch); batch["gt_boxes"] = jnp.asarray(gt)
 
-yaml_cfg = load_config("configs/hgsfusion_vod.yaml")
+yaml_cfg = load_config(CFG)
 assigner = TargetAssigner([dict(c) for c in yaml_cfg.MODEL.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
                           cfg.grid_size, cfg.pc_range, class_names=cfg.class_names)
 variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(batch)
