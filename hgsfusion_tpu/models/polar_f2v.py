@@ -325,11 +325,15 @@ def polar_image_bev(scope: _F2VScope, collapse: _CollapseScope,
                  * s_fine * row_scale)
         sheared = _shear_rows(src, shift)
         wv = _hat_weights(v0 * row_scale, hs).astype(cdt)
+        # (B, J, Z, K, C): the matmul-native output order — (j z) x (k c)
+        # contraction over h lands directly in this layout, where the
+        # bjkzc order would force XLA to transpose the whole slab
+        # (hundreds of MB at flagship scale) after the MXU pass
         part = jnp.einsum(
-            "bjzh,bhkc->bjkzc", wv, sheared,
+            "bjzh,bhkc->bjzkc", wv, sheared,
             preferred_element_type=jnp.float32).astype(cdt)
         slab = part if slab is None else slab + part
-    slab = slab + scope.reduce_bias.astype(cdt)  # (B, J, K, Z, C)
+    slab = slab + scope.reduce_bias.astype(cdt)  # (B, J, Z, K, C)
 
     # ---- exact near-field side path on the reduced maps
     near = None
@@ -348,21 +352,30 @@ def polar_image_bev(scope: _F2VScope, collapse: _CollapseScope,
             near = s if near is None else near + s
         near = near + scope.reduce_bias.astype(cdt)
 
-    # ---- shared f2v BN + ReLU (single call => single stats update)
-    flat_slab = slab.reshape(-1, out_channels)
-    if near is not None:
+    # ---- shared f2v BN + ReLU
+    if near is not None and train:
+        # train: ONE call => one running-stats update over slab+near
+        # jointly (closest to the gather path's single-volume stats)
+        flat_slab = slab.reshape(-1, out_channels)
         flat_near = near.reshape(-1, out_channels)
         joined = scope(jnp.concatenate([flat_slab, flat_near], axis=0),
                        train)
         near = nn.relu(joined[flat_slab.shape[0]:]).reshape(near.shape)
         slab = nn.relu(joined[: flat_slab.shape[0]]).reshape(slab.shape)
     else:
-        slab = nn.relu(scope(flat_slab, train)).reshape(slab.shape)
+        # eval: running-stats BN is elementwise, so separate calls are
+        # EXACTLY the joined result — and joining would concat-copy the
+        # whole slab (hundreds of MB) just to share one call: measured
+        # ~2x the whole polar f2v stage cost at flagship scale (the
+        # N8-vs-N0 fixed gap in _bench_polar_f2v.py round 4)
+        slab = nn.relu(scope(slab, train))
+        if near is not None:
+            near = nn.relu(scope(near, train))
 
     # ---- Z-collapse at polar nodes (and on the near slice)
     k2 = collapse.kernel.reshape(
         out_channels, nz, collapse.out_channels).astype(cdt)
-    q = jnp.einsum("bjkzc,czo->bjko", slab, k2,
+    q = jnp.einsum("bjzkc,czo->bjko", slab, k2,
                    preferred_element_type=jnp.float32).astype(cdt)
     near_bev = None
     if near is not None:
