@@ -41,9 +41,13 @@ def main():
         check=True, capture_output=True, text=True)
 
     runs = [
-        ("configs/hgsfusion_vod.yaml", 1, "eval_path_vod_b1"),
-        ("configs/hgsfusion_vod_pallas.yaml", 1, "eval_path_vod_pallas_b1"),
-        ("configs/hgsfusion_vod_pallas.yaml", 2, "eval_path_vod_pallas_b2"),
+        # polar view (round 4): the serving default. The per-BATCH D2H
+        # fetch through the dev tunnel (~180 ms latency) dominates the
+        # pipelined loop at B=1, so the batch scan measures how far the
+        # official eval path amortizes it.
+        ("configs/hgsfusion_vod_polar.yaml", 1, "eval_path_vod_polar_b1"),
+        ("configs/hgsfusion_vod_polar.yaml", 2, "eval_path_vod_polar_b2"),
+        ("configs/hgsfusion_vod_polar.yaml", 4, "eval_path_vod_polar_b4"),
     ]
     for cfg, bs, tag in runs:
         t0 = time.time()

@@ -107,10 +107,14 @@ def timing_scan():
                       "ms": results}), flush=True)
 
 
-def accuracy_scan():
-    """CPU: far-field rel-L2 vs the exact gather path per variant, at a
-    reduced scale (full flagship on CPU is too slow) with the SAME
-    geometry family. The gather reference is computed once."""
+def accuracy_scan(flagship=False):
+    """CPU: far-field rel-L2 vs the exact gather path per variant.
+
+    flagship=True runs the TRUE flagship shapes (320x320x31 grid,
+    516x1936 image) — slow on CPU (the gather reference materializes the
+    full quad sample) but it is the scale the J (zeta_bins) choice must
+    be defended at: the blur per zeta node scales with the image height
+    in map rows, so a small-scale 'J is free' result does not transfer."""
     import flax.linen as nn
 
     from hgsfusion_tpu.models.frustum import (
@@ -119,14 +123,14 @@ def accuracy_scan():
     )
     from hgsfusion_tpu.models.occupancy import Conv2DCollapse
 
-    grid = (80, 80, 12)
+    grid = GRID if flagship else (80, 80, 12)
     pc = PC
-    img = (128, 480)
+    img = IMG if flagship else (128, 480)
     rng = np.random.RandomState(1)
     h, w = img
     feats = [
-        jnp.asarray(rng.randn(1, h // 4, w // 4, 64), jnp.float32),
-        jnp.asarray(rng.randn(1, h // 8, w // 8, 192), jnp.float32),
+        jnp.asarray(rng.randn(1, -(-h // 4), -(-w // 4), 64), jnp.float32),
+        jnp.asarray(rng.randn(1, -(-h // 8), -(-w // 8), 192), jnp.float32),
     ]
     l2c = jnp.tile(jnp.asarray(
         [[0, -1, 0, 0.05], [0, 0, -1, -0.1], [1, 0, 0, 0.2], [0, 0, 0, 1]],
@@ -164,12 +168,15 @@ def accuracy_scan():
         print(f"J{jb}_N{nn_cols}: rel_l2={rel:.4f} corr={corr:.5f}",
               flush=True)
     print(json.dumps({"metric": "polar_f2v_accuracy_scan",
+                      "flagship": flagship,
                       "white_noise_feats": True, "results": results}),
           flush=True)
 
 
 if __name__ == "__main__":
-    if "--accuracy" in sys.argv:
+    if "--accuracy_flagship" in sys.argv:
+        accuracy_scan(flagship=True)
+    elif "--accuracy" in sys.argv:
         accuracy_scan()
     else:
         timing_scan()

@@ -150,7 +150,12 @@ if __name__ == "__main__":
         else:
             rest.append(a)
     arg = next((a.lstrip("-") for a in rest if a.startswith("--")), None)
-    dataset = arg or "vod"
+    # default = the polar-view serving config (models/polar_f2v.py): the
+    # shipped flagship pipeline with the view transform's polar
+    # factorization (checkpoint-compatible with the exact gather path;
+    # approximation bounds in tests/test_polar_f2v.py). `--vod` runs the
+    # exact-transform config.
+    dataset = arg or "vod_polar"
     try:
         probe_backend()
         main(dataset, batch_size=bsz)

@@ -201,7 +201,7 @@ def model_config_from_yaml(cfg: ConfigDict):
         f2v_quant=f2v.get("QUANT", "none"),
         f2v_sampler_kernel=f2v.get("SAMPLER_KERNEL", "xla"),
         f2v_view=f2v.get("VIEW", "gather"),
-        f2v_polar_zeta_bins=f2v.get("POLAR_ZETA_BINS", 192),
+        f2v_polar_zeta_bins=f2v.get("POLAR_ZETA_BINS", 128),
         f2v_polar_near_columns=f2v.get("POLAR_NEAR_COLUMNS", 20),
         disc_mode=disc["mode"],
         disc_num_bins=disc["num_bins"],

@@ -54,7 +54,7 @@ class HGSFusionConfig:
     # gather rows, no voxel-volume materialization; sub-pixel resampling
     # approximations documented in that module
     f2v_view: str = "gather"
-    f2v_polar_zeta_bins: int = 192
+    f2v_polar_zeta_bins: int = 128
     f2v_polar_near_columns: int = 20
     disc_mode: str = "LID"
     disc_num_bins: int = 80
