@@ -276,7 +276,10 @@ class DatasetTemplate:
         if data_dict.get("images", None) is not None:
             img = data_dict["images"]
             h, w = self.image_size
-            padded = np.zeros((h, w, 3), np.float32)
+            # dtype-preserving: uint8 images stay uint8 through collate
+            # and H2D (the model's preprocess_images normalizes on device)
+            padded = np.zeros((h, w, 3), img.dtype
+                              if img.dtype == np.uint8 else np.float32)
             ch, cw = min(img.shape[0], h), min(img.shape[1], w)
             padded[:ch, :cw] = img[:ch, :cw]
             out["images"] = padded

@@ -26,10 +26,16 @@ def preprocess_images(images):
 
     ddn_template.preprocess:191-210: mask = (x == 0) before normalize, then
     x[mask] = 0 (so collate padding stays neutral).
+
+    Accepts uint8 (the data layer ships images as raw bytes — 4x less
+    host->device traffic than f32; uint8/255 -> f32 here is exactly the
+    value the old f32 pipeline carried) or float [0, 1].
     """
+    mask = images == 0
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
     std = jnp.asarray(IMAGENET_STD, images.dtype)
-    mask = images == 0
     x = (images - mean) / std
     return jnp.where(mask, 0.0, x)
 

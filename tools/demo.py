@@ -161,6 +161,8 @@ def main():
         # camera view with projected 3D boxes, when the frame carries one
         if "images" in batch and batch.get("calib") is not None:
             image = np.asarray(batch["images"][0])
+            if image.dtype == np.uint8:  # raw-byte transport convention
+                image = image.astype(np.float32) / 255.0
             calib = batch["calib"][0]
             fig, ax = plt.subplots(figsize=(10, 4), dpi=150)
             draw_image_boxes(ax, image, gt[:, :7], calib, color="cyan")

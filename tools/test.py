@@ -130,27 +130,38 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
             output_path=result_dir if result_dir else None,
         )
 
-    batch_q: "_queue.Queue" = _queue.Queue(maxsize=4)
+    # Three THREADS so the three serial host costs overlap each other as
+    # well as the device (round-4 eval-path measurement: with H2D, the
+    # D2H sync, and the host postprocess all on the main thread they SUM
+    # to ~290-335 ms/frame through the dev tunnel while the device step
+    # is ~35 ms): producer (sample build + collate + H2D dispatch),
+    # main (device dispatch only), finisher (D2H sync + postprocess).
+    batch_q: "_queue.Queue" = _queue.Queue(maxsize=3)
+    finish_q: "_queue.Queue" = _queue.Queue(maxsize=3)
+    finish_err: list = []
 
     def _producer():
         try:
             for i0 in range(0, len(frame_idxs), batch_size):
                 idxs = frame_idxs[i0:i0 + batch_size]
                 samples = [dataset[j] for j in idxs]
-                batch_q.put((len(idxs), dataset.collate_batch(samples)))
+                batch = dataset.collate_batch(samples)
+                # H2D from the producer thread: jax transfers are
+                # thread-safe and this keeps the main thread free to
+                # dispatch compute the moment the arrays land
+                jb = {k: jnp.asarray(v)
+                      for k, v in device_batch(batch).items()}
+                batch_q.put((len(idxs), batch, jb))
             batch_q.put(None)
         except BaseException as exc:  # surface in the consumer
             batch_q.put(exc)
 
-    _threading.Thread(target=_producer, daemon=True).start()
     # timing: per-batch intervals BETWEEN postprocess completions — in a
     # pipeline, dispatch-to-fetch spans of consecutive batches overlap, so
     # summing them would double-count; inter-completion gaps tile the wall
     # clock exactly and their mean IS the pipelined ms/frame
     times = []
     last_done = None
-    pending = None  # (out, batch, n_frames)
-    done = 0
 
     def _finish(item):
         nonlocal last_done
@@ -161,23 +172,42 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
             times.append((now - last_done) / p_n)
         last_done = now
 
+    def _finisher():
+        while True:
+            item = finish_q.get()
+            if item is None:
+                return
+            if finish_err:
+                continue  # drain without work after a failure
+            try:
+                _finish(item)
+            except BaseException as exc:  # re-raised on the main thread
+                finish_err.append(exc)
+
+    _threading.Thread(target=_producer, daemon=True).start()
+    fin_thread = _threading.Thread(target=_finisher, daemon=True)
+    fin_thread.start()
+    done = 0
+    producer_exc = None
     while True:
         item = batch_q.get()
         if isinstance(item, BaseException):
-            raise item
-        if item is None:
+            producer_exc = item
             break
-        n_frames, batch = item
-        jb = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+        if item is None or finish_err:
+            break
+        n_frames, batch, jb = item
         out = eval_step(params, batch_stats, jb)  # async dispatch
-        if pending is not None:
-            _finish(pending)
-        pending = (out, batch, n_frames)
+        finish_q.put((out, batch, n_frames))
         done += 1
         if done % 50 == 1:
             logger.info(f"eval {done * batch_size}/{len(frame_idxs)}")
-    if pending is not None:
-        _finish(pending)
+    finish_q.put(None)
+    fin_thread.join()
+    if producer_exc is not None:
+        raise producer_exc
+    if finish_err:
+        raise finish_err[0]
 
     if n_proc > 1:
         det_annos = merge_anno_lists_across_hosts(
