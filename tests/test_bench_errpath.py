@@ -43,7 +43,7 @@ def test_backend_failure_emits_one_json_line(tmp_path):
     lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
     assert lines, f"no stdout; stderr tail: {res.stderr[-500:]}"
     rec = json.loads(lines[-1])
-    assert rec["metric"] == "hgsfusion_vod_e2e_inference"
+    assert rec["metric"] == "hgsfusion_vod_polar_e2e_inference"
     assert rec["value"] == 0.0
     assert rec["vs_baseline"] == 0.0
     assert "error" in rec and rec["error"]
