@@ -21,17 +21,24 @@ H, W = 65, 242
 DT = jnp.bfloat16
 
 
-def timed(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed(conv_fn, x, k, iters=20):
+    """Chained on-device iterations (cin == cout so out feeds back in):
+    independent repeated calls with identical args mis-time through the
+    remote-exec tunnel (observed above-roofline numbers), exactly the
+    round-3 lesson in bench.py — serialize by data dependency."""
+
+    def chained(x, k):
+        for _ in range(iters):
+            x = conv_fn(x, k) * jnp.asarray(0.05, x.dtype)
+        return jnp.sum(x.astype(jnp.float32))
+
+    f = jax.jit(chained)
+    f(x, k).block_until_ready()
+    f(x, k).block_until_ready()  # warmup
     best = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        float(f(x, k))
         best.append((time.perf_counter() - t0) / iters)
     return sorted(best)[1] * 1e3
 
@@ -70,12 +77,12 @@ def main():
         x = jnp.asarray(rng.randn(1, H, W, cin), DT)
         k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, DT)
         flops = 2 * H * W * 9 * cin * cout / 1e9
-        t_dil = timed(jax.jit(lambda a, b, dd=d: conv(a, b, dd)), x, k)
-        t_dense = timed(jax.jit(lambda a, b: conv(a, b, 1)), x, k)
-        t_s2b = timed(jax.jit(lambda a, b, dd=d: s2b_conv(a, b, dd)), x, k)
-        print(f"{tag}: dilated {t_dil:.3f} ms ({flops/t_dil:.0f} GF/s) | "
-              f"dense {t_dense:.3f} ms ({flops/t_dense:.0f} GF/s) | "
-              f"s2b {t_s2b:.3f} ms ({flops/t_s2b:.0f} GF/s)", flush=True)
+        t_dil = timed(lambda a, b, dd=d: conv(a, b, dd), x, k)
+        t_dense = timed(lambda a, b: conv(a, b, 1), x, k)
+        t_s2b = timed(lambda a, b, dd=d: s2b_conv(a, b, dd), x, k)
+        print(f"{tag}: dilated {t_dil:.3f} ms ({flops/t_dil:.1f} TF/s) | "
+              f"dense {t_dense:.3f} ms ({flops/t_dense:.1f} TF/s) | "
+              f"s2b {t_s2b:.3f} ms ({flops/t_s2b:.1f} TF/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1388,31 +1388,51 @@ def post_process(preds: Dict[str, jnp.ndarray], anchors, box_coder, cfg,
     per-anchor max class score, NMS over all classes jointly.
     Returns dict of (B, post_max, ...) arrays + validity mask.
     """
-    from ..ops.nms import class_agnostic_nms
+    from ..ops.nms import NEG_INF, class_agnostic_nms
+    from ..ops.topk import exact_top_k
+    from .anchor_head import decode_selected_boxes
 
-    batch_cls, batch_box = generate_predicted_boxes(
-        preds["cls_preds"], preds["box_preds"], preds.get("dir_cls_preds"),
-        anchors, box_coder, cfg.num_class,
-        dir_offset=cfg.dir_offset, dir_limit_offset=cfg.dir_limit_offset,
-        num_dir_bins=cfg.num_dir_bins,
-    )
+    bsz = preds["cls_preds"].shape[0]
+    a = anchors.shape[0]
+    batch_cls = preds["cls_preds"].reshape(bsz, a, cfg.num_class)
+    raw_box = preds["box_preds"].reshape(bsz, a, -1)
+    raw_dir = (preds["dir_cls_preds"].reshape(bsz, a, cfg.num_dir_bins)
+               if preds.get("dir_cls_preds") is not None else None)
     scores = jax.nn.sigmoid(batch_cls)
     cls_scores = jnp.max(scores, axis=-1)
     labels = jnp.argmax(scores, axis=-1) + 1
+    k = min(pre_max_size, a)
 
-    def one(s, b):
-        idx, valid = class_agnostic_nms(
-            s, b, score_thresh=score_thresh, nms_thresh=nms_thresh,
-            pre_max_size=pre_max_size, post_max_size=post_max_size,
+    def one(s, rb, rd, lab):
+        # select FIRST, decode 4k rows instead of 614k: the per-anchor
+        # decode commutes with score selection (decode_selected_boxes)
+        masked = jnp.where(s >= score_thresh, s, NEG_INF)
+        top_s, top_i = exact_top_k(masked, k)
+        dec = decode_selected_boxes(
+            rb[top_i], None if rd is None else rd[top_i], anchors[top_i],
+            box_coder, dir_offset=cfg.dir_offset,
+            dir_limit_offset=cfg.dir_limit_offset,
+            num_dir_bins=cfg.num_dir_bins,
         )
-        return idx, valid
+        # candidates arrive pre-thresholded and score-sorted; the inner
+        # re-top-k over k rows is cheap and keeps one NMS entry point
+        idx, valid = class_agnostic_nms(
+            top_s, dec, score_thresh=score_thresh, nms_thresh=nms_thresh,
+            pre_max_size=k, post_max_size=post_max_size,
+        )
+        return dec[idx], s[top_i][idx], lab[top_i][idx], valid
 
-    idx, valid = jax.vmap(one)(cls_scores, batch_box)
-    take = jax.vmap(lambda arr, i: arr[i])
+    if raw_dir is None:
+        boxes, out_scores, out_labels, valid = jax.vmap(
+            lambda s, rb, lab: one(s, rb, None, lab)
+        )(cls_scores, raw_box, labels)
+    else:
+        boxes, out_scores, out_labels, valid = jax.vmap(one)(
+            cls_scores, raw_box, raw_dir, labels)
     return {
-        "boxes": take(batch_box, idx),
-        "scores": take(cls_scores, idx),
-        "labels": take(labels, idx),
+        "boxes": boxes,
+        "scores": out_scores,
+        "labels": out_labels,
         "valid": valid,
     }
 

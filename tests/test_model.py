@@ -450,3 +450,58 @@ class TestFlagshipDegenerateInputs:
         assert np.isfinite(float(tb["loss"]))
         leaves = jax.tree_util.tree_leaves(new_state.params)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_post_process_decode_after_topk_equals_full_decode():
+    """post_process (round 4) decodes only the top-k selected anchors; the
+    per-anchor decode commutes with score selection, so outputs on VALID
+    slots must equal the original decode-everything formulation."""
+    import jax
+
+    from hgsfusion_tpu.models.anchor_head import generate_predicted_boxes
+    from hgsfusion_tpu.models.anchors import TargetAssigner
+    from hgsfusion_tpu.ops.nms import class_agnostic_nms
+
+    cfg = TINY
+    assigner = TargetAssigner(ANCHOR_CFG, cfg.grid_size, cfg.pc_range,
+                              class_names=cfg.class_names)
+    anchors = assigner.flat_anchors
+    ny, nx = cfg.grid_size[1], cfg.grid_size[0]
+    rng = np.random.RandomState(20)
+    preds = {
+        "cls_preds": jnp.asarray(
+            rng.randn(2, ny, nx, 6 * 3) * 2.0, jnp.float32),
+        "box_preds": jnp.asarray(
+            rng.randn(2, ny, nx, 6 * 7) * 0.2, jnp.float32),
+        "dir_cls_preds": jnp.asarray(
+            rng.randn(2, ny, nx, 6 * 2), jnp.float32),
+    }
+    out = post_process(preds, anchors, assigner.box_coder, cfg,
+                       score_thresh=0.3, nms_thresh=0.1,
+                       pre_max_size=512, post_max_size=64)
+
+    # original formulation: full decode -> nms indices -> gather
+    batch_cls, batch_box = generate_predicted_boxes(
+        preds["cls_preds"], preds["box_preds"], preds["dir_cls_preds"],
+        anchors, assigner.box_coder, cfg.num_class,
+        dir_offset=cfg.dir_offset, dir_limit_offset=cfg.dir_limit_offset,
+        num_dir_bins=cfg.num_dir_bins)
+    scores = jax.nn.sigmoid(batch_cls)
+    cls_scores = jnp.max(scores, axis=-1)
+    labels = jnp.argmax(scores, axis=-1) + 1
+    idx, valid = jax.vmap(
+        lambda s, b: class_agnostic_nms(
+            s, b, score_thresh=0.3, nms_thresh=0.1, pre_max_size=512,
+            post_max_size=64)
+    )(cls_scores, batch_box)
+    take = jax.vmap(lambda arr, i: arr[i])
+    want = {"boxes": take(batch_box, idx), "scores": take(cls_scores, idx),
+            "labels": take(labels, idx), "valid": valid}
+
+    v = np.asarray(out["valid"])
+    assert v.any(), "degenerate test: no valid detections"
+    np.testing.assert_array_equal(v, np.asarray(want["valid"]))
+    for key, tol in (("boxes", 1e-5), ("scores", 1e-6), ("labels", 0)):
+        a = np.asarray(out[key])[v]
+        b = np.asarray(want[key])[v]
+        np.testing.assert_allclose(a, b, atol=tol, err_msg=key)
