@@ -23,6 +23,13 @@ from hgsfusion_tpu.utils.box_coder import ResidualCoder
 
 
 def timed(fn, *args, iters=20):
+    """CAVEAT (round 4): independent repeated calls with identical args
+    through the remote-exec tunnel carry per-call dispatch overhead, so
+    these absolute numbers run HIGH (the in-graph stage bench measured
+    post at 10 ms where these pieces sum to 16.6). The RELATIVE
+    decomposition (decode vs top-k vs NMS-loop scaling with the kept
+    cap) is what this script is for; for absolute numbers, chain by
+    data dependency (see _bench_dilated_conv.timed / bench.py)."""
     out = fn(*args)
     jax.block_until_ready(out)
     out = fn(*args)
