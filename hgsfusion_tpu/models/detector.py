@@ -289,7 +289,7 @@ class HGSFusionModel(nn.Module):
                 grid_size=cfg.grid_size, pc_range=cfg.pc_range,
                 zeta_bins=cfg.f2v_polar_zeta_bins,
                 near_columns=cfg.f2v_polar_near_columns,
-                bev_aug=cfg.bev_aug, dtype=cfg.dtype,
+                bev_aug=cfg.bev_aug, remat=cfg.remat, dtype=cfg.dtype,
             )
         else:
             grid_gen = FrustumGridGenerator(

@@ -71,6 +71,8 @@ Parameter tree matches the gather path exactly (the caller creates the
 
 Scope: USE_DEPTH False, FUSE_MODE CONCAT (the shipped flagship
 configs); QUANT int8 and the pallas sampler are gather-path options.
+REMAT is honored (pass remat=True): the pass-2 resample/shear
+intermediates are recomputed in the backward pass via jax.checkpoint.
 """
 from __future__ import annotations
 
@@ -213,7 +215,7 @@ def polar_image_bev(scope: _F2VScope, collapse: _CollapseScope,
                     features, l2c, c2i, image_size, bda, train: bool, *,
                     grid_size, pc_range, zeta_bins: int = 192,
                     near_columns: int = 20, bev_aug: bool = False,
-                    dtype=None):
+                    remat: bool = False, dtype=None):
     """Fused polar f2v + Z-collapse producing the image BEV directly.
 
     `scope`/`collapse` are parameter containers the CALLER creates in
@@ -284,13 +286,6 @@ def polar_image_bev(scope: _F2VScope, collapse: _CollapseScope,
         lambda mm, xx, yy: _project_uv_zeta(mm, xx, yy, z_ref)
     )(m, cell_x, cell_y)
 
-    # far-field zeta span (near columns go through the exact path)
-    zeta_far = zeta_cell[:, :, n_near:].reshape(bsz, -1)
-    z_lo = jnp.min(zeta_far, axis=1)  # (B,)
-    z_hi = jnp.maximum(jnp.max(zeta_far, axis=1), z_lo + 1e-6)
-    frac = jnp.arange(jbins, dtype=jnp.float32) / (jbins - 1)
-    zeta_nodes = z_lo[:, None] + frac[None, :] * (z_hi - z_lo)[:, None]
-
     # ---- common padded u-grid = finest scale's columns + dead pads
     w_fine = groups[0][0].shape[2]
     s_fine = (w_img - 1) / (w_fine - 1)  # orig px per fine column
@@ -298,6 +293,34 @@ def polar_image_bev(scope: _F2VScope, collapse: _CollapseScope,
     kp = w_fine + 2 * pad_u
     k_ref = (kp - 1) / 2.0
     u_ref = (k_ref - pad_u) * s_fine
+
+    # far-field zeta span (near columns go through the exact path).
+    # Cells that can only ever read a zeta-independent constant are
+    # excluded from the range reduction so they don't stretch the node
+    # grid and dilute node density for live cells. Provably dead =
+    # beyond the pass-3 clamp boundaries (px_u <= 0 or >= kp-1): the
+    # clamped quad gather then reads ONLY slab column 0 / kp-1, and
+    # those extreme columns read pure zero padding in _resample_cols
+    # for every scale with ratio >= 1/3 — the same assumption pad_u=3
+    # already encodes (k=0: pos = 1-3*ratio <= 0; k=kp-1: pos =
+    # ws + 3*ratio >= ws+1). Zero content -> bias+BN constant,
+    # j-independent after Z-collapse, so zeta_nodes placement cannot
+    # matter for these cells. This window also catches the
+    # behind-camera / near-plane sentinel (u = -1e9, zeta = 0 from
+    # _project_uv_zeta), which would otherwise pin z_lo to 0.
+    zeta_far = zeta_cell[:, :, n_near:].reshape(bsz, -1)
+    u_far = u_cell[:, :, n_near:].reshape(bsz, -1)
+    live = ((u_far > -pad_u * s_fine)
+            & (u_far < (w_fine + pad_u - 1) * s_fine))
+    any_live = jnp.any(live, axis=1)
+    big = jnp.float32(3.4e38)
+    z_lo = jnp.min(jnp.where(live, zeta_far, big), axis=1)  # (B,)
+    z_hi = jnp.max(jnp.where(live, zeta_far, -big), axis=1)
+    z_lo = jnp.where(any_live, z_lo, 0.0)
+    z_hi = jnp.where(any_live, z_hi, 1.0)
+    z_hi = jnp.maximum(z_hi, z_lo + 1e-6)
+    frac = jnp.arange(jbins, dtype=jnp.float32) / (jbins - 1)
+    zeta_nodes = z_lo[:, None] + frac[None, :] * (z_hi - z_lo)[:, None]
 
     # exact v at the reference column: (B, J, Z), plus the global shear
     # slope from two exact evaluations (v is affine in u)
@@ -316,22 +339,34 @@ def polar_image_bev(scope: _F2VScope, collapse: _CollapseScope,
     slab = None
     for f_red in reduced:
         hs, ws = f_red.shape[1:3]
-        padded = jnp.pad(f_red, ((0, 0), (0, 0), (1, 1), (0, 0)))
         ratio = s_fine / ((w_img - 1) / (ws - 1))
-        src = _resample_cols(padded, pad_u, kp, ratio)
         row_scale = (hs - 1) / (h_img - 1)
-        shift = (lam[:, None]
-                 * (jnp.arange(kp, dtype=jnp.float32)[None, :] - k_ref)
-                 * s_fine * row_scale)
-        sheared = _shear_rows(src, shift)
-        wv = _hat_weights(v0 * row_scale, hs).astype(cdt)
-        # (B, J, Z, K, C): the matmul-native output order — (j z) x (k c)
-        # contraction over h lands directly in this layout, where the
-        # bjkzc order would force XLA to transpose the whole slab
-        # (hundreds of MB at flagship scale) after the MXU pass
-        part = jnp.einsum(
-            "bjzh,bhkc->bjzkc", wv, sheared,
-            preferred_element_type=jnp.float32).astype(cdt)
+
+        def _pass2(f_red, lam, v0, *, _ratio=ratio, _rs=row_scale, _hs=hs):
+            padded = jnp.pad(f_red, ((0, 0), (0, 0), (1, 1), (0, 0)))
+            src = _resample_cols(padded, pad_u, kp, _ratio)
+            shift = (lam[:, None]
+                     * (jnp.arange(kp, dtype=jnp.float32)[None, :] - k_ref)
+                     * s_fine * _rs)
+            sheared = _shear_rows(src, shift)
+            wv = _hat_weights(v0 * _rs, _hs).astype(cdt)
+            # (B, J, Z, K, C): the matmul-native output order — (j z) x
+            # (k c) contraction over h lands directly in this layout,
+            # where the bjkzc order would force XLA to transpose the
+            # whole slab (hundreds of MB at flagship scale) after the
+            # MXU pass
+            return jnp.einsum(
+                "bjzh,bhkc->bjzkc", wv, sheared,
+                preferred_element_type=jnp.float32).astype(cdt)
+
+        # REMAT (detector cfg.remat): recompute the resample/shear
+        # intermediates in the backward pass instead of saving them —
+        # the polar analog of the gather path's nn.remat(f2v). Measured
+        # timing-neutral on chip (BASELINE.md round-4 addendum); the
+        # pre-slab intermediates (src/sheared, ~slab-sized each) are
+        # what it shields.
+        pass2 = jax.checkpoint(_pass2) if remat else _pass2
+        part = pass2(f_red, lam, v0)
         slab = part if slab is None else slab + part
     slab = slab + scope.reduce_bias.astype(cdt)  # (B, J, Z, K, C)
 

@@ -139,10 +139,25 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
     batch_q: "_queue.Queue" = _queue.Queue(maxsize=3)
     finish_q: "_queue.Queue" = _queue.Queue(maxsize=3)
     finish_err: list = []
+    # early-exit shutdown (finisher error / producer exception): without a
+    # stop signal the producer can stay blocked forever on batch_q.put,
+    # abandoning in-flight H2D transfers and dataset file handles
+    stop_evt = _threading.Event()
+
+    def _put(item) -> bool:
+        while not stop_evt.is_set():
+            try:
+                batch_q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _producer():
         try:
             for i0 in range(0, len(frame_idxs), batch_size):
+                if stop_evt.is_set():
+                    return
                 idxs = frame_idxs[i0:i0 + batch_size]
                 samples = [dataset[j] for j in idxs]
                 batch = dataset.collate_batch(samples)
@@ -151,10 +166,11 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
                 # dispatch compute the moment the arrays land
                 jb = {k: jnp.asarray(v)
                       for k, v in device_batch(batch).items()}
-                batch_q.put((len(idxs), batch, jb))
-            batch_q.put(None)
+                if not _put((len(idxs), batch, jb)):
+                    return
+            _put(None)
         except BaseException as exc:  # surface in the consumer
-            batch_q.put(exc)
+            _put(exc)
 
     # timing: per-batch intervals BETWEEN postprocess completions — in a
     # pipeline, dispatch-to-fetch spans of consecutive batches overlap, so
@@ -184,24 +200,35 @@ def run_eval(cfg, model_cfg, dataset, params, batch_stats, logger,
             except BaseException as exc:  # re-raised on the main thread
                 finish_err.append(exc)
 
-    _threading.Thread(target=_producer, daemon=True).start()
+    prod_thread = _threading.Thread(target=_producer, daemon=True)
+    prod_thread.start()
     fin_thread = _threading.Thread(target=_finisher, daemon=True)
     fin_thread.start()
     done = 0
     producer_exc = None
-    while True:
-        item = batch_q.get()
-        if isinstance(item, BaseException):
-            producer_exc = item
-            break
-        if item is None or finish_err:
-            break
-        n_frames, batch, jb = item
-        out = eval_step(params, batch_stats, jb)  # async dispatch
-        finish_q.put((out, batch, n_frames))
-        done += 1
-        if done % 50 == 1:
-            logger.info(f"eval {done * batch_size}/{len(frame_idxs)}")
+    try:
+        while True:
+            item = batch_q.get()
+            if isinstance(item, BaseException):
+                producer_exc = item
+                break
+            if item is None or finish_err:
+                break
+            n_frames, batch, jb = item
+            out = eval_step(params, batch_stats, jb)  # async dispatch
+            finish_q.put((out, batch, n_frames))
+            done += 1
+            if done % 50 == 1:
+                logger.info(f"eval {done * batch_size}/{len(frame_idxs)}")
+    finally:
+        # unblock + terminate the producer deterministically, whatever
+        # path exited the loop (normal end, finisher error, exception)
+        stop_evt.set()
+        while prod_thread.is_alive():
+            try:
+                batch_q.get_nowait()
+            except _queue.Empty:
+                prod_thread.join(timeout=0.1)
     finish_q.put(None)
     fin_thread.join()
     if producer_exc is not None:
