@@ -195,6 +195,7 @@ def model_config_from_yaml(cfg: ConfigDict):
         pc_range=pc_range,
         voxel_size=voxel_size,
         image_backbone=ffn.get("DDN", _e).get("BACKBONE_NAME", "ResNet101"),
+        ddn_quant=ffn.get("DDN", _e).get("QUANT", "none"),
         channel_reduce_out=ffn.get("CHANNEL_REDUCE", _e).get(
             "out_channels", 64),
         f2v_out_channels=f2v.get("OUT_CHANNELS", 128),

@@ -41,6 +41,9 @@ class HGSFusionConfig:
     voxel_size: Tuple[float, ...] = (0.16, 0.16, 0.16)
     # image branch
     image_backbone: str = "ResNet101"
+    # DDN backbone quantization ("none" | "w8a8"): int8 convs for the
+    # FROZEN COCO backbone (resnet.QConv8) — eval-only serving knob
+    ddn_quant: str = "none"
     channel_reduce_out: int = 64
     f2v_out_channels: int = 128
     # f2v gather-payload quantization ("none" | "int8"); see
@@ -227,8 +230,13 @@ class HGSFusionModel(nn.Module):
             # with cached image features.
             taps = list(batch["ddn_features"])
         else:
+            if cfg.ddn_quant != "none" and train:
+                raise NotImplementedError(
+                    "DDN.QUANT is an eval-only serving knob (the backbone "
+                    "is frozen; training still runs it in bf16/f32)")
             backbone = backbone_cls(
-                stage_sizes=stage_sizes, dtype=cfg.dtype, name="ddn_backbone"
+                stage_sizes=stage_sizes, quant=cfg.ddn_quant,
+                dtype=cfg.dtype, name="ddn_backbone"
             )
             taps = backbone(images, train)
         feats = [
