@@ -22,24 +22,34 @@ from hgsfusion_tpu.config import load_config
 from hgsfusion_tpu.utils.box_coder import ResidualCoder
 
 
-def timed(fn, *args, iters=20):
-    """CAVEAT (round 4): independent repeated calls with identical args
-    through the remote-exec tunnel carry per-call dispatch overhead, so
-    these absolute numbers run HIGH (the in-graph stage bench measured
-    post at 10 ms where these pieces sum to 16.6). The RELATIVE
-    decomposition (decode vs top-k vs NMS-loop scaling with the kept
-    cap) is what this script is for; for absolute numbers, chain by
-    data dependency (see _bench_dilated_conv.timed / bench.py)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed(fn, chain, *args, iters=20):
+    """Chained on-device timing per the repo's tunnel-benchmarking rules
+    (round-4 lesson: independent repeated calls with identical args carry
+    per-call dispatch overhead and mis-time through the remote-exec
+    tunnel — these pieces summed to 16.6 ms where the in-graph stage
+    bench measured 10).
+
+    `chain(args, out) -> args` feeds a data-dependent epsilon of each
+    iteration's output back into the next iteration's input, so ONE
+    jitted graph serializes all `iters` runs on-device with a single
+    final fetch. The epsilon (1e-30 * a scalar of the output) cannot
+    change results but defeats DCE/CSE."""
+
+    def chained(*a):
+        for _ in range(iters):
+            out = fn(*a)
+            a = chain(a, out)
+        return jax.tree_util.tree_reduce(
+            lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)), out,
+            jnp.float32(0))
+
+    f = jax.jit(chained)
+    f(*args).block_until_ready()
+    f(*args).block_until_ready()  # warmup
     best = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        float(f(*args))
         best.append((time.perf_counter() - t0) / iters)
     return sorted(best)[1] * 1e3
 
@@ -59,7 +69,6 @@ def main():
     box = jnp.asarray(rng.randn(1, ny, nx, 6 * 7) * 0.1, jnp.float32)
     dirs = jnp.asarray(rng.randn(1, ny, nx, 6 * 2), jnp.float32)
 
-    @jax.jit
     def decode(cls, box, dirs):
         return generate_predicted_boxes(
             cls, box, dirs, assigner.flat_anchors, assigner.box_coder,
@@ -67,26 +76,39 @@ def main():
             dir_limit_offset=cfg.dir_limit_offset,
             num_dir_bins=cfg.num_dir_bins)
 
-    bc, bb = decode(cls, box, dirs)
+    def chain_decode(a, out):
+        eps = jnp.sum(out[0].astype(jnp.float32)) * jnp.float32(1e-30)
+        return (a[0] + eps, a[1], a[2])
+
+    bc, bb = jax.jit(decode)(cls, box, dirs)
     print(f"anchors: {na}", flush=True)
-    print(f"decode: {timed(decode, cls, box, dirs):.2f} ms", flush=True)
+    print(f"decode: {timed(decode, chain_decode, cls, box, dirs):.2f} ms",
+          flush=True)
 
     scores = jax.nn.sigmoid(bc).max(axis=-1)[0]
 
-    @jax.jit
     def topk(s):
         return exact_top_k(s, 4096)
 
-    ts, ti = topk(scores)
-    print(f"exact_top_k(614k->4096): {timed(topk, scores):.2f} ms",
-          flush=True)
+    def chain_topk(a, out):
+        eps = out[0][0].astype(jnp.float32) * jnp.float32(1e-30)
+        return (a[0] + eps,)
+
+    ts, ti = jax.jit(topk)(scores)
+    print(f"exact_top_k(614k->4096): "
+          f"{timed(topk, chain_topk, scores):.2f} ms", flush=True)
 
     top_boxes = bb[0][ti]
     valid = ts > -1e30
+
+    def chain_nms(a, out):
+        eps = jnp.sum(out).astype(jnp.float32) * jnp.float32(1e-30)
+        return (a[0] + eps, a[1])
+
     for cap in (500, 128, 32):
-        f = jax.jit(lambda b, v, c=cap: greedy_nms_lazy(b, v, 0.01, c))
-        ms = timed(f, top_boxes, valid)
-        kept = int(f(top_boxes, valid).sum())
+        f = lambda b, v, c=cap: greedy_nms_lazy(b, v, 0.01, c)
+        ms = timed(f, chain_nms, top_boxes, valid)
+        kept = int(jax.jit(f)(top_boxes, valid).sum())
         print(f"greedy_nms_lazy cap={cap}: {ms:.2f} ms (kept {kept})",
               flush=True)
 

@@ -55,12 +55,51 @@ def probe_backend(timeout_s: int | None = None):
         raise RuntimeError(tail)
 
 
-def main(dataset: str = "vod", batch_size: int = 1):
+def _calibrate_realistic(model, variables, batch, target: int = 64):
+    """Shift the cls-head bias so ~`target` candidates per frame clear the
+    0.1 score threshold — the trained-model regime.
+
+    The default bench runs RANDOM weights, whose near-uniform sigmoid
+    scores keep all 4096 pre-NMS candidates alive and drive the lazy NMS
+    while_loop through all 500 iterations — a worst case for the post
+    stage while the chained device-resident batches are a best case for
+    everything else. A flagship model trained on the round-5 structured
+    study data keeps ~8 post-NMS boxes/frame at the shipped thresholds
+    (BASELINE.md round-5 study); with NMS_THRESH 0.01 suppressing ~8
+    near-duplicate anchors per kept box, ~64 above-threshold pre-NMS
+    candidates is the representative load. One forward measures the
+    logit distribution; one global bias shift puts the `target`-th
+    largest logit exactly at logit(0.1). Shapes are unchanged — only the
+    score CONTENT moves, so this isolates the data-dependent NMS cost.
+    """
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    preds = jax.jit(lambda v, b: model.apply(v, b, False))(variables, batch)
+    logits = np.asarray(
+        preds["cls_preds"].astype(jnp.float32)
+    ).reshape(batch["images"].shape[0], -1)
+    rank_val = float(np.median(np.sort(logits, axis=1)[:, -target]))
+    thr_logit = float(np.log(0.1 / 0.9))  # sigmoid^-1(0.1)
+    delta = thr_logit - rank_val
+    variables = copy.deepcopy(jax.device_get(variables))
+    bias = variables["params"]["dense_head"]["conv_cls"]["bias"]
+    variables["params"]["dense_head"]["conv_cls"]["bias"] = bias + delta
+    return jax.device_put(variables)
+
+
+def main(dataset: str = "vod", batch_size: int = 1, realistic: bool = False):
     """dataset: 'vod' (driver default) or 'tj4d' (python bench.py --tj4d —
     the second headline config: 216x248 grid, 4 classes, 31-wide reader).
     batch_size: --batch N (XLA-sampler B=2 OOMs on v5e — 18.3G frustum
     intermediates vs 15.75G HBM; the VMEM-resident pallas sampler variant
-    removes those buffers, so B=2 is worth measuring there)."""
+    removes those buffers, so B=2 is worth measuring there).
+    realistic: --realistic shifts scores to the trained-model regime (see
+    _calibrate_realistic) instead of the default all-candidates worst
+    case; both lines are reported in BASELINE.md."""
     import jax
 
     from __graft_entry__ import _vod_flagship
@@ -78,6 +117,8 @@ def main(dataset: str = "vod", batch_size: int = 1):
     post_cfg = yaml_cfg.MODEL.POST_PROCESSING
 
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, False))(batch)
+    if realistic:
+        variables = _calibrate_realistic(model, variables, batch)
 
     @jax.jit
     def infer(variables, batch):
@@ -114,6 +155,13 @@ def main(dataset: str = "vod", batch_size: int = 1):
     fps = sorted(rates)[1]
 
     tag = "" if batch_size == 1 else f"_b{batch_size}"
+    if realistic:
+        import sys
+
+        tag += "_realistic"
+        kept = int(jnp.sum(out["valid"])) if "valid" in out else -1
+        print(f"# realistic regime: {kept} post-NMS boxes in the last "
+              f"batch of {batch_size}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -134,6 +182,7 @@ if __name__ == "__main__":
     # --batch N for batched serving measurements
     args = sys.argv[1:]
     bsz = 1
+    realistic = False
     rest = []
     skip = False
     for i, a in enumerate(args):
@@ -147,6 +196,8 @@ if __name__ == "__main__":
             skip = True
         elif a.startswith("--batch="):
             bsz = int(a.split("=", 1)[1])
+        elif a == "--realistic":
+            realistic = True
         else:
             rest.append(a)
     arg = next((a.lstrip("-") for a in rest if a.startswith("--")), None)
@@ -158,13 +209,15 @@ if __name__ == "__main__":
     dataset = arg or "vod_polar"
     try:
         probe_backend()
-        main(dataset, batch_size=bsz)
+        main(dataset, batch_size=bsz, realistic=realistic)
     except BaseException as e:  # noqa: BLE001 — one legible line, always
         if isinstance(e, (KeyboardInterrupt, SystemExit)):
             raise
         reason = "tpu-unavailable" if isinstance(e, TimeoutError) else type(e).__name__
         first_line = str(e).strip().splitlines()[0] if str(e).strip() else ""
         tag = "" if bsz == 1 else f"_b{bsz}"
+        if realistic:
+            tag += "_realistic"
         print(
             json.dumps(
                 {
