@@ -107,7 +107,8 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
                          image_ext: str = ".jpg",
                          virtual_prefix: str = "virtual_points",
                          seed: int = 0, structured: bool = False,
-                         classes=("Car", "Pedestrian", "Cyclist")):
+                         classes=("Car", "Pedestrian", "Cyclist"),
+                         support_range=None):
     """Build the tree and return the root path.
 
     structured=True makes the scenes LEARNABLE instead of white noise:
@@ -118,10 +119,23 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
     held-out split, which is what the detection-level polar-vs-gather
     equivalence study and the train->eval round trip need (white-noise
     frames admit only prior-fitting, so AP pins to ~0 and the comparison
-    loses all resolution at the NMS/score boundary)."""
+    loses all resolution at the NMS/score boundary).
+
+    support_range=(lo, hi) (structured mode only) scales each box's point
+    support — its share of in-box radar AND virtual points — by a
+    per-box log-uniform factor in [lo, hi], making objects range from
+    fully supported to near-invisible. On uniformly easy scenes a trained
+    detector reaches recall 1.0, where the 11-point AP has a 9.09-point
+    cliff (the r=1.0 sample zeroes on the first missed gt) and AP deltas
+    quantize to 0-or-9.09; a support gradient keeps every class in the
+    PR-curve interior, so path/quantization ΔAP resolves smoothly below
+    the 0.5-point north-star criterion. Factors come from a SEPARATE rng
+    stream, so enabling this does not perturb existing fixtures' draws."""
     from PIL import Image
 
     rng = np.random.RandomState(seed)
+    support_rng = (np.random.RandomState(seed + 77003)
+                   if support_range is not None else None)
     root = Path(root)
     training = root / "training"
     for sub in ("velodyne", "image_2", "depth_2", "calib", "label_2",
@@ -162,6 +176,12 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
                 dims_lhw = _DIMS_LHW.get(classes[cls_i], (0.8, 1.73, 0.6))
                 ry = rng.uniform(-np.pi, np.pi)
                 frame_boxes.append((cls_i, cx, cy, cz, dims_lhw, ry))
+        if support_rng is not None and frame_boxes:
+            lo, hi = support_range
+            support = np.exp(support_rng.uniform(
+                np.log(lo), np.log(hi), len(frame_boxes)))
+        else:
+            support = np.ones(max(len(frame_boxes), 1))
 
         # radar points in front of the sensor, inside the camera FOV
         pts = np.zeros((num_points, radar_channels), np.float32)
@@ -174,8 +194,9 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
             # class-dependent rcs signature (col 3)
             n_obj = num_points // 2
             per = np.array_split(np.arange(n_obj), len(frame_boxes))
-            for (cls_i, cx, cy, cz, (l, bh, bw), ry), idx in zip(
-                    frame_boxes, per):
+            for bi, ((cls_i, cx, cy, cz, (l, bh, bw), ry), idx) in enumerate(
+                    zip(frame_boxes, per)):
+                idx = idx[: int(round(len(idx) * support[bi]))]
                 if len(idx) == 0:
                     continue
                 # lidar box layout (x y z dx dy dz heading): dx=l, dy=w;
@@ -193,12 +214,19 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
             img += (8 * rng.rand(h, w, 3)).astype(np.uint8)
             # class-colored blob at each box's image projection (the
             # camera branch's learnable signal)
-            for cls_i, cx, cy, cz, (l, bh, bw), ry in frame_boxes:
+            for bi, (cls_i, cx, cy, cz, (l, bh, bw), ry) in enumerate(
+                    frame_boxes):
                 u0, v0, u1, v1 = _project_box_bbox(
                     calib, (cx, cy, cz, l, bw, bh, -(ry + np.pi / 2)),
                     (h, w))
                 if u1 > u0 and v1 > v0:
-                    img[v0:v1, u0:u1] = class_colors[cls_i]
+                    # blob contrast follows the box's support factor so a
+                    # weak-radar object is not rescued by a full-strength
+                    # camera signature (support=1.0 reproduces the old
+                    # hard assignment exactly)
+                    blob = (support[bi] * class_colors[cls_i]
+                            + (1.0 - support[bi]) * img[v0:v1, u0:u1])
+                    img[v0:v1, u0:u1] = blob.astype(np.uint8)
         else:
             img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
         Image.fromarray(img).save(training / "image_2" / f"{sid}{image_ext}")
@@ -264,8 +292,9 @@ def make_synthetic_kitti(root, num_frames: int = 4, num_points: int = 256,
             # same rcs signature as the real in-box returns
             n_obj = (3 * num_virtual) // 4
             per = np.array_split(np.arange(n_obj), len(frame_boxes))
-            for (cls_i, cx, cy, cz, (l, bh, bw), ry), idx in zip(
-                    frame_boxes, per):
+            for bi, ((cls_i, cx, cy, cz, (l, bh, bw), ry), idx) in enumerate(
+                    zip(frame_boxes, per)):
+                idx = idx[: int(round(len(idx) * support[bi]))]
                 if len(idx) == 0:
                     continue
                 box = (cx, cy, cz, l, bw, bh, -(ry + np.pi / 2))

@@ -148,6 +148,45 @@ class TestSyntheticPipeline:
             return
         raise AssertionError("flip never fired in 20 seeds")
 
+    def test_support_range_unity_is_byte_identical(self, tmp_path):
+        """support_range=(1,1) must reproduce the default structured tree
+        byte-for-byte (the knob's rng is a separate stream and a factor of
+        1.0 keeps every per-box index set / blob value intact), so enabling
+        the hard-val machinery can never perturb existing fixtures."""
+        kw = dict(num_frames=2, num_points=128, num_virtual=32,
+                  structured=True, seed=3)
+        a = make_synthetic_kitti(tmp_path / "a", **kw)
+        b = make_synthetic_kitti(tmp_path / "b", support_range=(1.0, 1.0),
+                                 **kw)
+        for rel in ("velodyne/00000.bin", "velodyne/00001.bin",
+                    "image_2/00000.jpg", "virtual_points/00000.pkl.npy",
+                    "label_2/00001.txt"):
+            pa = (a / "training" / rel).read_bytes()
+            pb = (b / "training" / rel).read_bytes()
+            assert pa == pb, rel
+
+    def test_support_range_low_cuts_in_box_points(self, tmp_path):
+        """A tiny support factor must strip most in-box returns (the rcs
+        signature col 3 >= 3.0 marks object points) while leaving labels,
+        i.e. produce hard positives rather than fewer gts."""
+        kw = dict(num_frames=4, num_points=256, num_virtual=64,
+                  structured=True, seed=5)
+        full = make_synthetic_kitti(tmp_path / "full", **kw)
+        weak = make_synthetic_kitti(tmp_path / "weak",
+                                    support_range=(0.02, 0.05), **kw)
+
+        def n_obj_points(root):
+            n = 0
+            for f in sorted((root / "training" / "velodyne").glob("*.bin")):
+                pts = np.fromfile(f, np.float32).reshape(-1, 7)
+                n += int((pts[:, 3] >= 3.0).sum())
+            return n
+
+        assert n_obj_points(weak) < 0.2 * n_obj_points(full)
+        la = (full / "training" / "label_2" / "00000.txt").read_text()
+        lb = (weak / "training" / "label_2" / "00000.txt").read_text()
+        assert len(la.splitlines()) == len(lb.splitlines())
+
 
 class TestConfig:
     def test_load_vod_yaml(self):

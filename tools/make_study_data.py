@@ -53,21 +53,36 @@ SPECS = {
 }
 
 
-def build(name: str, root: Path, num_frames: int, val_frames: int) -> Path:
+def build(name: str, root: Path, num_frames: int, val_frames: int,
+          hard_val: bool = False) -> Path:
+    """hard_val=True builds an EVAL-ONLY variant (<root>/<name>_hardval):
+    every frame in val.txt, per-box point support log-uniform in
+    [0.02, 1.0] so trained-model recall sits in the PR-curve interior
+    for every class. On the uniformly easy default scenes the model
+    reaches recall 1.0, where the 11-point AP quantizes path deltas to
+    0-or-9.09 (the r=1.0 cliff) — useless against the 0.5-AP criterion;
+    the support gradient restores sub-point ΔAP resolution."""
     from hgsfusion_tpu.datasets.synthetic import make_synthetic_kitti
 
     spec = dict(SPECS[name])
     cfg = spec.pop("cfg")
-    out = root / name
-    make_synthetic_kitti(out, num_frames=num_frames, structured=True,
-                         virtual_prefix=PREFIX, **spec)
-    # disjoint splits (the generator writes identical train/val lists)
-    ids = [f"{i:05d}" for i in range(num_frames)]
-    n_train = num_frames - val_frames
-    (out / "ImageSets" / "train.txt").write_text(
-        "\n".join(ids[:n_train]) + "\n")
-    (out / "ImageSets" / "val.txt").write_text(
-        "\n".join(ids[n_train:]) + "\n")
+    out = root / (f"{name}_hardval" if hard_val else name)
+    if hard_val:
+        spec["seed"] += 100
+        make_synthetic_kitti(out, num_frames=num_frames, structured=True,
+                             virtual_prefix=PREFIX,
+                             support_range=(0.02, 1.0), **spec)
+        # all frames are val; train.txt stays as written (never trained on)
+    else:
+        make_synthetic_kitti(out, num_frames=num_frames, structured=True,
+                             virtual_prefix=PREFIX, **spec)
+        # disjoint splits (the generator writes identical train/val lists)
+        ids = [f"{i:05d}" for i in range(num_frames)]
+        n_train = num_frames - val_frames
+        (out / "ImageSets" / "train.txt").write_text(
+            "\n".join(ids[:n_train]) + "\n")
+        (out / "ImageSets" / "val.txt").write_text(
+            "\n".join(ids[n_train:]) + "\n")
 
     # official info-generation flow, forced onto the CPU platform (the
     # ambient env may point jax at the TPU tunnel; infos are numpy-only)
@@ -88,10 +103,14 @@ def main():
                    choices=list(SPECS))
     p.add_argument("--num_frames", type=int, default=96)
     p.add_argument("--val_frames", type=int, default=32)
+    p.add_argument("--hard_val", action="store_true",
+                   help="build the eval-only graded-difficulty variant "
+                        "(<root>/<name>_hardval) instead")
     args = p.parse_args()
     root = Path(args.root)
     for name in args.datasets:
-        out = build(name, root, args.num_frames, args.val_frames)
+        out = build(name, root, args.num_frames, args.val_frames,
+                    hard_val=args.hard_val)
         print(f"{name}: {out}")
 
 
