@@ -369,7 +369,14 @@ def test_full_detector_polar_tracks_gather_with_same_weights():
                             mutable=["batch_stats"])[0]
     pg = jax.jit(lambda: run(model_g))()
     pp = jax.jit(lambda: run(model_p))()
-    for key in ("cls_preds", "box_preds", "occupancy"):
+    # occupancy is radar-only — the view transform cannot touch it, so it
+    # must be BIT-equal, not merely correlated (including it in the corr
+    # gate would dilute the check). The head outputs, which DO see the
+    # camera branch, carry the correlation gate; the detection-level gate
+    # lives in tests/test_polar_detection_equiv.py.
+    np.testing.assert_array_equal(np.array(pg["occupancy"]),
+                                  np.array(pp["occupancy"]))
+    for key in ("cls_preds", "box_preds"):
         a = np.array(pg[key], np.float64).ravel()
         b = np.array(pp[key], np.float64).ravel()
         assert np.isfinite(b).all()
