@@ -1,0 +1,79 @@
+#!/bin/bash
+# Round-5 outage continuation (the axon tunnel died ~09:58 on 08-20, the
+# same failure mode as the round-2/3 outage). Polls the chip with a tiny
+# bounded matmul probe; when it answers, runs the remaining round-5
+# sequence unattended, one chip job at a time:
+#   1. knob isolation evals (J96/N20, J128/N8) + matches
+#   2. polar-trained basket on hard-val + match
+#   3. q8 hard-val eval + match
+#   4. leftover benches: --vod --realistic, chained post decomposition,
+#      conv layout scan, standing gather re-bench, headline line
+set -u
+cd /root/repo
+R=/tmp/r5
+CKG=$R/out/hgsfusion_vod/study_g/ckpt
+CKP=$R/out/hgsfusion_vod_polar/study_p/ckpt
+log() { echo "[chipwait $(date +%H:%M:%S)] $*"; }
+
+log "polling for the chip"
+while true; do
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128)); float((x @ x).sum())" >/dev/null 2>&1 && break
+  sleep 120
+done
+log "chip is back"
+
+eval_run() {  # cfg tag ckpt data [extra --set pairs...]
+  local cfg=$1 tag=$2 ck=$3 data=$4; shift 4
+  log "eval $tag"
+  timeout 3600 python tools/test.py --cfg_file "$cfg" --extra_tag "$tag" \
+    --output_dir $R/eval --ckpt_dir "$ck" --batch_size 1 \
+    --set DATA_CONFIG.DATA_PATH "$data" "$@" > $R/eval_$tag.log 2>&1 \
+    || log "EVAL $tag FAILED rc=$?"
+}
+res() { echo "$R/eval/$1/$2/eval/result.pkl"; }
+match() {  # a_dir a_tag b_dir b_tag out infos_ds
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/study_polar_match.py \
+    --a "$(res "$1" "$2")" --b "$(res "$3" "$4")" \
+    --infos $R/$6/kitti_infos_val.pkl --dataset "${6%_hardval}" \
+    --json $R/match_$5.json > $R/match_$5.log 2>&1 \
+    || log "MATCH $5 FAILED rc=$?"
+}
+GV=hgsfusion_vod; PV=hgsfusion_vod_polar
+
+# 1. knob isolation
+for JN in "96 20" "128 8"; do
+  set -- $JN; J=$1; N=$2
+  eval_run configs/hgsfusion_vod_polar.yaml hv_vod_g_polar_J${J}_N${N} \
+    $CKG $R/vod_hardval \
+    MODEL.FusionVFE.ImageVFE.F2V.POLAR_ZETA_BINS $J \
+    MODEL.FusionVFE.ImageVFE.F2V.POLAR_NEAR_COLUMNS $N
+  match $GV hv_vod_g_gather $PV hv_vod_g_polar_J${J}_N${N} \
+    hv_vod_J${J}_N${N} vod_hardval
+done
+
+# 2. polar-trained basket
+eval_run configs/hgsfusion_vod.yaml       hv_vod_p_gather $CKP $R/vod_hardval
+eval_run configs/hgsfusion_vod_polar.yaml hv_vod_p_polar  $CKP $R/vod_hardval
+match $GV hv_vod_p_gather $PV hv_vod_p_polar hv_vod_p vod_hardval
+# retrain-variance control at hard-val scale (same gather path, two ckpts)
+match $GV hv_vod_g_gather $GV hv_vod_p_gather hv_vod_xw vod_hardval
+
+# 3. q8 on hard-val
+eval_run configs/hgsfusion_vod_polar.yaml hv_vod_g_polar_q8 $CKG \
+  $R/vod_hardval MODEL.FusionVFE.ImageVFE.FFN.DDN.QUANT w8a8
+match $PV hv_vod_g_polar $PV hv_vod_g_polar_q8 hv_vod_q8 vod_hardval
+
+# 4. benches
+timeout 3600 python bench.py --vod --realistic > $R/bench_vod_realistic.json \
+  2> $R/bench_vod_realistic.err || log "realistic gather bench FAILED"
+timeout 3600 python _bench_post.py > $R/bench_post_chained.log 2>&1 \
+  || log "post bench FAILED"
+timeout 3600 python _bench_conv_layout.py > $R/bench_conv_layout.log 2>&1 \
+  || log "conv layout bench FAILED"
+timeout 3600 python bench.py --vod > $R/bench_vod_rebench.json \
+  2> $R/bench_vod_rebench.err || log "gather re-bench FAILED"
+timeout 3600 python bench.py > $R/bench_headline.json \
+  2> $R/bench_headline.err || log "headline bench FAILED"
+log "CHIPWAIT DONE"
