@@ -15,14 +15,17 @@ CKG=$R/out/hgsfusion_vod/study_g/ckpt
 CKP=$R/out/hgsfusion_vod_polar/study_p/ckpt
 log() { echo "[chipwait $(date +%H:%M:%S)] $*"; }
 
-log "polling for the chip"
+log "polling for the chip (fresh-shape probe: cached executables still run
+while the remote compile service is down, so a fixed-shape probe lies)"
 while true; do
-  timeout 120 python -c "
-import jax, jax.numpy as jnp
-x = jnp.ones((128, 128)); float((x @ x).sum())" >/dev/null 2>&1 && break
-  sleep 120
+  N=$((257 + RANDOM % 512))
+  timeout 180 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.asarray(np.random.randn($N, $N + 3).astype(np.float32))
+float((x @ x.T).sum())" >/dev/null 2>&1 && break
+  sleep 180
 done
-log "chip is back"
+log "chip is back (fresh compile served)"
 
 eval_run() {  # cfg tag ckpt data [extra --set pairs...]
   local cfg=$1 tag=$2 ck=$3 data=$4; shift 4
