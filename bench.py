@@ -29,27 +29,39 @@ TARGET_MULTIPLIER = 3.0
 
 
 def probe_backend(timeout_s: int | None = None):
-    """Bound JAX backend init so an unreachable TPU tunnel yields a readable
-    diagnostic instead of a hang + 30-line traceback (the round-2 failure
-    mode). The dead-tunnel hang happens inside a blocking C (grpc) call, so
-    SIGALRM never delivers in-process — the probe must be a killable child
-    process. Raises TimeoutError on hang, RuntimeError on backend-init error.
+    """Bound JAX backend init AND a fresh-shape compile so a sick TPU
+    tunnel yields a readable diagnostic instead of a hang + 30-line
+    traceback. Two observed failure modes: (round 2) the tunnel is fully
+    dead and jax.devices() itself hangs; (round 5) the remote COMPILE
+    service is dead while cached executables still run, so devices() and
+    fixed-shape probes succeed but any new graph wedges forever — hence
+    the probe compiles a deliberately odd, run-specific shape. The hang
+    happens inside a blocking C (grpc) call, so SIGALRM never delivers
+    in-process — the probe must be a killable child process. Raises
+    TimeoutError on hang, RuntimeError on backend-init error.
     """
     import os
     import subprocess
     import sys
+    import time
 
     if timeout_s is None:
         timeout_s = int(os.environ.get("HGS_BENCH_PROBE_TIMEOUT", "240"))
     if timeout_s <= 0:
         raise TimeoutError("jax backend init exceeded 0s")
+    n = 251 + int(time.time()) % 199  # fresh shape each run: defeat caches
     try:
         res = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp\n"
+             "jax.devices()\n"
+             f"x = jnp.ones(({n}, {n + 3}))\n"
+             "float((x @ x.T).sum())"],
             capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired:
-        raise TimeoutError(f"jax backend init exceeded {timeout_s}s")
+        raise TimeoutError(
+            f"jax backend init / fresh-shape compile exceeded {timeout_s}s")
     if res.returncode != 0:
         tail = (res.stderr.strip().splitlines() or ["backend init failed"])[-1]
         raise RuntimeError(tail)
